@@ -1,0 +1,270 @@
+"""One-dimensional interpolator and builder.
+
+Reference: ``/root/reference/src/interp1d/mod.rs``.  Semantics preserved:
+
+* interpolation happens along axis 0 of ``data``; trailing axes are
+  vectorized (``mod.rs:39-51``),
+* default x-axis is ``0..n`` indices, default strategy ``Linear``
+  (``mod.rs:399-410``),
+* ``interp_array(xs)`` output has dims ``M + N - 1`` with the query dims
+  leading (``mod.rs:219-226``),
+* any out-of-bounds query aborts the whole call (``mod.rs:321``),
+* builder validation order and error messages (``mod.rs:443-476``).
+
+TPU-native design: ``Interp1D`` is a registered pytree (leaves: knots,
+data, strategy state; everything static lives in aux).  The pure
+evaluation core ``__call__`` is jit/vmap/pjit-compatible; the eager
+methods (``interp``, ``interp_array``, …) wrap it with the reference's
+value-dependent error checks, which must run host-side.  Where the
+reference iterates query points on the CPU, every entry point here
+evaluates the whole query batch as one fused XLA computation
+(bucketize → gather → polynomial), so multi-point queries are a single
+device program rather than a loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node_class
+
+from ..errors import (
+    MonotonicError,
+    NotEnoughDataError,
+    OutOfBoundsError,
+    ShapeError,
+)
+from ..ops.searchsorted import get_lower_index, is_in_range
+from ..utils.monotonic import monotonic_prop
+from .strategies.base import Interp1DStrategyBuilder
+from .strategies.linear import Linear
+
+
+def _is_traced(x) -> bool:
+    import jax.core
+
+    return isinstance(x, jax.core.Tracer)
+
+
+@register_pytree_node_class
+class Interp1D:
+    """One dimensional interpolator (pytree).
+
+    Construct via :meth:`builder` (validating) or :meth:`new_unchecked`
+    (cheap, no validation — the pytree-unflatten analogue of
+    ``Interp1D::new_unchecked``, ``mod.rs:356-365``).
+    """
+
+    def __init__(self, x, data, strategy):
+        self.x = x
+        self.data = data
+        self.strategy = strategy
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def builder(cls, data) -> "Interp1DBuilder":
+        """Get the builder (``mod.rs:79-81``)."""
+        return Interp1DBuilder(data)
+
+    @classmethod
+    def new_unchecked(cls, x, data, strategy) -> "Interp1D":
+        """Create an interpolator without any data validation.
+
+        Assumed but not checked (``mod.rs:356-365``): ``x`` strictly
+        monotonic rising, ``data.shape[0] == len(x)``, strategy built.
+        """
+        return cls(x, data, strategy)
+
+    # -- pure, jittable core -------------------------------------------------
+    def __call__(self, xs):
+        """Evaluate at ``xs`` (any shape, incl. scalar). Pure and jittable.
+
+        Returns shape ``xs.shape + data.shape[1:]``.  When the strategy does
+        not extrapolate, out-of-range results are masked to NaN (inexact
+        dtypes only) — the jit-safe stand-in for the reference's
+        ``Err(OutOfBounds)``.
+        """
+        xs = jnp.asarray(xs)
+        q_shape = xs.shape
+        flat = xs.reshape(-1)
+        out = self.strategy.eval(self, flat)
+        if not self.strategy.extrapolates and jnp.issubdtype(
+            out.dtype, jnp.inexact
+        ):
+            ok = is_in_range(self.x, flat).reshape(
+                flat.shape + (1,) * (out.ndim - 1)
+            )
+            out = jnp.where(ok, out, jnp.nan)
+        return out.reshape(q_shape + self.data.shape[1:])
+
+    def eval_unchecked(self, xs):
+        """Like ``__call__`` but without the out-of-range NaN mask: queries
+        outside the knot range use the edge intervals (i.e. extrapolate)."""
+        xs = jnp.asarray(xs)
+        out = self.strategy.eval(self, xs.reshape(-1))
+        return out.reshape(xs.shape + self.data.shape[1:])
+
+    # -- helpers available to strategies (``mod.rs:367-386``) ----------------
+    def index_point(self, index):
+        """``(x, data)`` coordinate at the given index; index may be traced."""
+        return self.x[index], jnp.take(self.data, index, axis=0)
+
+    def get_index_left_of(self, x):
+        """Index of a known value left of, or at, ``x``; never the last
+        index, so ``index_point(idx + 1)`` is always safe."""
+        return get_lower_index(self.x, x)
+
+    def is_in_range(self, x):
+        return is_in_range(self.x, x)
+
+    # -- eager API (reference parity; raises on bad values) ------------------
+    def _check_queries(self, xs_flat):
+        """Reference error contract: OutOfBounds unless extrapolating
+        (``linear.rs:80-84``); NaN queries are rejected like the
+        reference's NaN-cast panic (``vector_extensions.rs:267-271``)."""
+        xs_host = np.asarray(xs_flat)
+        if not self.strategy.extrapolates:
+            ok = np.asarray(is_in_range(np.asarray(self.x), xs_host))
+            if not ok.all():
+                bad = xs_host[~ok][0] if xs_host.ndim else xs_host
+                raise OutOfBoundsError(f"x = {bad} is not in range")
+        elif np.issubdtype(xs_host.dtype, np.floating) and np.isnan(
+            xs_host
+        ).any():
+            raise ValueError("failed to convert NaN to an index")
+
+    def interp_scalar(self, x):
+        """Interpolate one point of 1-D data, returning a 0-d value
+        (``mod.rs:108-114``)."""
+        if self.data.ndim != 1:
+            raise ShapeError(
+                "interp_scalar requires 1-D data; use interp() instead"
+            )
+        return self.interp(x)[()]
+
+    def interp(self, x):
+        """Interpolated values at scalar ``x``; shape = data shape minus
+        axis 0 (``mod.rs:150-156``)."""
+        x = jnp.asarray(x)
+        if not _is_traced(x):
+            self._check_queries(x.reshape(-1))
+        return self.eval_unchecked(x)
+
+    def interp_into(self, x, buffer):
+        """``interp`` into a caller-provided numpy buffer (``mod.rs:169-175``).
+
+        The buffer must have the data shape with the first axis removed;
+        a wrong shape raises ``ValueError`` mirroring the reference panic
+        contract (``mod.rs:167``).
+        """
+        expect = tuple(self.data.shape[1:])
+        if tuple(buffer.shape) != expect:
+            raise ValueError(
+                f"buffer shape mismatch expected: {list(expect)}, "
+                f"got: {list(buffer.shape)}"
+            )
+        result = self.interp(x)
+        buffer[...] = np.asarray(result)
+        return buffer
+
+    def interp_array(self, xs):
+        """Interpolated values at all points in ``xs``; output dims
+        ``M + N - 1`` with query dims leading (``mod.rs:197-211``)."""
+        xs = jnp.asarray(xs)
+        if not _is_traced(xs):
+            self._check_queries(xs.reshape(-1))
+        return self.eval_unchecked(xs)
+
+    def interp_array_into(self, xs, buffer):
+        """``interp_array`` into a caller-provided numpy buffer
+        (``mod.rs:272-324``)."""
+        xs = jnp.asarray(xs)
+        expect = self.get_buffer_shape(xs.shape)
+        if tuple(buffer.shape) != expect:
+            raise ValueError(
+                f"buffer shape mismatch expected: {list(expect)}, "
+                f"got: {list(buffer.shape)}"
+            )
+        result = self.interp_array(xs)
+        buffer[...] = np.asarray(result)
+        return buffer
+
+    def get_buffer_shape(self, query_shape) -> tuple:
+        """Required buffer shape for ``interp_array_into``
+        (``mod.rs:346-354``): query dims ++ data dims[1:]."""
+        return tuple(query_shape) + tuple(self.data.shape[1:])
+
+    # -- pytree ---------------------------------------------------------------
+    def tree_flatten(self):
+        return (self.x, self.data, self.strategy), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del aux
+        return cls(*children)
+
+    def __repr__(self):
+        return (
+            f"Interp1D(x={self.x.shape}, data={self.data.shape}, "
+            f"strategy={self.strategy!r})"
+        )
+
+
+class Interp1DBuilder:
+    """Create and configure an :class:`Interp1D` (``mod.rs:53-70``).
+
+    Defaults: strategy ``Linear(extrapolate=False)``, x = axis-0 indices.
+    """
+
+    def __init__(self, data):
+        data = jnp.asarray(data)
+        self._data = data
+        n = data.shape[0] if data.ndim >= 1 else 0
+        # default x = 0..n cast to the data's dtype (mod.rs:399-410)
+        self._x = jnp.arange(n, dtype=data.dtype) if data.ndim >= 1 else None
+        self._strategy = Linear()
+
+    def x(self, x) -> "Interp1DBuilder":
+        """Set a custom x axis; must be strictly monotonic rising and match
+        the data's axis-0 length (``mod.rs:424-430``)."""
+        self._x = jnp.asarray(x)
+        return self
+
+    def strategy(self, strategy: Interp1DStrategyBuilder) -> "Interp1DBuilder":
+        """Set the interpolation strategy (``mod.rs:434-440``)."""
+        self._strategy = strategy
+        return self
+
+    def build(self) -> Interp1D:
+        """Validate input data and create the configured interpolator.
+
+        Validation order and messages follow ``mod.rs:443-476``.
+        """
+        data, x, strat = self._data, self._x, self._strategy
+
+        if data.ndim < 1:
+            raise ShapeError("data dimension is 0, needs to be at least 1")
+        if data.shape[0] < strat.MINIMUM_DATA_LENGTH:
+            raise NotEnoughDataError(
+                "The chosen Interpolation strategy needs at least "
+                f"{strat.MINIMUM_DATA_LENGTH} data points"
+            )
+        if not monotonic_prop(np.asarray(x)).is_strict_rising:
+            raise MonotonicError(
+                "Values in the x axis need to be strictly monotonic rising"
+            )
+        if x.shape[0] != data.shape[0]:
+            raise ShapeError(
+                "Lengths of x and data axis need to match. "
+                f"Got x: {x.shape[0]}, data: {data.shape[0]}"
+            )
+
+        # unify dtypes (the reference enforces Sx::Elem == Sd::Elem at the
+        # type level; we promote instead)
+        ct = jnp.result_type(x.dtype, data.dtype)
+        x = x.astype(ct)
+        data = data.astype(ct)
+
+        finished = strat.build(x, data)
+        return Interp1D(x, data, finished)

@@ -1,0 +1,65 @@
+"""Piecewise-linear interpolation strategy.
+
+Reference: ``/root/reference/src/interp1d/strategies/linear.rs``.  The
+strategy is stateless configuration (``extrapolate`` flag); ``build`` is a
+no-op (``linear.rs:54-63``).  Evaluation is one fused bucketize → 2-point
+gather → lerp over the whole query batch (the reference does the same math
+per query point, ``linear.rs:73-98``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node_class
+
+from ...ops.lerp import calc_frac
+from ...ops.searchsorted import get_lower_index
+from .base import Interp1DStrategy, Interp1DStrategyBuilder
+
+
+@register_pytree_node_class
+class Linear(Interp1DStrategy, Interp1DStrategyBuilder):
+    """Linear interpolation with optional extrapolation.
+
+    Chainable configuration mirrors the reference builder
+    (``linear.rs:16-27``)::
+
+        Linear()                   # no extrapolation (default)
+        Linear().extrapolate(True) # extrapolate using the edge intervals
+    """
+
+    MINIMUM_DATA_LENGTH = 2  # linear.rs:52
+
+    def __init__(self, extrapolate: bool = False):
+        self.extrapolates = bool(extrapolate)
+
+    def extrapolate(self, yes: bool = True) -> "Linear":
+        """Return a copy with extrapolation enabled/disabled (chainable)."""
+        return Linear(extrapolate=yes)
+
+    # -- strategy protocol -------------------------------------------------
+    def build(self, x, data) -> "Linear":
+        return self
+
+    def eval(self, interp, xq):
+        idx = get_lower_index(interp.x, xq)
+        x1 = interp.x[idx]
+        x2 = interp.x[idx + 1]
+        y1 = jnp.take(interp.data, idx, axis=0)
+        y2 = jnp.take(interp.data, idx + 1, axis=0)
+        expand = xq.shape + (1,) * (interp.data.ndim - 1)
+        return calc_frac(
+            x1.reshape(expand), y1, x2.reshape(expand), y2, xq.reshape(expand)
+        )
+
+    # -- pytree -------------------------------------------------------------
+    def tree_flatten(self):
+        return (), (self.extrapolates,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del children
+        return cls(extrapolate=aux[0])
+
+    def __repr__(self):
+        return f"Linear(extrapolate={self.extrapolates})"

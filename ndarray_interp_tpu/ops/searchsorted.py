@@ -1,0 +1,51 @@
+"""Interval lookup ("bucketize") on a strictly-rising knot axis.
+
+Reference: ``VectorExtensions::get_lower_index``
+(``/root/reference/src/vector_extensions.rs:55-111``): returns the index of
+the knot left of (or at) ``x``, never the last index, clamping to ``0`` /
+``len-2`` when out of bounds so extrapolation can always use the first/last
+interval.  The reference implements an O(1) even-spacing guess with a binary
+search fallback per scalar query.
+
+TPU-native shape: queries come as whole arrays, so the lookup is one
+vectorized ``searchsorted`` over the batch.  XLA lowers this to a
+branch-free binary search / comparison network; there is no benefit to the
+reference's guess-then-verify trick because all lanes execute the same
+instruction stream anyway.  The fused Pallas evaluation kernel
+(``ops/pallas_eval.py``) instead computes the same quantity as a
+sum-of-comparisons against a VMEM-resident knot vector.
+
+Semantics pinned by the reference unit tests
+(``src/vector_extensions.rs:221-302``):
+
+* ``x <= knots[0]``  -> 0           (incl. ``-inf``)
+* ``x >= knots[-1]`` -> ``n - 2``   (incl. ``+inf``)
+* otherwise the unique ``i`` with ``knots[i] <= x < knots[i+1]``
+* ``NaN``: the reference panics; our jit-safe lookup clamps NaN into the
+  last interval, and the surrounding arithmetic then yields NaN output.
+  Eager entry points raise instead (see driver code).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def get_lower_index(knots, xq):
+    """Vectorized lower-interval index.
+
+    Args:
+      knots: (n,) strictly monotonically rising.
+      xq: any shape; query positions.
+
+    Returns:
+      int32 array shaped like ``xq`` with values in ``[0, n-2]``.
+    """
+    n = knots.shape[0]
+    idx = jnp.searchsorted(knots, xq, side="right").astype(jnp.int32) - 1
+    return jnp.clip(idx, 0, n - 2)
+
+
+def is_in_range(knots, xq):
+    """``knots[0] <= x <= knots[-1]`` elementwise (``src/interp1d/mod.rs:384-386``)."""
+    return (knots[0] <= xq) & (xq <= knots[-1])
