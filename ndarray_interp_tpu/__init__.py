@@ -48,3 +48,4 @@ __all__ = [
 ]
 
 from . import interp1d  # noqa: E402
+from . import interp2d  # noqa: E402

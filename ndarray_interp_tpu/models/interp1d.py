@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from jax.tree_util import register_pytree_node_class
 
@@ -45,6 +46,30 @@ def _is_traced(x) -> bool:
     import jax.core
 
     return isinstance(x, jax.core.Tracer)
+
+
+@jax.jit
+def _eval_flat(interp, flat):
+    """Jitted strategy dispatch.
+
+    The strategy's static configuration (kind, extrapolation mode) lives in
+    pytree aux data, so the jit cache is keyed on it automatically; repeated
+    eager calls with the same shapes reuse the compiled program.
+    """
+    return interp.strategy.eval(interp, flat)
+
+
+@jax.jit
+def _eval_flat_masked(interp, flat):
+    out = interp.strategy.eval(interp, flat)
+    if not interp.strategy.extrapolates and jnp.issubdtype(
+        out.dtype, jnp.inexact
+    ):
+        ok = is_in_range(interp.x, flat).reshape(
+            flat.shape + (1,) * (out.ndim - 1)
+        )
+        out = jnp.where(ok, out, jnp.nan)
+    return out
 
 
 @register_pytree_node_class
@@ -86,23 +111,14 @@ class Interp1D:
         ``Err(OutOfBounds)``.
         """
         xs = jnp.asarray(xs)
-        q_shape = xs.shape
-        flat = xs.reshape(-1)
-        out = self.strategy.eval(self, flat)
-        if not self.strategy.extrapolates and jnp.issubdtype(
-            out.dtype, jnp.inexact
-        ):
-            ok = is_in_range(self.x, flat).reshape(
-                flat.shape + (1,) * (out.ndim - 1)
-            )
-            out = jnp.where(ok, out, jnp.nan)
-        return out.reshape(q_shape + self.data.shape[1:])
+        out = _eval_flat_masked(self, xs.reshape(-1))
+        return out.reshape(xs.shape + self.data.shape[1:])
 
     def eval_unchecked(self, xs):
         """Like ``__call__`` but without the out-of-range NaN mask: queries
         outside the knot range use the edge intervals (i.e. extrapolate)."""
         xs = jnp.asarray(xs)
-        out = self.strategy.eval(self, xs.reshape(-1))
+        out = _eval_flat(self, xs.reshape(-1))
         return out.reshape(xs.shape + self.data.shape[1:])
 
     # -- helpers available to strategies (``mod.rs:367-386``) ----------------

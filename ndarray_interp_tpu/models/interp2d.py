@@ -1,0 +1,270 @@
+"""Two-dimensional interpolator and builder.
+
+Reference: ``/root/reference/src/interp2d/mod.rs``.  Semantics preserved:
+
+* interpolation along the first two axes; trailing axes vectorized,
+* default x/y = axis indices, default strategy ``Bilinear``
+  (``mod.rs:388-405``),
+* ``interp_array(xs, ys)`` requires ``xs.shape == ys.shape`` and yields
+  dims ``M + N - 2`` with the query dims leading (``mod.rs:175-211``),
+* builder validation order and messages (``mod.rs:468-518``).
+
+TPU-native design mirrors :mod:`.interp1d`: the interpolator is a pytree,
+the pure ``__call__`` is jittable, the eager API adds host-side checks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node_class
+
+from ..errors import (
+    MonotonicError,
+    NotEnoughDataError,
+    OutOfBoundsError,
+    ShapeError,
+)
+from ..ops.searchsorted import get_lower_index, is_in_range
+from ..utils.monotonic import monotonic_prop
+from .interp1d import _is_traced
+from .strategies.base2d import Interp2DStrategyBuilder
+from .strategies.bilinear import Bilinear
+
+
+@jax.jit
+def _eval_flat(interp, xflat, yflat):
+    return interp.strategy.eval(interp, xflat, yflat)
+
+
+@jax.jit
+def _eval_flat_masked(interp, xflat, yflat):
+    out = interp.strategy.eval(interp, xflat, yflat)
+    if not interp.strategy.extrapolates and jnp.issubdtype(
+        out.dtype, jnp.inexact
+    ):
+        ok = is_in_range(interp.x, xflat) & is_in_range(interp.y, yflat)
+        out = jnp.where(ok.reshape(ok.shape + (1,) * (out.ndim - 1)), out, jnp.nan)
+    return out
+
+
+@register_pytree_node_class
+class Interp2D:
+    """Two dimensional interpolator (pytree), ``mod.rs:36-48``."""
+
+    def __init__(self, x, y, data, strategy):
+        self.x = x
+        self.y = y
+        self.data = data
+        self.strategy = strategy
+
+    # -- construction --------------------------------------------------------
+    @classmethod
+    def builder(cls, data) -> "Interp2DBuilder":
+        return Interp2DBuilder(data)
+
+    @classmethod
+    def new_unchecked(cls, x, y, data, strategy) -> "Interp2D":
+        """No-validation constructor (``mod.rs:323-342``)."""
+        return cls(x, y, data, strategy)
+
+    # -- pure, jittable core ---------------------------------------------------
+    def __call__(self, xs, ys):
+        """Evaluate at ``(xs, ys)`` (any matching shape).  Pure/jittable;
+        out-of-range → NaN when the strategy does not extrapolate."""
+        xs = jnp.asarray(xs)
+        ys = jnp.asarray(ys)
+        if xs.shape != ys.shape:
+            raise ValueError("`xs.shape` and `ys.shape` do not match")
+        out = _eval_flat_masked(self, xs.reshape(-1), ys.reshape(-1))
+        return out.reshape(xs.shape + self.data.shape[2:])
+
+    def eval_unchecked(self, xs, ys):
+        xs = jnp.asarray(xs)
+        ys = jnp.asarray(ys)
+        if xs.shape != ys.shape:
+            raise ValueError("`xs.shape` and `ys.shape` do not match")
+        out = _eval_flat(self, xs.reshape(-1), ys.reshape(-1))
+        return out.reshape(xs.shape + self.data.shape[2:])
+
+    # -- strategy helpers (``mod.rs:344-379``) --------------------------------
+    def index_point(self, x_idx, y_idx):
+        """``(x, y, data)`` coordinate at the given index pair."""
+        return self.x[x_idx], self.y[y_idx], self.data[x_idx, y_idx]
+
+    def get_index_left_of(self, x, y):
+        return get_lower_index(self.x, x), get_lower_index(self.y, y)
+
+    def is_in_x_range(self, x):
+        return is_in_range(self.x, x)
+
+    def is_in_y_range(self, y):
+        return is_in_range(self.y, y)
+
+    # -- eager API -------------------------------------------------------------
+    def _check_queries(self, xs_flat, ys_flat):
+        if self.strategy.extrapolates:
+            for name, q in (("x", xs_flat), ("y", ys_flat)):
+                qh = np.asarray(q)
+                if np.issubdtype(qh.dtype, np.floating) and np.isnan(qh).any():
+                    raise ValueError("failed to convert NaN to an index")
+            return
+        # reference checks x then y per point (bilinear.rs:71-80)
+        xh = np.asarray(xs_flat)
+        ok = np.asarray(is_in_range(np.asarray(self.x), xh))
+        if not ok.all():
+            bad = xh[~ok][0] if xh.ndim else xh
+            raise OutOfBoundsError(f"x = {bad} is not in range")
+        yh = np.asarray(ys_flat)
+        ok = np.asarray(is_in_range(np.asarray(self.y), yh))
+        if not ok.all():
+            bad = yh[~ok][0] if yh.ndim else yh
+            raise OutOfBoundsError(f"y = {bad} is not in range")
+
+    def interp_scalar(self, x, y):
+        """One point of 2-D data → 0-d value (``mod.rs:107-113``)."""
+        if self.data.ndim != 2:
+            raise ShapeError(
+                "interp_scalar requires 2-D data; use interp() instead"
+            )
+        return self.interp(x, y)[()]
+
+    def interp(self, x, y):
+        """Interpolated values at scalar ``(x, y)``; shape = data shape
+        minus the first two axes (``mod.rs:132-146``)."""
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+        if not (_is_traced(x) or _is_traced(y)):
+            self._check_queries(x.reshape(-1), y.reshape(-1))
+        return self.eval_unchecked(x, y)
+
+    def interp_into(self, x, y, buffer):
+        """``interp`` into a numpy buffer (``mod.rs:160-167``)."""
+        expect = tuple(self.data.shape[2:])
+        if tuple(buffer.shape) != expect:
+            raise ValueError(
+                f"buffer shape mismatch expected: {list(expect)}, "
+                f"got: {list(buffer.shape)}"
+            )
+        buffer[...] = np.asarray(self.interp(x, y))
+        return buffer
+
+    def interp_array(self, xs, ys):
+        """Batched interpolation (``mod.rs:175-196``).
+
+        Output dims = ``xs.ndim + data.ndim - 2`` with query dims leading;
+        ``xs.shape`` must equal ``ys.shape``.
+        """
+        xs = jnp.asarray(xs)
+        ys = jnp.asarray(ys)
+        if xs.shape != ys.shape:
+            raise ValueError("`xs.shape` and `ys.shape` do not match")
+        if not (_is_traced(xs) or _is_traced(ys)):
+            self._check_queries(xs.reshape(-1), ys.reshape(-1))
+        return self.eval_unchecked(xs, ys)
+
+    def interp_array_into(self, xs, ys, buffer):
+        """``interp_array`` into a numpy buffer (``mod.rs:215-285``)."""
+        xs = jnp.asarray(xs)
+        expect = self.get_buffer_shape(xs.shape)
+        if tuple(buffer.shape) != expect:
+            raise ValueError(
+                f"buffer shape mismatch expected: {list(expect)}, "
+                f"got: {list(buffer.shape)}"
+            )
+        buffer[...] = np.asarray(self.interp_array(xs, ys))
+        return buffer
+
+    def get_buffer_shape(self, query_shape) -> tuple:
+        """Query dims ++ data dims[2:] (``mod.rs:310-321``)."""
+        return tuple(query_shape) + tuple(self.data.shape[2:])
+
+    # -- pytree -------------------------------------------------------------
+    def tree_flatten(self):
+        return (self.x, self.y, self.data, self.strategy), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del aux
+        return cls(*children)
+
+    def __repr__(self):
+        return (
+            f"Interp2D(x={self.x.shape}, y={self.y.shape}, "
+            f"data={self.data.shape}, strategy={self.strategy!r})"
+        )
+
+
+class Interp2DBuilder:
+    """Create and configure an :class:`Interp2D` (``mod.rs:50-64``)."""
+
+    def __init__(self, data):
+        data = jnp.asarray(data)
+        self._data = data
+        if data.ndim >= 2:
+            self._x = jnp.arange(data.shape[0], dtype=data.dtype)
+            self._y = jnp.arange(data.shape[1], dtype=data.dtype)
+        else:
+            self._x = None
+            self._y = None
+        self._strategy = Bilinear()
+
+    def x(self, x) -> "Interp2DBuilder":
+        self._x = jnp.asarray(x)
+        return self
+
+    def y(self, y) -> "Interp2DBuilder":
+        self._y = jnp.asarray(y)
+        return self
+
+    def strategy(self, strategy: Interp2DStrategyBuilder) -> "Interp2DBuilder":
+        self._strategy = strategy
+        return self
+
+    def build(self) -> Interp2D:
+        """Validation order and messages follow ``mod.rs:468-518``."""
+        data, x, y, strat = self._data, self._x, self._y, self._strategy
+
+        if data.ndim < 2:
+            raise ShapeError("data dimension needs to be at least 2")
+        min_len = strat.MINIMUM_DATA_LENGTH
+        if data.shape[0] < min_len:
+            raise NotEnoughDataError(
+                "The 0-dimension has not enough data for the chosen "
+                f"interpolation strategy. Provided: {data.shape[0]}, "
+                f"Required: {min_len}"
+            )
+        if data.shape[1] < min_len:
+            raise NotEnoughDataError(
+                "The 1-dimension has not enough data for the chosen "
+                f"interpolation strategy. Provided: {data.shape[1]}, "
+                f"Required: {min_len}"
+            )
+        if x.shape[0] != data.shape[0]:
+            raise ShapeError(
+                "Lengths of x-axis and data-0-axis need to match. "
+                f"Got x: {x.shape[0]}, data-0: {data.shape[0]}"
+            )
+        if y.shape[0] != data.shape[1]:
+            raise ShapeError(
+                "Lengths of y-axis and data-1-axis need to match. "
+                f"Got y: {y.shape[0]}, data-1: {data.shape[1]}"
+            )
+        if not monotonic_prop(np.asarray(x)).is_strict_rising:
+            raise MonotonicError(
+                "The x-axis needs to be strictly monotonic rising"
+            )
+        if not monotonic_prop(np.asarray(y)).is_strict_rising:
+            raise MonotonicError(
+                "The y-axis needs to be strictly monotonic rising"
+            )
+
+        ct = jnp.result_type(x.dtype, y.dtype, data.dtype)
+        x = x.astype(ct)
+        y = y.astype(ct)
+        data = data.astype(ct)
+
+        finished = strat.build(x, y, data)
+        return Interp2D(x, y, data, finished)

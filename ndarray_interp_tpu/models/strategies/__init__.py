@@ -3,11 +3,26 @@ from .base import (
     Interp1DStrategyBuilder,
     PointwiseStrategy,
 )
+from .base2d import (
+    Interp2DStrategy,
+    Interp2DStrategyBuilder,
+    PointwiseStrategy2D,
+)
+from .bilinear import Bilinear
+from .cubic import BoundaryCondition, CubicSpline, RowBoundary, SingleBoundary
 from .linear import Linear
 
 __all__ = [
     "Interp1DStrategy",
     "Interp1DStrategyBuilder",
     "PointwiseStrategy",
+    "Interp2DStrategy",
+    "Interp2DStrategyBuilder",
+    "PointwiseStrategy2D",
+    "Bilinear",
+    "BoundaryCondition",
+    "CubicSpline",
+    "RowBoundary",
+    "SingleBoundary",
     "Linear",
 ]

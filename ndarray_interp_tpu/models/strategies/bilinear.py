@@ -1,0 +1,66 @@
+"""Bilinear interpolation strategy on a rectilinear grid.
+
+Reference: ``/root/reference/src/interp2d/strategies/bilinear.rs``.
+Stateless config; evaluation per point is: two range checks, two
+searchsorteds, four corner lookups, then two x-direction lerps followed by
+one y-direction lerp (``bilinear.rs:64-98``).  Here the whole query batch
+does this at once: two bucketizes + one 4-corner gather + three fused
+lerps.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node_class
+
+from ...ops.lerp import calc_frac
+from ...ops.searchsorted import get_lower_index
+from .base2d import Interp2DStrategy, Interp2DStrategyBuilder
+
+
+@register_pytree_node_class
+class Bilinear(Interp2DStrategy, Interp2DStrategyBuilder):
+    MINIMUM_DATA_LENGTH = 2  # bilinear.rs:41
+
+    def __init__(self, extrapolate: bool = False):
+        self.extrapolates = bool(extrapolate)
+
+    def extrapolate(self, yes: bool = True) -> "Bilinear":
+        """Chainable config (``bilinear.rs:20-23``)."""
+        return Bilinear(extrapolate=yes)
+
+    def build(self, x, y, data) -> "Bilinear":
+        return self
+
+    def eval(self, interp, xq, yq):
+        x, y, data = interp.x, interp.y, interp.data
+        xi = get_lower_index(x, xq)
+        yi = get_lower_index(y, yq)
+        x1, x2 = x[xi], x[xi + 1]
+        y1, y2 = y[yi], y[yi + 1]
+        # 4-corner gather, (Q, *data.shape[2:]) each
+        z11 = data[xi, yi]
+        z12 = data[xi, yi + 1]
+        z21 = data[xi + 1, yi]
+        z22 = data[xi + 1, yi + 1]
+
+        expand = xq.shape + (1,) * (data.ndim - 2)
+
+        def e(v):
+            return v.reshape(expand)
+
+        # same lerp composition/order as bilinear.rs:88-97
+        z1 = calc_frac(e(x1), z11, e(x2), z21, e(xq))
+        z2 = calc_frac(e(x1), z12, e(x2), z22, e(xq))
+        return calc_frac(e(y1), z1, e(y2), z2, e(yq))
+
+    def tree_flatten(self):
+        return (), (self.extrapolates,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del children
+        return cls(extrapolate=aux[0])
+
+    def __repr__(self):
+        return f"Bilinear(extrapolate={self.extrapolates})"

@@ -37,6 +37,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from jax.tree_util import register_pytree_node_class
 
@@ -159,6 +160,7 @@ def _compile_rows(rows: np.ndarray):
 # ---------------------------------------------------------------------------
 # system assembly + solve
 # ---------------------------------------------------------------------------
+@jax.jit
 def _solve_for_k(x, y, left_kind, left_val, right_kind, right_val):
     """Assemble and solve ``A k = rhs`` for the knot derivatives.
 
@@ -300,8 +302,20 @@ def _solve_for_k(x, y, left_kind, left_val, right_kind, right_val):
 
 
 def _solve_periodic(x, y):
-    """Periodic boundary: condensed system + two-solve correction
+    """Periodic boundary: validation + condensed solve
     (``cubic_spline.rs:480-565``)."""
+    y0_host = np.asarray(y[0])
+    ylast_host = np.asarray(y[y.shape[0] - 1])
+    if not np.array_equal(y0_host, ylast_host):
+        raise BuilderValueError(
+            "for periodic boundary condition the first and last value must "
+            f"be equal. First: {y0_host}, last: {ylast_host}"
+        )
+    return _solve_periodic_core(x, y)
+
+
+@jax.jit
+def _solve_periodic_core(x, y):
     n = x.shape[0]
     trailing = y.shape[1:]
     tr = len(trailing)
@@ -309,14 +323,6 @@ def _solve_periodic(x, y):
 
     def ex(v):
         return jnp.asarray(v, dtype=dtype).reshape((-1,) + (1,) * tr)
-
-    y0_host = np.asarray(y[0])
-    ylast_host = np.asarray(y[n - 1])
-    if not np.array_equal(y0_host, ylast_host):
-        raise BuilderValueError(
-            "for periodic boundary condition the first and last value must "
-            f"be equal. First: {y0_host}, last: {ylast_host}"
-        )
 
     dx = x[1:] - x[:-1]
     dx0 = dx[0]
@@ -374,6 +380,17 @@ def _solve_periodic(x, y):
 
     k_head = k1 + k_m1 * k2  # rows 0..n-3
     return jnp.concatenate([k_head, k_m1[None], k_head[0][None]], axis=0)
+
+
+@jax.jit
+def _ab_from_k(x, data, k):
+    """Per-interval coefficients from knot derivatives
+    (``cubic_spline.rs:350-367``)."""
+    dx = (x[1:] - x[:-1]).reshape((-1,) + (1,) * (data.ndim - 1))
+    dy = data[1:] - data[:-1]
+    c_a = k[:-1] * dx - dy
+    c_b = dy - k[1:] * dx
+    return c_a, c_b
 
 
 # ---------------------------------------------------------------------------
@@ -442,12 +459,7 @@ class CubicSpline(Interp1DStrategyBuilder):
             }[bc.kind]
             k = _solve_for_k(x, data, kind, 0.0, kind, 0.0)
 
-        # a[i] = k[i]·dx[i] - (y[i+1]-y[i]);  b[i] = (y[i+1]-y[i]) - k[i+1]·dx[i]
-        dx = (x[1:] - x[:-1]).reshape((-1,) + (1,) * (data.ndim - 1))
-        dy = data[1:] - data[:-1]
-        c_a = k[:-1] * dx - dy
-        c_b = dy - k[1:] * dx
-        return c_a, c_b
+        return _ab_from_k(x, data, k)
 
 
 @register_pytree_node_class
