@@ -1,0 +1,121 @@
+"""Headline benchmark: 1-D cubic-spline query throughput per chip.
+
+Mirrors BASELINE.json: ``queries/sec/chip (1D cubic, 1M pts)`` on a
+2k-knot spline, with the CPU baseline measured live via SciPy's
+``CubicSpline`` (the reference crate treats SciPy as its numerical oracle,
+and the Rust toolchain is not available in this image to run its criterion
+benches directly).
+
+Prints exactly ONE JSON line:
+``{"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}``.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def measure(fn, *args, reps=10, warmup=2):
+    """Median wall time per call.
+
+    ``fn`` must return something reducible to a host scalar; timing drains
+    the dispatch queue by fetching it.  (On the tunneled TPU backend,
+    ``block_until_ready`` returns without waiting, so fetch-based draining
+    is the only honest clock.)
+    """
+    for _ in range(warmup):
+        r = fn(*args)
+    _drain(r)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = fn(*args)
+        _drain(r)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def _drain(x):
+    # fetching a scalar result drains the queue cheaply (~10 us once idle)
+    if hasattr(x, "block_until_ready"):
+        float(x)
+
+
+def main():
+    n_knots = 2048
+    n_q = 1_000_000
+
+    rng = np.random.default_rng(42)
+    knots = np.linspace(0.0, 100.0, n_knots)
+    values = rng.normal(size=n_knots)
+    queries = rng.uniform(0.0, 100.0, n_q)
+
+    # --- CPU baseline: SciPy CubicSpline evaluation -----------------------
+    import scipy.interpolate as si
+
+    cs = si.CubicSpline(knots, values, bc_type="not-a-knot")
+    t_scipy = measure(lambda q: cs(q).sum(), queries, reps=5, warmup=1)
+    scipy_qps = n_q / t_scipy
+
+    # --- TPU (or default-backend) measurement -----------------------------
+    import jax
+    import jax.numpy as jnp
+
+    from ndarray_interp_tpu.interp1d import Interp1D
+    from ndarray_interp_tpu.interp1d.cubic_spline import (
+        CubicSpline,
+        CubicSplineStrategy,
+    )
+
+    dtype = jnp.float32
+    x_d = jnp.asarray(knots, dtype)
+    v_d = jnp.asarray(values, dtype)
+    q_d = jnp.asarray(queries, dtype)
+
+    # Build fully under jit (new_unchecked path): on the tunneled TPU every
+    # eager op pays a relay round-trip, so the validating eager builder is
+    # benchmarked-hostile even though the math is identical.
+    strat = CubicSpline().extrapolate(True)
+
+    @jax.jit
+    def build_ab(x, v):
+        s = strat.build(x, v)
+        return s.a, s.b
+
+    a, b = build_ab(x_d, v_d)
+    interp = Interp1D.new_unchecked(
+        x_d, v_d, CubicSplineStrategy(a, b, "yes")
+    )
+    fast = jax.jit(lambda t, q: t(q).sum())
+    t_ours = measure(fast, interp, q_d, reps=10, warmup=2)
+    our_qps = n_q / t_ours
+
+    # secondary: build time for a 10k-knot bank of 64 splines
+    bank = jnp.asarray(rng.normal(size=(10_000, 64)).astype(np.float32))
+    xb = jnp.asarray(np.linspace(0, 1, 10_000), dtype)
+    build_bank = jax.jit(lambda x, d: strat.build(x, d).a.sum())
+    t_build = measure(build_bank, xb, bank, reps=3, warmup=1)
+
+    result = {
+        "metric": "queries/sec/chip (1D cubic, 1M pts)",
+        "value": round(our_qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(our_qps / scipy_qps, 3),
+        "extra": {
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "eval_ms_1M": round(t_ours * 1e3, 3),
+            "scipy_cpu_qps": round(scipy_qps, 1),
+            "build_ms_10k_knot_x64_bank": round(t_build * 1e3, 3),
+            "dtype": "float32",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -489,12 +489,21 @@ class CubicSplineStrategy(Interp1DStrategy):
             xq = jnp.where(in_r, xq, wrapped)
 
         idx = get_lower_index(x, xq)
-        x_left = x[idx]
-        x_right = x[idx + 1]
-        y_left = jnp.take(interp.data, idx, axis=0)
-        y_right = jnp.take(interp.data, idx + 1, axis=0)
-        a = jnp.take(self.a, idx, axis=0)
-        b = jnp.take(self.b, idx, axis=0)
+        # One stacked row-gather instead of six scalar gathers: the interval
+        # table (n-1, *trailing, 6) costs O(n) to assemble (fused/hoisted by
+        # XLA) and turns the hot path into a single contiguous gather.
+        xpair = jnp.stack([x[:-1], x[1:]], axis=-1)  # (n-1, 2)
+        xg = xpair[idx]
+        x_left = xg[..., 0]
+        x_right = xg[..., 1]
+        tbl = jnp.stack(
+            [interp.data[:-1], interp.data[1:], self.a, self.b], axis=-1
+        )  # (n-1, *trailing, 4)
+        g = tbl[idx]
+        y_left = g[..., 0]
+        y_right = g[..., 1]
+        a = g[..., 2]
+        b = g[..., 3]
 
         expand = xq.shape + (1,) * (interp.data.ndim - 1)
         t = ((xq - x_left) / (x_right - x_left)).reshape(expand)

@@ -43,10 +43,11 @@ class Linear(Interp1DStrategy, Interp1DStrategyBuilder):
 
     def eval(self, interp, xq):
         idx = get_lower_index(interp.x, xq)
-        x1 = interp.x[idx]
-        x2 = interp.x[idx + 1]
-        y1 = jnp.take(interp.data, idx, axis=0)
-        y2 = jnp.take(interp.data, idx + 1, axis=0)
+        # single stacked gather for both interval endpoints (see cubic.py)
+        xg = jnp.stack([interp.x[:-1], interp.x[1:]], axis=-1)[idx]
+        x1, x2 = xg[..., 0], xg[..., 1]
+        yg = jnp.stack([interp.data[:-1], interp.data[1:]], axis=-1)[idx]
+        y1, y2 = yg[..., 0], yg[..., 1]
         expand = xq.shape + (1,) * (interp.data.ndim - 1)
         return calc_frac(
             x1.reshape(expand), y1, x2.reshape(expand), y2, xq.reshape(expand)

