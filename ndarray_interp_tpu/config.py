@@ -1,0 +1,15 @@
+"""Runtime feature flags.
+
+``use_fused_kernel``: route eligible 1-D evaluations (TPU backend, f32,
+scalar trailing dims) through the fused Pallas kernel
+(:mod:`ndarray_interp_tpu.ops.pallas_eval`).  Disable with
+``NDI_TPU_DISABLE_FUSED=1`` or ``config.use_fused_kernel = False`` to fall
+back to the pure-XLA path (useful for debugging or bit-exact comparison
+against the XLA formulation).
+"""
+
+from __future__ import annotations
+
+import os
+
+use_fused_kernel: bool = os.environ.get("NDI_TPU_DISABLE_FUSED", "0") != "1"

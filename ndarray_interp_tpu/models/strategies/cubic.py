@@ -488,6 +488,21 @@ class CubicSplineStrategy(Interp1DStrategy):
             in_r = (x0 <= xq) & (xq <= xn)
             xq = jnp.where(in_r, xq, wrapped)
 
+        from ... import config
+        from ...ops.pallas_eval import (
+            can_use_fused,
+            fused_eval_1d,
+            make_interval_table,
+        )
+
+        if (
+            config.use_fused_kernel
+            and xq.dtype == jnp.float32
+            and can_use_fused(x, interp.data, (self.a, self.b))
+        ):
+            tbl = make_interval_table(x, interp.data, self.a, self.b)
+            return fused_eval_1d(x, tbl, xq)
+
         idx = get_lower_index(x, xq)
         # One stacked row-gather instead of six scalar gathers: the interval
         # table (n-1, *trailing, 6) costs O(n) to assemble (fused/hoisted by

@@ -42,6 +42,22 @@ class Linear(Interp1DStrategy, Interp1DStrategyBuilder):
         return self
 
     def eval(self, interp, xq):
+        from ... import config
+        from ...ops.pallas_eval import (
+            can_use_fused,
+            fused_eval_1d,
+            make_interval_table,
+        )
+
+        if (
+            config.use_fused_kernel
+            and xq.dtype == jnp.float32
+            and can_use_fused(interp.x, interp.data)
+        ):
+            # a = b = 0 collapses the shared Hermite kernel to the lerp
+            tbl = make_interval_table(interp.x, interp.data)
+            return fused_eval_1d(interp.x, tbl, xq)
+
         idx = get_lower_index(interp.x, xq)
         # single stacked gather for both interval endpoints (see cubic.py)
         xg = jnp.stack([interp.x[:-1], interp.x[1:]], axis=-1)[idx]
