@@ -12,6 +12,7 @@ from ..models.strategies.base import (
     PointwiseStrategy,
 )
 from ..models.strategies.cubic import CubicSpline
+from ..models.strategies.hermite import Akima, Pchip
 from ..models.strategies.linear import Linear
 from . import cubic_spline
 
@@ -23,5 +24,7 @@ __all__ = [
     "PointwiseStrategy",
     "Linear",
     "CubicSpline",
+    "Akima",
+    "Pchip",
     "cubic_spline",
 ]

@@ -10,6 +10,7 @@ from .base2d import (
 )
 from .bilinear import Bilinear
 from .cubic import BoundaryCondition, CubicSpline, RowBoundary, SingleBoundary
+from .hermite import Akima, Pchip
 from .linear import Linear
 
 __all__ = [
@@ -19,9 +20,11 @@ __all__ = [
     "Interp2DStrategy",
     "Interp2DStrategyBuilder",
     "PointwiseStrategy2D",
+    "Akima",
     "Bilinear",
     "BoundaryCondition",
     "CubicSpline",
+    "Pchip",
     "RowBoundary",
     "SingleBoundary",
     "Linear",

@@ -1,0 +1,182 @@
+"""Strategy-protocol tests: Akima, PCHIP, and custom strategies.
+
+Covers BASELINE.json config 4 (Akima + PCHIP via the strategy protocol)
+and the port of ``/root/reference/examples/custom_strategy.rs``.
+SciPy is the oracle, as in the reference's own cubic tests.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import scipy.interpolate as si
+
+import jax
+import jax.numpy as jnp
+
+from ndarray_interp_tpu.errors import NotEnoughDataError, OutOfBoundsError
+from ndarray_interp_tpu.interp1d import Akima, Interp1D, Pchip
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+
+def case(n=20, bank=None, seed=5):
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0, 10, n))
+    shape = (n,) if bank is None else (n, bank)
+    y = rng.normal(size=shape)
+    q = np.linspace(x[0], x[-1], 7 * n)
+    return x, y, q
+
+
+class TestAkima:
+    def test_matches_scipy(self):
+        x, y, q = case()
+        itp = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Akima())
+            .build()
+        )
+        np.testing.assert_allclose(
+            itp.interp_array(q), si.Akima1DInterpolator(x, y)(q), atol=1e-13
+        )
+
+    def test_bank_matches_scipy_per_column(self):
+        x, y, q = case(bank=7)
+        itp = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Akima())
+            .build()
+        )
+        got = np.asarray(itp.interp_array(q))
+        ref = np.stack(
+            [si.Akima1DInterpolator(x, y[:, j])(q) for j in range(7)], -1
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-13)
+
+    def test_min_points(self):
+        with pytest.raises(NotEnoughDataError):
+            Interp1D.builder(jnp.asarray([1.0, 2.0])).strategy(Akima()).build()
+
+    def test_oob(self):
+        x, y, _ = case()
+        itp = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Akima())
+            .build()
+        )
+        with pytest.raises(OutOfBoundsError):
+            itp.interp(x[0] - 1.0)
+
+    def test_extrapolate(self):
+        x, y, _ = case()
+        itp = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Akima().extrapolate(True))
+            .build()
+        )
+        # end-polynomial extrapolation, same as scipy extrapolate=True
+        q = np.array([x[0] - 0.5, x[-1] + 0.5])
+        ref = si.Akima1DInterpolator(x, y)(q, extrapolate=True)
+        np.testing.assert_allclose(itp.interp_array(q), ref, atol=1e-11)
+
+
+class TestPchip:
+    def test_matches_scipy(self):
+        x, y, q = case(seed=6)
+        itp = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Pchip())
+            .build()
+        )
+        np.testing.assert_allclose(
+            itp.interp_array(q), si.PchipInterpolator(x, y)(q), atol=1e-13
+        )
+
+    def test_monotone_preserving(self):
+        rng = np.random.default_rng(9)
+        x = np.sort(rng.uniform(0, 10, 25))
+        y = np.cumsum(rng.uniform(0, 1, 25))
+        itp = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Pchip())
+            .build()
+        )
+        q = np.linspace(x[0], x[-1], 500)
+        r = np.asarray(itp.interp_array(q))
+        assert (np.diff(r) >= -1e-12).all()
+        np.testing.assert_allclose(r, si.PchipInterpolator(x, y)(q), atol=1e-13)
+
+    def test_two_points_is_linear(self):
+        itp = (
+            Interp1D.builder(jnp.asarray([1.0, 3.0]))
+            .x(jnp.asarray([0.0, 1.0]))
+            .strategy(Pchip())
+            .build()
+        )
+        assert float(itp.interp_scalar(0.5)) == 2.0
+
+    def test_bank_matches_scipy(self):
+        x, y, q = case(bank=5, seed=11)
+        itp = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Pchip())
+            .build()
+        )
+        got = np.asarray(itp.interp_array(q))
+        ref = np.stack(
+            [si.PchipInterpolator(x, y[:, j])(q) for j in range(5)], -1
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-13)
+
+    def test_jit_and_grad(self):
+        x, y, q = case(seed=3)
+        itp = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Pchip().extrapolate(True))
+            .build()
+        )
+        f = jax.jit(lambda t, q: t(q))
+        np.testing.assert_allclose(
+            f(itp, jnp.asarray(q)), itp.interp_array(q), atol=1e-14
+        )
+
+
+class TestCustomStrategy:
+    """Port of examples/custom_strategy.rs:56-68 (both formulations)."""
+
+    @pytest.mark.parametrize(
+        "cls_name", ["StepInterpolator", "StepInterpolatorBatched"]
+    )
+    def test_step(self, cls_name):
+        import custom_strategy as ex
+
+        cls = getattr(ex, cls_name)
+        data = jnp.array([2.0, 4.0, 5.0])
+        query = jnp.linspace(-0.5, 2.5, 6)
+        interp = Interp1D.builder(data).strategy(cls()).build()
+        np.testing.assert_allclose(
+            interp.interp_array(query),
+            [2.0, 2.0, 4.0, 4.0, 5.0, 5.0],
+            atol=1e-15,
+        )
+
+    def test_pointwise_and_batched_agree_under_jit(self):
+        import custom_strategy as ex
+
+        data = jnp.asarray(np.random.default_rng(0).normal(size=(10, 3)))
+        q = jnp.linspace(0.0, 9.0, 40)
+        r = []
+        for cls in (ex.StepInterpolator, ex.StepInterpolatorBatched):
+            interp = Interp1D.builder(data).strategy(cls()).build()
+            r.append(np.asarray(jax.jit(lambda t, q: t(q))(interp, q)))
+        np.testing.assert_array_equal(r[0], r[1])
