@@ -13,3 +13,8 @@ from __future__ import annotations
 import os
 
 use_fused_kernel: bool = os.environ.get("NDI_TPU_DISABLE_FUSED", "0") != "1"
+
+#: Route eager scalar queries (``interp_scalar``) through the native C++
+#: host runtime (``ndarray_interp_tpu/native``) when available.  Disable
+#: with ``NDI_TPU_DISABLE_NATIVE=1``.
+use_native_host: bool = os.environ.get("NDI_TPU_DISABLE_NATIVE", "0") != "1"

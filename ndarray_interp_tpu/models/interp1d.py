@@ -150,6 +150,81 @@ class Interp1D:
         ).any():
             raise ValueError("failed to convert NaN to an index")
 
+    # -- native host fast path ------------------------------------------------
+    def _native_state(self):
+        """Cached numpy views + strategy lowering for the C++ host runtime.
+
+        Returns None when the strategy has no native lowering or dtypes are
+        unsupported; callers fall back to the JAX path.  This is the
+        host-side analogue of the reference's allocation-free scalar path
+        (``interp_scalar`` got ~-50%% in v0.4.1, CHANGELOG.md:21-22).
+        """
+        cached = getattr(self, "_host_cache", None)
+        if cached is not None:
+            return cached if cached != () else None
+        state = None
+        try:
+            from .. import config
+            from ..native import HAVE_NATIVE
+
+            if HAVE_NATIVE and getattr(config, "use_native_host", True):
+                dt = np.dtype(self.data.dtype)
+                if dt in (np.float32, np.float64):
+                    from .strategies.cubic import CubicSplineStrategy
+                    from .strategies.linear import Linear as _Lin
+
+                    if isinstance(self.strategy, _Lin):
+                        state = (
+                            "linear",
+                            np.asarray(self.x),
+                            np.asarray(self.data),
+                            bool(self.strategy.extrapolates),
+                        )
+                    elif isinstance(self.strategy, CubicSplineStrategy):
+                        mode = {"no": 0, "yes": 1, "periodic": 2}[
+                            self.strategy.mode
+                        ]
+                        state = (
+                            "hermite",
+                            np.asarray(self.x),
+                            np.asarray(self.data),
+                            np.asarray(self.strategy.a),
+                            np.asarray(self.strategy.b),
+                            mode,
+                        )
+        except Exception:
+            state = None
+        self._host_cache = state if state is not None else ()
+        return state
+
+    def _native_eval(self, xs):
+        """Evaluate via the native runtime; returns None on ineligibility."""
+        state = self._native_state()
+        if state is None:
+            return None
+        from ..native import eval_hermite, eval_linear
+
+        xs_np = np.asarray(xs, dtype=state[1].dtype)
+        if np.issubdtype(xs_np.dtype, np.floating) and np.isnan(xs_np).any():
+            if state[0] == "linear":
+                extrap = state[3]
+            else:
+                extrap = state[5] != 0
+            if extrap:
+                raise ValueError("failed to convert NaN to an index")
+            bad = xs_np[np.isnan(xs_np)][0]
+            raise OutOfBoundsError(f"x = {bad} is not in range")
+        if state[0] == "linear":
+            _, x_np, d_np, extrap = state
+            out, rc = eval_linear(x_np, d_np, xs_np, extrap)
+        else:
+            _, x_np, d_np, a_np, b_np, mode = state
+            out, rc = eval_hermite(x_np, d_np, a_np, b_np, xs_np, mode)
+        if rc != 0:
+            bad = xs_np.reshape(-1)[rc - 1]
+            raise OutOfBoundsError(f"x = {bad} is not in range")
+        return out
+
     def interp_scalar(self, x):
         """Interpolate one point of 1-D data, returning a 0-d value
         (``mod.rs:108-114``)."""
@@ -157,6 +232,10 @@ class Interp1D:
             raise ShapeError(
                 "interp_scalar requires 1-D data; use interp() instead"
             )
+        if not _is_traced(x) and not hasattr(x, "devices"):
+            out = self._native_eval(x)
+            if out is not None:
+                return out[()]
         return self.interp(x)[()]
 
     def interp(self, x):

@@ -123,12 +123,72 @@ class Interp2D:
             bad = yh[~ok][0] if yh.ndim else yh
             raise OutOfBoundsError(f"y = {bad} is not in range")
 
+    def _native_state(self):
+        """Cached numpy views for the C++ host runtime (Bilinear only)."""
+        cached = getattr(self, "_host_cache", None)
+        if cached is not None:
+            return cached if cached != () else None
+        state = None
+        try:
+            from .. import config
+            from ..native import HAVE_NATIVE
+            from .strategies.bilinear import Bilinear as _Bil
+
+            if (
+                HAVE_NATIVE
+                and getattr(config, "use_native_host", True)
+                and isinstance(self.strategy, _Bil)
+                and np.dtype(self.data.dtype) in (np.float32, np.float64)
+            ):
+                state = (
+                    np.asarray(self.x),
+                    np.asarray(self.y),
+                    np.asarray(self.data),
+                    bool(self.strategy.extrapolates),
+                )
+        except Exception:
+            state = None
+        self._host_cache = state if state is not None else ()
+        return state
+
+    def _native_eval(self, x, y):
+        state = self._native_state()
+        if state is None:
+            return None
+        from ..native import eval_bilinear
+
+        x_np, y_np, z_np, extrap = state
+        qx = np.asarray(x, dtype=x_np.dtype)
+        qy = np.asarray(y, dtype=x_np.dtype)
+        for q in (qx, qy):
+            if np.issubdtype(q.dtype, np.floating) and np.isnan(q).any():
+                if extrap:
+                    raise ValueError("failed to convert NaN to an index")
+                raise OutOfBoundsError("x = nan is not in range")
+        out, rc = eval_bilinear(x_np, y_np, z_np, qx, qy, extrap)
+        if rc > 0:
+            bad = qx.reshape(-1)[rc - 1]
+            raise OutOfBoundsError(f"x = {bad} is not in range")
+        if rc < 0:
+            bad = qy.reshape(-1)[-rc - 1]
+            raise OutOfBoundsError(f"y = {bad} is not in range")
+        return out
+
     def interp_scalar(self, x, y):
         """One point of 2-D data → 0-d value (``mod.rs:107-113``)."""
         if self.data.ndim != 2:
             raise ShapeError(
                 "interp_scalar requires 2-D data; use interp() instead"
             )
+        if not (
+            _is_traced(x)
+            or _is_traced(y)
+            or hasattr(x, "devices")
+            or hasattr(y, "devices")
+        ):
+            out = self._native_eval(x, y)
+            if out is not None:
+                return out[()]
         return self.interp(x, y)[()]
 
     def interp(self, x, y):

@@ -1,0 +1,158 @@
+"""ctypes bindings for the native host runtime.
+
+``HAVE_NATIVE`` is False when the shared library is absent and cannot be
+built (no compiler); all callers must degrade to the JAX path.  The
+library auto-builds on first import when a compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_SO = _HERE / "libndi_native.so"
+
+_lib = None
+HAVE_NATIVE = False
+
+
+def _load():
+    global _lib, HAVE_NATIVE
+    if _lib is not None:
+        return _lib
+    if not _SO.exists():
+        try:
+            from .build import build
+
+            build(verbose=False)
+        except Exception:
+            return None
+    try:
+        _lib = ctypes.CDLL(str(_SO))
+    except OSError:
+        return None
+
+    c_i64 = ctypes.c_int64
+    c_int = ctypes.c_int
+    pd = ctypes.POINTER(ctypes.c_double)
+    pf = ctypes.POINTER(ctypes.c_float)
+    pi = ctypes.POINTER(ctypes.c_int64)
+
+    _lib.ndi_lower_index_f64.restype = c_i64
+    _lib.ndi_lower_index_f64.argtypes = [pd, c_i64, ctypes.c_double]
+    _lib.ndi_lower_index_f32.restype = c_i64
+    _lib.ndi_lower_index_f32.argtypes = [pf, c_i64, ctypes.c_float]
+    _lib.ndi_lower_index_batch_f64.restype = None
+    _lib.ndi_lower_index_batch_f64.argtypes = [pd, c_i64, pd, c_i64, pi]
+    _lib.ndi_monotonic_f64.restype = c_int
+    _lib.ndi_monotonic_f64.argtypes = [pd, c_i64]
+    _lib.ndi_eval_linear_f64.restype = c_i64
+    _lib.ndi_eval_linear_f64.argtypes = [pd, pd, c_i64, c_i64, pd, c_i64, pd, c_int]
+    _lib.ndi_eval_linear_f32.restype = c_i64
+    _lib.ndi_eval_linear_f32.argtypes = [pf, pf, c_i64, c_i64, pf, c_i64, pf, c_int]
+    _lib.ndi_eval_hermite_f64.restype = c_i64
+    _lib.ndi_eval_hermite_f64.argtypes = [
+        pd, pd, pd, pd, c_i64, c_i64, pd, c_i64, pd, c_int,
+    ]
+    _lib.ndi_eval_hermite_f32.restype = c_i64
+    _lib.ndi_eval_hermite_f32.argtypes = [
+        pf, pf, pf, pf, c_i64, c_i64, pf, c_i64, pf, c_int,
+    ]
+    _lib.ndi_eval_bilinear_f64.restype = c_i64
+    _lib.ndi_eval_bilinear_f64.argtypes = [
+        pd, pd, pd, c_i64, c_i64, c_i64, pd, pd, c_i64, pd, c_int,
+    ]
+    _lib.ndi_eval_bilinear_f32.restype = c_i64
+    _lib.ndi_eval_bilinear_f32.argtypes = [
+        pf, pf, pf, c_i64, c_i64, c_i64, pf, pf, c_i64, pf, c_int,
+    ]
+    HAVE_NATIVE = True
+    return _lib
+
+
+def _ptr(arr):
+    return arr.ctypes.data_as(
+        ctypes.POINTER(
+            ctypes.c_double if arr.dtype == np.float64 else ctypes.c_float
+        )
+    )
+
+
+def _prep(arr, dtype):
+    return np.ascontiguousarray(arr, dtype=dtype)
+
+
+def lower_index(x: np.ndarray, q: float) -> int:
+    lib = _load()
+    x = _prep(x, np.float64)
+    return int(lib.ndi_lower_index_f64(_ptr(x), x.shape[0], float(q)))
+
+
+def monotonic(x: np.ndarray) -> int:
+    lib = _load()
+    x = _prep(x, np.float64)
+    return int(lib.ndi_monotonic_f64(_ptr(x), x.shape[0]))
+
+
+def eval_linear(x, y, q, extrapolate: bool):
+    """Returns (out, oob_index_or_0); y shape (n, *trailing)."""
+    lib = _load()
+    dt = np.float64 if np.result_type(x, y, q) == np.float64 else np.float32
+    x = _prep(x, dt)
+    yc = _prep(y, dt).reshape(y.shape[0], -1)
+    qc = _prep(np.atleast_1d(q), dt)
+    out = np.empty((qc.shape[0], yc.shape[1]), dt)
+    fn = lib.ndi_eval_linear_f64 if dt == np.float64 else lib.ndi_eval_linear_f32
+    rc = fn(
+        _ptr(x), _ptr(yc), x.shape[0], yc.shape[1], _ptr(qc), qc.shape[0],
+        _ptr(out), int(extrapolate),
+    )
+    return out.reshape(np.shape(q) + y.shape[1:]), int(rc)
+
+
+def eval_hermite(x, y, a, b, q, mode: int):
+    """mode: 0 error-on-OOB, 1 extrapolate, 2 periodic."""
+    lib = _load()
+    dt = np.float64 if np.result_type(x, y) == np.float64 else np.float32
+    x = _prep(x, dt)
+    yc = _prep(y, dt).reshape(y.shape[0], -1)
+    ac = _prep(a, dt).reshape(a.shape[0], -1)
+    bc = _prep(b, dt).reshape(b.shape[0], -1)
+    qc = _prep(np.atleast_1d(q), dt)
+    out = np.empty((qc.shape[0], yc.shape[1]), dt)
+    fn = (
+        lib.ndi_eval_hermite_f64 if dt == np.float64 else lib.ndi_eval_hermite_f32
+    )
+    rc = fn(
+        _ptr(x), _ptr(yc), _ptr(ac), _ptr(bc), x.shape[0], yc.shape[1],
+        _ptr(qc), qc.shape[0], _ptr(out), int(mode),
+    )
+    return out.reshape(np.shape(q) + y.shape[1:]), int(rc)
+
+
+def eval_bilinear(x, y, z, qx, qy, extrapolate: bool):
+    lib = _load()
+    dt = np.float64 if np.result_type(x, y, z) == np.float64 else np.float32
+    x = _prep(x, dt)
+    y = _prep(y, dt)
+    zc = _prep(z, dt).reshape(z.shape[0], z.shape[1], -1)
+    qxc = _prep(np.atleast_1d(qx), dt)
+    qyc = _prep(np.atleast_1d(qy), dt)
+    out = np.empty((qxc.shape[0], zc.shape[2]), dt)
+    fn = (
+        lib.ndi_eval_bilinear_f64
+        if dt == np.float64
+        else lib.ndi_eval_bilinear_f32
+    )
+    rc = fn(
+        _ptr(x), _ptr(y), _ptr(zc), x.shape[0], y.shape[0], zc.shape[2],
+        _ptr(qxc), _ptr(qyc), qxc.shape[0], _ptr(out), int(extrapolate),
+    )
+    return out.reshape(np.shape(qx) + z.shape[2:]), int(rc)
+
+
+# try to load eagerly so HAVE_NATIVE is accurate at import time
+_load()

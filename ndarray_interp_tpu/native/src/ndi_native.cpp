@@ -1,0 +1,218 @@
+// Native host runtime for ndarray_interp_tpu.
+//
+// The TPU (XLA/Pallas) path owns batched workloads; this C++ core owns the
+// host-side eager path — scalar and small-batch queries where device
+// dispatch latency would dominate.  It mirrors the roles of the
+// reference's CPU hot loops (cited per function) without porting their
+// code: interval lookup with an even-spacing O(1) guess, and per-interval
+// polynomial evaluation vectorized over trailing axes.
+//
+// Exposed as a plain extern "C" ABI consumed via ctypes
+// (ndarray_interp_tpu/native/__init__.py).  All arrays are dense
+// row-major; `trailing` is the flattened product of all non-interp axes.
+//
+// Build: python -m ndarray_interp_tpu.native.build
+
+#include <cmath>
+#include <cstdint>
+
+namespace {
+
+// Interval lookup on a strictly-rising axis; clamps to [0, n-2].
+// Role of VectorExtensions::get_lower_index
+// (/root/reference/src/vector_extensions.rs:55-111): O(1) guess assuming
+// even spacing, verified, else binary search.
+template <typename T>
+inline int64_t lower_index(const T* x, int64_t n, T q) {
+  if (q <= x[0]) return 0;
+  if (q >= x[n - 1]) return n - 2;
+  // even-spacing guess
+  double frac = (double(q) - double(x[0])) / (double(x[n - 1]) - double(x[0]));
+  int64_t guess = (int64_t)(frac * double(n - 1));
+  if (guess < 0) guess = 0;
+  if (guess > n - 2) guess = n - 2;
+  if (x[guess] <= q && q < x[guess + 1]) return guess;
+  int64_t lo, hi;
+  if (x[guess] <= q) {
+    lo = guess;
+    hi = n - 1;
+  } else {
+    lo = 0;
+    hi = guess;
+  }
+  while (lo + 1 < hi) {
+    int64_t mid = lo + (hi - lo) / 2;
+    if (x[mid] <= q)
+      lo = mid;
+    else
+      hi = mid;
+  }
+  return lo;
+}
+
+// calc_frac with the reference's exact op order (linear.rs:29-37):
+// b = y1; m = (y2-y1)/(x2-x1); m*(x-x1)+b
+template <typename T>
+inline T lerp(T x1, T y1, T x2, T y2, T x) {
+  T m = (y2 - y1) / (x2 - x1);
+  return m * (x - x1) + y1;
+}
+
+template <typename T>
+int64_t eval_linear(const T* x, const T* y, int64_t n, int64_t trailing,
+                    const T* q, int64_t m, T* out, int extrapolate) {
+  for (int64_t i = 0; i < m; ++i) {
+    T qi = q[i];
+    if (!extrapolate && !(x[0] <= qi && qi <= x[n - 1])) return i + 1;
+    int64_t idx = lower_index(x, n, qi);
+    const T x1 = x[idx], x2 = x[idx + 1];
+    const T* y1 = y + idx * trailing;
+    const T* y2 = y + (idx + 1) * trailing;
+    T* o = out + i * trailing;
+    for (int64_t t = 0; t < trailing; ++t) o[t] = lerp(x1, y1[t], x2, y2[t], qi);
+  }
+  return 0;
+}
+
+// Hermite symmetric-form evaluation, op order of cubic_spline.rs:818-828.
+// mode: 0 = error on OOB, 1 = extrapolate, 2 = periodic wrap
+template <typename T>
+int64_t eval_hermite(const T* x, const T* y, const T* a, const T* b,
+                     int64_t n, int64_t trailing, const T* q, int64_t m,
+                     T* out, int mode) {
+  const T x0 = x[0], xn = x[n - 1];
+  for (int64_t i = 0; i < m; ++i) {
+    T qi = q[i];
+    bool in_range = (x0 <= qi && qi <= xn);
+    if (mode == 0 && !in_range) return i + 1;
+    if (mode == 2 && !in_range) {
+      // rem_euclid analogue (cubic_spline.rs:804-809)
+      T span = xn - x0;
+      T r = std::fmod(qi - x0, span);
+      if (r < 0) r += span;
+      qi = r + x0;
+    }
+    int64_t idx = lower_index(x, n, qi);
+    const T xl = x[idx], xr = x[idx + 1];
+    const T t = (qi - xl) / (xr - xl);
+    const T* yl = y + idx * trailing;
+    const T* yr = y + (idx + 1) * trailing;
+    const T* ai = a + idx * trailing;
+    const T* bi = b + idx * trailing;
+    T* o = out + i * trailing;
+    const T one = T(1);
+    for (int64_t k = 0; k < trailing; ++k) {
+      o[k] = (one - t) * yl[k] + t * yr[k] +
+             t * (one - t) * (ai[k] * (one - t) + bi[k] * t);
+    }
+  }
+  return 0;
+}
+
+// Bilinear: two lookups, 4 corners, 3 lerps (bilinear.rs:64-98).
+template <typename T>
+int64_t eval_bilinear(const T* x, const T* yax, const T* z, int64_t nx,
+                      int64_t ny, int64_t trailing, const T* qx, const T* qy,
+                      int64_t m, T* out, int extrapolate) {
+  for (int64_t i = 0; i < m; ++i) {
+    T qxi = qx[i], qyi = qy[i];
+    if (!extrapolate) {
+      if (!(x[0] <= qxi && qxi <= x[nx - 1])) return i + 1;
+      if (!(yax[0] <= qyi && qyi <= yax[ny - 1])) return -(i + 1);
+    }
+    int64_t xi = lower_index(x, nx, qxi);
+    int64_t yi = lower_index(yax, ny, qyi);
+    const T x1 = x[xi], x2 = x[xi + 1];
+    const T y1 = yax[yi], y2 = yax[yi + 1];
+    const T* z11 = z + (xi * ny + yi) * trailing;
+    const T* z12 = z + (xi * ny + yi + 1) * trailing;
+    const T* z21 = z + ((xi + 1) * ny + yi) * trailing;
+    const T* z22 = z + ((xi + 1) * ny + yi + 1) * trailing;
+    T* o = out + i * trailing;
+    for (int64_t t = 0; t < trailing; ++t) {
+      T zq1 = lerp(x1, z11[t], x2, z21[t], qxi);
+      T zq2 = lerp(x1, z12[t], x2, z22[t], qxi);
+      o[t] = lerp(y1, zq1, y2, zq2, qyi);
+    }
+  }
+  return 0;
+}
+
+// Monotonic classification over diffs (role of monotonic_prop,
+// vector_extensions.rs:40-53).  0 rising-strict, 1 rising, 2
+// falling-strict, 3 falling, 4 not-monotonic.
+template <typename T>
+int monotonic(const T* x, int64_t n) {
+  if (n <= 1) return 4;
+  bool up = false, down = false, flat = false;
+  for (int64_t i = 0; i + 1 < n; ++i) {
+    if (x[i] < x[i + 1])
+      up = true;
+    else if (x[i] > x[i + 1])
+      down = true;
+    else
+      flat = true;
+    if (up && down) return 4;
+  }
+  if (up && !down) return flat ? 1 : 0;
+  if (down && !up) return flat ? 3 : 2;
+  return 4;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t ndi_lower_index_f64(const double* x, int64_t n, double q) {
+  return lower_index(x, n, q);
+}
+int64_t ndi_lower_index_f32(const float* x, int64_t n, float q) {
+  return lower_index(x, n, q);
+}
+
+void ndi_lower_index_batch_f64(const double* x, int64_t n, const double* q,
+                               int64_t m, int64_t* out) {
+  for (int64_t i = 0; i < m; ++i) out[i] = lower_index(x, n, q[i]);
+}
+
+int ndi_monotonic_f64(const double* x, int64_t n) { return monotonic(x, n); }
+int ndi_monotonic_f32(const float* x, int64_t n) { return monotonic(x, n); }
+
+int64_t ndi_eval_linear_f64(const double* x, const double* y, int64_t n,
+                            int64_t trailing, const double* q, int64_t m,
+                            double* out, int extrapolate) {
+  return eval_linear(x, y, n, trailing, q, m, out, extrapolate);
+}
+int64_t ndi_eval_linear_f32(const float* x, const float* y, int64_t n,
+                            int64_t trailing, const float* q, int64_t m,
+                            float* out, int extrapolate) {
+  return eval_linear(x, y, n, trailing, q, m, out, extrapolate);
+}
+
+int64_t ndi_eval_hermite_f64(const double* x, const double* y, const double* a,
+                             const double* b, int64_t n, int64_t trailing,
+                             const double* q, int64_t m, double* out,
+                             int mode) {
+  return eval_hermite(x, y, a, b, n, trailing, q, m, out, mode);
+}
+int64_t ndi_eval_hermite_f32(const float* x, const float* y, const float* a,
+                             const float* b, int64_t n, int64_t trailing,
+                             const float* q, int64_t m, float* out, int mode) {
+  return eval_hermite(x, y, a, b, n, trailing, q, m, out, mode);
+}
+
+int64_t ndi_eval_bilinear_f64(const double* x, const double* y,
+                              const double* z, int64_t nx, int64_t ny,
+                              int64_t trailing, const double* qx,
+                              const double* qy, int64_t m, double* out,
+                              int extrapolate) {
+  return eval_bilinear(x, y, z, nx, ny, trailing, qx, qy, m, out, extrapolate);
+}
+int64_t ndi_eval_bilinear_f32(const float* x, const float* y, const float* z,
+                              int64_t nx, int64_t ny, int64_t trailing,
+                              const float* qx, const float* qy, int64_t m,
+                              float* out, int extrapolate) {
+  return eval_bilinear(x, y, z, nx, ny, trailing, qx, qy, m, out, extrapolate);
+}
+
+}  // extern "C"

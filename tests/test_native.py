@@ -1,0 +1,147 @@
+"""Native C++ host runtime tests.
+
+The native path implements the reference's exact op order; agreement with
+the XLA path is within a few ULP (XLA may contract into FMA where the
+native build, like rustc, does not).  It must fire automatically on the
+eager scalar entry points.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ndarray_interp_tpu import native
+from ndarray_interp_tpu.errors import OutOfBoundsError
+from ndarray_interp_tpu.interp1d import (
+    Akima,
+    CubicSpline,
+    Interp1D,
+    Linear,
+)
+from ndarray_interp_tpu.interp2d import Interp2D
+
+pytestmark = pytest.mark.skipif(
+    not native.HAVE_NATIVE, reason="native runtime unavailable"
+)
+
+
+def test_lower_index_contract():
+    # same contract as ops/searchsorted (vector_extensions.rs:55-111)
+    x = np.linspace(0.0, 10.0, 11)
+    assert native.lower_index(x, -1.0) == 0
+    assert native.lower_index(x, 25.0) == 9
+    assert native.lower_index(x, 0.0) == 0
+    assert native.lower_index(x, 10.0) == 9
+    assert native.lower_index(x, np.inf) == 9
+    assert native.lower_index(x, -np.inf) == 0
+    for i in range(100):
+        assert native.lower_index(x, i / 10.0) == i // 10
+    # log-spaced stresses the guess-then-bisect path
+    xe = np.array([2.0**i for i in range(11)])
+    for xi in range(100):
+        assert native.lower_index(xe, 2.0 ** (xi / 10.0)) == xi // 10
+
+
+def test_monotonic_codes():
+    assert native.monotonic(np.array([1.0, 2, 3])) == 0
+    assert native.monotonic(np.array([1.0, 1, 2])) == 1
+    assert native.monotonic(np.array([3.0, 2, 1])) == 2
+    assert native.monotonic(np.array([3.0, 3, 1])) == 3
+    assert native.monotonic(np.array([1.0, 3, 2])) == 4
+    assert native.monotonic(np.array([1.0])) == 4
+
+
+def test_native_linear_matches_jax():
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0, 10, 30))
+    y = rng.normal(size=(30, 4))
+    itp = (
+        Interp1D.builder(jnp.asarray(y))
+        .x(jnp.asarray(x))
+        .strategy(Linear().extrapolate(True))
+        .build()
+    )
+    q = rng.uniform(-2, 12, 200)
+    jax_out = np.asarray(itp.interp_array(q))
+    nat_out, rc = native.eval_linear(x, y, q, True)
+    assert rc == 0
+    # XLA may contract into FMA where the native build (like rustc) does
+    # not, so agreement is a few ULP rather than bitwise
+    np.testing.assert_allclose(nat_out, jax_out, rtol=1e-13, atol=1e-14)
+
+
+def test_native_hermite_matches_jax():
+    rng = np.random.default_rng(1)
+    y = rng.normal(size=16)
+    itp = (
+        Interp1D.builder(jnp.asarray(y))
+        .strategy(CubicSpline().extrapolate(True))
+        .build()
+    )
+    q = rng.uniform(-2, 17, 300)
+    jax_out = np.asarray(itp.interp_array(q))
+    nat_out, rc = native.eval_hermite(
+        np.arange(16.0),
+        y,
+        np.asarray(itp.strategy.a),
+        np.asarray(itp.strategy.b),
+        q,
+        1,
+    )
+    assert rc == 0
+    np.testing.assert_allclose(nat_out, jax_out, rtol=1e-13, atol=1e-14)
+
+
+def test_scalar_fast_path_fires_and_matches():
+    y = jnp.array([1.5, 2.0, 3.0, 4.0, 5.0, 7.0, 7.0, 8.0, 9.0, 10.5])
+    itp = Interp1D.builder(y).build()
+    assert itp.interp_scalar(4.5) == 6.0
+    assert itp._native_state() is not None  # cache primed, native eligible
+    # OOB through the native path
+    with pytest.raises(OutOfBoundsError):
+        itp.interp_scalar(-0.5)
+
+
+def test_scalar_fast_path_akima():
+    import scipy.interpolate as si
+
+    rng = np.random.default_rng(2)
+    x = np.sort(rng.uniform(0, 10, 12))
+    y = rng.normal(size=12)
+    itp = (
+        Interp1D.builder(jnp.asarray(y))
+        .x(jnp.asarray(x))
+        .strategy(Akima())
+        .build()
+    )
+    ref = si.Akima1DInterpolator(x, y)
+    for q in np.linspace(x[0], x[-1], 17):
+        assert abs(float(itp.interp_scalar(q)) - float(ref(q))) < 1e-12
+
+
+def test_scalar_fast_path_2d():
+    data = jnp.array([[1.0, 2.0, 2.5], [3.0, 4.0, 3.5]])
+    itp = Interp2D.builder(data).build()
+    assert itp.interp_scalar(0.0, 0.5) == 1.5
+    assert itp._native_state() is not None
+    with pytest.raises(OutOfBoundsError, match="y ="):
+        itp.interp_scalar(0.5, 99.0)
+
+
+def test_native_periodic_wrap():
+    data = jnp.array([1.0, 2.0, 2.5, 2.5, 3.0, 2.0, 1.0, -2.0, 3.0, 5.0, 6.3, 1.0])
+    from ndarray_interp_tpu.interp1d.cubic_spline import BoundaryCondition
+
+    itp = (
+        Interp1D.builder(data)
+        .strategy(
+            CubicSpline().extrapolate(True).boundary(BoundaryCondition.Periodic)
+        )
+        .build()
+    )
+    # native scalar path wraps identically to the jax path
+    for q in (-3.0, 14.5, 25.0):
+        nat = float(itp.interp_scalar(q))
+        jax_val = float(itp.interp(jnp.asarray(q)))
+        assert abs(nat - jax_val) < 1e-12
