@@ -1,0 +1,348 @@
+"""Benchmark harness mirroring the reference's criterion suite.
+
+Workload definitions follow ``/root/reference/benches/`` (see BASELINE.md):
+
+* 1D scalar:   100-knot linear axis, 10k uniform queries       (bench_interp1d.rs:12-47)
+* 1D array:    (100, 5) data, 10k queries                      (bench_interp1d.rs:81-123)
+* 1D query-dim sweep: (2500,4), (625,4,4), (125,5,4,4)         (bench_interp1d_query_dim.rs)
+* 2D scalar:   100x100 bilinear grid, 10k (x, y) queries       (bench_interp2d.rs:12-84)
+* 2D array:    (100, 100, 5) data                              (bench_interp2d.rs:86-131)
+* 2D query-dim sweep                                            (bench_interp2d_query_dim.rs)
+* get_lower_index spacing sweep: linspaced / uniform-rng /
+  bunched / noisy / logspaced axes, 1k queries                  (bench_vector_extensions.rs:42-78)
+
+plus the north-star configs from BASELINE.json (2k-knot 1M-query cubic,
+batched (2k, 64, 64) cubic build, 512x512x16 bilinear with 1M queries,
+Akima/PCHIP through the strategy protocol, and a bf16-query spline bank).
+
+Where the reference uses rayon multithreading ("MT" benches), the analogue
+here is the batched device path — the TPU *is* the parallelism.
+
+Usage: ``python benches/run_benches.py [--quick] [--json out.json]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def timer(fn, *args, reps=10, warmup=2, drain=None):
+    for _ in range(warmup):
+        r = fn(*args)
+    if drain:
+        drain(r)
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = fn(*args)
+        if drain:
+            drain(r)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def drain_jax(r):
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    leaf.block_until_ready()
+    float(np.asarray(leaf).ravel()[0])
+
+
+def rand_ordered(rng, size, lo, hi):
+    arr = np.unique(rng.uniform(lo, hi, size))
+    return arr
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--json", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ndarray_interp_tpu import native
+    from ndarray_interp_tpu.interp1d import (
+        Akima,
+        CubicSpline,
+        Interp1D,
+        Linear,
+        Pchip,
+    )
+    from ndarray_interp_tpu.interp2d import Interp2D
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    dtype = (
+        jnp.float64
+        if (not on_tpu and jax.config.jax_enable_x64)
+        else jnp.float32
+    )
+    results = []
+
+    def record(name, seconds, work_items, source):
+        results.append(
+            {
+                "bench": name,
+                "time_ms": round(seconds * 1e3, 4),
+                "items_per_sec": round(work_items / seconds, 1),
+                "source": source,
+            }
+        )
+        print(
+            f"{name:<55} {seconds*1e3:10.3f} ms   "
+            f"{work_items/seconds:14.0f} items/s"
+        )
+
+    rng = np.random.default_rng(42)
+    reps = 3 if args.quick else 10
+
+    # ---- 1D scalar family (100-knot linear, 10k queries) -----------------
+    data100 = rng.uniform(0.0, 1.0, 100)
+    q10k = rng.uniform(0.0, 99.0, 10_000)
+    itp = Interp1D.builder(jnp.asarray(data100, dtype)).build()
+
+    if native.HAVE_NATIVE:
+        state = itp._native_state()
+        assert state is not None
+
+        def scalar_loop():
+            for x in q10k[:1000]:
+                itp.interp_scalar(float(x))
+            return None
+
+        t = timer(scalar_loop, reps=max(1, reps // 3), warmup=1)
+        record(
+            "1D scalar interp_scalar (native, per-call x1000)",
+            t,
+            1000,
+            "bench_interp1d.rs:17-23",
+        )
+
+        from ndarray_interp_tpu.native import eval_linear
+
+        x_np = np.asarray(itp.x)
+        d_np = np.asarray(itp.data)
+        t = timer(lambda: eval_linear(x_np, d_np, q10k.astype(d_np.dtype), False), reps=reps)
+        record(
+            "1D scalar interp_array 10k (native batched)",
+            t,
+            10_000,
+            "bench_interp1d.rs:33-37",
+        )
+
+    qd = jnp.asarray(q10k, dtype)
+    f = jax.jit(lambda t_, q: t_(q))
+    t = timer(f, itp, qd, reps=reps, drain=drain_jax)
+    record(
+        "1D scalar interp_array 10k (device)",
+        t,
+        10_000,
+        "bench_interp1d.rs:33-37",
+    )
+
+    # ---- 1D array family ((100,5) data) ----------------------------------
+    itp5 = Interp1D.builder(
+        jnp.asarray(rng.uniform(0, 1, (100, 5)), dtype)
+    ).build()
+    t = timer(f, itp5, qd, reps=reps, drain=drain_jax)
+    record(
+        "1D array (100,5) interp_array 10k (device)",
+        t,
+        10_000,
+        "bench_interp1d.rs:81-123",
+    )
+
+    # ---- 1D query-dim sweep ----------------------------------------------
+    for shape in ((2500, 4), (625, 4, 4), (125, 5, 4, 4)):
+        qs = jnp.asarray(q10k.reshape(shape), dtype)
+        t = timer(f, itp, qs, reps=reps, drain=drain_jax)
+        record(
+            f"1D query-dim {shape} (device)",
+            t,
+            10_000,
+            "bench_interp1d_query_dim.rs:11-84",
+        )
+
+    # ---- 2D family --------------------------------------------------------
+    grid = rng.uniform(0, 1, (100, 100))
+    itp2 = Interp2D.builder(jnp.asarray(grid, dtype)).build()
+    qx = rng.uniform(0, 99, 10_000)
+    qy = rng.uniform(0, 99, 10_000)
+    f2 = jax.jit(lambda t_, a, b: t_(a, b))
+    t = timer(
+        f2, itp2, jnp.asarray(qx, dtype), jnp.asarray(qy, dtype),
+        reps=reps, drain=drain_jax,
+    )
+    record(
+        "2D scalar 100x100 interp_array 10k (device)",
+        t,
+        10_000,
+        "bench_interp2d.rs:12-84",
+    )
+
+    if native.HAVE_NATIVE:
+        from ndarray_interp_tpu.native import eval_bilinear
+
+        t = timer(
+            lambda: eval_bilinear(
+                np.asarray(itp2.x), np.asarray(itp2.y), np.asarray(itp2.data),
+                qx.astype(np.asarray(itp2.x).dtype),
+                qy.astype(np.asarray(itp2.x).dtype), False,
+            ),
+            reps=reps,
+        )
+        record(
+            "2D scalar 100x100 10k (native batched)",
+            t,
+            10_000,
+            "bench_interp2d.rs:12-84",
+        )
+
+    itp2v = Interp2D.builder(
+        jnp.asarray(rng.uniform(0, 1, (100, 100, 5)), dtype)
+    ).build()
+    t = timer(
+        f2, itp2v, jnp.asarray(qx, dtype), jnp.asarray(qy, dtype),
+        reps=reps, drain=drain_jax,
+    )
+    record(
+        "2D array (100,100,5) interp_array 10k (device)",
+        t,
+        10_000,
+        "bench_interp2d.rs:86-131",
+    )
+
+    # ---- get_lower_index spacing sweep ------------------------------------
+    from ndarray_interp_tpu.ops.searchsorted import get_lower_index
+
+    axes = {
+        "linspaced": np.linspace(0.0, 1.0, 100),
+        "uniform-rng": rand_ordered(rng, 100, 0.0, 1.0),
+        "bunched": np.unique(
+            np.concatenate(
+                [np.linspace(0, 1, 20) + rng.uniform(-1e-3, 1e-3, 20) for _ in range(5)]
+            )
+        ),
+        "noisy": np.unique(np.linspace(0, 1, 100) + rng.uniform(-4e-3, 4e-3, 100)),
+        "logspaced": np.logspace(0.0, 1.0, 100),
+    }
+    q1k = rng.uniform(-0.1, 1.2, 1000)
+    gli = jax.jit(get_lower_index)
+    for name, axis in axes.items():
+        ax = jnp.asarray(axis, dtype)
+        qv = jnp.asarray(
+            q1k * (float(axis[-1]) - float(axis[0])) + float(axis[0]), dtype
+        )
+        t = timer(gli, ax, qv, reps=reps, drain=drain_jax)
+        record(
+            f"get_lower_index {name} 1k (device)",
+            t,
+            1000,
+            "bench_vector_extensions.rs:42-78",
+        )
+
+    # ---- north-star configs (BASELINE.json) -------------------------------
+    nq = 100_000 if args.quick else 1_000_000
+    knots2k = jnp.asarray(np.linspace(0, 100, 2048), dtype)
+    vals2k = jnp.asarray(rng.normal(size=2048), dtype)
+    strat = CubicSpline().extrapolate(True)
+    build_jit = jax.jit(lambda x, v: (lambda s: (s.a, s.b))(strat.build(x, v)))
+    a2k, b2k = build_jit(knots2k, vals2k)
+    from ndarray_interp_tpu.models.strategies.cubic import CubicSplineStrategy
+
+    itp_c = Interp1D.new_unchecked(
+        knots2k, vals2k, CubicSplineStrategy(a2k, b2k, "yes")
+    )
+    qbig = jnp.asarray(rng.uniform(0, 100, nq), dtype)
+    t = timer(f, itp_c, qbig, reps=reps, drain=drain_jax)
+    record(
+        f"NS1: 1D cubic 2k knots, {nq//1000}k queries (device)",
+        t,
+        nq,
+        "BASELINE.json config 1",
+    )
+
+    # NS2: batched cubic build on (2048, 64, 64)
+    bank_shape = (2048, 8, 8) if args.quick else (2048, 64, 64)
+    bank = jnp.asarray(rng.normal(size=bank_shape).astype(np.float32), dtype)
+    xb = jnp.asarray(np.linspace(0, 1, 2048), dtype)
+    t = timer(build_jit, xb, bank, reps=max(1, reps // 2), drain=drain_jax)
+    record(
+        f"NS2: cubic build {bank_shape} bank (device)",
+        t,
+        int(np.prod(bank_shape[1:])),
+        "BASELINE.json config 2",
+    )
+
+    # NS3: 512x512x16 bilinear, 1M scattered 2-D queries
+    g_shape = (128, 128, 4) if args.quick else (512, 512, 16)
+    grid3 = jnp.asarray(rng.normal(size=g_shape).astype(np.float32), dtype)
+    itp3 = Interp2D.builder(grid3).build()
+    qn = nq
+    qx3 = jnp.asarray(
+        rng.uniform(0, g_shape[0] - 1, qn).reshape(-1, 1000), dtype
+    )
+    qy3 = jnp.asarray(
+        rng.uniform(0, g_shape[1] - 1, qn).reshape(-1, 1000), dtype
+    )
+    t = timer(f2, itp3, qx3, qy3, reps=max(1, reps // 2), drain=drain_jax)
+    record(
+        f"NS3: bilinear {g_shape}, {qn//1000}k 2-D queries (device)",
+        t,
+        qn,
+        "BASELINE.json config 3",
+    )
+
+    # NS4: Akima + PCHIP through the strategy protocol
+    for name, s in (("akima", Akima()), ("pchip", Pchip())):
+        itp4 = (
+            Interp1D.builder(vals2k).x(knots2k).strategy(
+                type(s)(extrapolate=True)
+            ).build()
+        )
+        t = timer(f, itp4, qbig, reps=reps, drain=drain_jax)
+        record(
+            f"NS4: {name} 2k knots, {nq//1000}k queries (device)",
+            t,
+            nq,
+            "BASELINE.json config 4",
+        )
+
+    # NS5: spline bank, bf16 queries vs f32 coefficients
+    bank5 = 1024 if args.quick else 16384
+    data5 = jnp.asarray(rng.normal(size=(256, bank5)).astype(np.float32), dtype)
+    x5 = jnp.asarray(np.linspace(0, 1, 256), dtype)
+    a5, b5 = build_jit(x5, data5)
+    itp5b = Interp1D.new_unchecked(
+        x5, data5, CubicSplineStrategy(a5, b5, "yes")
+    )
+    qb16 = jnp.asarray(rng.uniform(0, 1, 4096), jnp.bfloat16)
+    fb = jax.jit(lambda t_, q: t_(q.astype(t_.x.dtype)))
+    t = timer(fb, itp5b, qb16, reps=reps, drain=drain_jax)
+    record(
+        f"NS5: {bank5}-spline bank, 4k bf16 queries (device)",
+        t,
+        4096 * bank5,
+        "BASELINE.json config 5",
+    )
+
+    print(f"\nbackend={backend} dtype={dtype} native={native.HAVE_NATIVE}")
+    if args.json:
+        Path(args.json).write_text(json.dumps(results, indent=1))
+        print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Interpolator serialization (save / restore).
+
+The reference has no checkpointing; its nearest concept is
+``new_unchecked`` — reconstructing an interpolator from parts without
+revalidation (``/root/reference/src/interp1d/mod.rs:356-365``,
+``interp2d/mod.rs:323-342``).  Interpolators here are pytrees, so
+serialization is flatten → save leaves + static aux → unflatten-without-
+validation on load (the exact ``new_unchecked`` role).
+
+Format: a single ``.npz`` holding the leaves plus a JSON header with the
+structural info.  No framework dependency beyond numpy.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..models.interp1d import Interp1D
+from ..models.interp2d import Interp2D
+from ..models.strategies.bilinear import Bilinear
+from ..models.strategies.cubic import CubicSplineStrategy
+from ..models.strategies.linear import Linear
+
+_STRATEGY_CODECS = {
+    "linear": (
+        Linear,
+        lambda s: ({"extrapolate": s.extrapolates}, {}),
+        lambda meta, arrs: Linear(extrapolate=meta["extrapolate"]),
+    ),
+    "cubic": (
+        CubicSplineStrategy,
+        lambda s: ({"mode": s.mode}, {"a": s.a, "b": s.b}),
+        lambda meta, arrs: CubicSplineStrategy(
+            jnp.asarray(arrs["a"]), jnp.asarray(arrs["b"]), meta["mode"]
+        ),
+    ),
+    "bilinear": (
+        Bilinear,
+        lambda s: ({"extrapolate": s.extrapolates}, {}),
+        lambda meta, arrs: Bilinear(extrapolate=meta["extrapolate"]),
+    ),
+}
+
+
+def _encode_strategy(strategy):
+    for name, (cls, enc, _) in _STRATEGY_CODECS.items():
+        if type(strategy) is cls:
+            meta, arrs = enc(strategy)
+            return name, meta, arrs
+    raise TypeError(
+        f"cannot serialize strategy {type(strategy).__name__}; register a "
+        "codec in utils/checkpoint.py"
+    )
+
+
+def save(path, interp) -> None:
+    """Save an :class:`Interp1D` / :class:`Interp2D` to ``path`` (.npz)."""
+    arrays = {}
+    if isinstance(interp, Interp1D):
+        header = {"kind": "interp1d"}
+        arrays["x"] = np.asarray(interp.x)
+        arrays["data"] = np.asarray(interp.data)
+    elif isinstance(interp, Interp2D):
+        header = {"kind": "interp2d"}
+        arrays["x"] = np.asarray(interp.x)
+        arrays["y"] = np.asarray(interp.y)
+        arrays["data"] = np.asarray(interp.data)
+    else:
+        raise TypeError(f"cannot serialize {type(interp).__name__}")
+
+    sname, smeta, sarrs = _encode_strategy(interp.strategy)
+    header["strategy"] = sname
+    header["strategy_meta"] = smeta
+    for k, v in sarrs.items():
+        arrays[f"strategy_{k}"] = np.asarray(v)
+
+    arrays["__header__"] = np.frombuffer(
+        json.dumps(header).encode(), dtype=np.uint8
+    )
+    np.savez(Path(path), **arrays)
+
+
+def load(path):
+    """Restore an interpolator; no revalidation (``new_unchecked``)."""
+    p = Path(path)
+    if not p.exists():  # np.savez appends .npz when missing
+        p = Path(f"{path}.npz")
+    with np.load(p) as z:
+        header = json.loads(bytes(z["__header__"]).decode())
+        sname = header["strategy"]
+        _, _, dec = _STRATEGY_CODECS[sname]
+        sarrs = {
+            k[len("strategy_"):]: z[k]
+            for k in z.files
+            if k.startswith("strategy_")
+        }
+        strategy = dec(header["strategy_meta"], sarrs)
+        if header["kind"] == "interp1d":
+            return Interp1D.new_unchecked(
+                jnp.asarray(z["x"]), jnp.asarray(z["data"]), strategy
+            )
+        return Interp2D.new_unchecked(
+            jnp.asarray(z["x"]),
+            jnp.asarray(z["y"]),
+            jnp.asarray(z["data"]),
+            strategy,
+        )

@@ -1,0 +1,109 @@
+"""Auxiliary subsystems: checkpoint/restore, aliases, profiling, config."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ndarray_interp_tpu.interp1d import CubicSpline, Interp1D, Linear
+from ndarray_interp_tpu.interp2d import Interp2D
+from ndarray_interp_tpu.utils import checkpoint
+
+
+class TestCheckpoint:
+    def test_roundtrip_linear(self, tmp_path):
+        itp = (
+            Interp1D.builder(jnp.array([[1.0, 2.0], [3.0, 4.0], [5.0, 9.0]]))
+            .strategy(Linear().extrapolate(True))
+            .build()
+        )
+        p = tmp_path / "lin.npz"
+        checkpoint.save(p, itp)
+        back = checkpoint.load(p)
+        q = jnp.array([-0.5, 0.7, 2.0])
+        np.testing.assert_array_equal(
+            np.asarray(back.interp_array(q)), np.asarray(itp.interp_array(q))
+        )
+        assert back.strategy.extrapolates
+
+    def test_roundtrip_cubic(self, tmp_path):
+        itp = (
+            Interp1D.builder(
+                jnp.asarray(np.random.default_rng(0).normal(size=(12, 3)))
+            )
+            .strategy(CubicSpline().extrapolate(True))
+            .build()
+        )
+        p = tmp_path / "cub"
+        checkpoint.save(p, itp)
+        back = checkpoint.load(p)
+        q = jnp.linspace(-1.0, 12.0, 40)
+        np.testing.assert_array_equal(
+            np.asarray(back.interp_array(q)), np.asarray(itp.interp_array(q))
+        )
+        # coefficients restored verbatim — no rebuild
+        np.testing.assert_array_equal(
+            np.asarray(back.strategy.a), np.asarray(itp.strategy.a)
+        )
+
+    def test_roundtrip_2d(self, tmp_path):
+        itp = Interp2D.builder(
+            jnp.asarray(np.random.default_rng(1).normal(size=(5, 6, 2)))
+        ).build()
+        p = tmp_path / "bi.npz"
+        checkpoint.save(p, itp)
+        back = checkpoint.load(p)
+        qx = jnp.array([0.5, 3.3])
+        qy = jnp.array([1.5, 4.4])
+        np.testing.assert_array_equal(
+            np.asarray(back.interp_array(qx, qy)),
+            np.asarray(itp.interp_array(qx, qy)),
+        )
+
+    def test_unknown_strategy_rejected(self, tmp_path):
+        from ndarray_interp_tpu.models.strategies.base import (
+            PointwiseStrategy,
+        )
+
+        class Weird(PointwiseStrategy):
+            def eval_point(self, interp, x):  # pragma: no cover
+                return interp.data[0]
+
+        itp = Interp1D.new_unchecked(
+            jnp.arange(3.0), jnp.arange(3.0), Weird()
+        )
+        with pytest.raises(TypeError, match="cannot serialize strategy"):
+            checkpoint.save(tmp_path / "w.npz", itp)
+
+
+def test_aliases_importable():
+    from ndarray_interp_tpu.interp1d.aliases import (
+        Interp1DOwned,
+        Interp1DScalar,
+        Interp1DVec,
+    )
+    from ndarray_interp_tpu.interp2d.aliases import (
+        Interp2DOwned,
+        Interp2DScalar,
+        Interp2DVec,
+    )
+
+    assert Interp1DOwned is Interp1DScalar is Interp1DVec is Interp1D
+    assert Interp2DOwned is Interp2DScalar is Interp2DVec is Interp2D
+
+
+def test_config_flags_exist():
+    from ndarray_interp_tpu import config
+
+    assert isinstance(config.use_fused_kernel, bool)
+    assert isinstance(config.use_native_host, bool)
+
+
+def test_profiling_helpers(tmp_path):
+    from ndarray_interp_tpu.utils import profiling
+
+    itp = Interp1D.builder(jnp.arange(8.0)).build()
+    with profiling.trace(str(tmp_path / "trace")):
+        with profiling.annotate("eval"):
+            itp.interp_array(jnp.linspace(0.0, 7.0, 16)).block_until_ready()
+    assert any((tmp_path / "trace").rglob("*"))
