@@ -64,6 +64,9 @@ def rand_ordered(rng, size, lo, hi):
 
 
 def main():
+    import faulthandler
+
+    faulthandler.dump_traceback_later(180, repeat=True)
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--json", type=str, default=None)
@@ -81,6 +84,37 @@ def main():
         Pchip,
     )
     from ndarray_interp_tpu.interp2d import Interp2D
+
+    from ndarray_interp_tpu.models.strategies.cubic import (
+        CubicSplineStrategy,
+    )
+
+    def fast_build_1d(data, x=None, strategy=None):
+        """Build without eager per-op device round trips (the tunneled TPU
+        pays ~30-70 ms per eager op, so the validating builder is unusable
+        for benchmarking): jit the strategy build, skip validation."""
+        data = jnp.asarray(data)
+        if x is None:
+            x = jnp.arange(data.shape[0], dtype=data.dtype)
+        if strategy is None:
+            strategy = Linear()
+        if isinstance(strategy, Linear):
+            return Interp1D.new_unchecked(x, data, strategy)
+        built = jax.jit(
+            lambda x_, d_: (lambda s_: (s_.a, s_.b))(strategy.build(x_, d_))
+        )(x, data)
+        mode = "yes" if strategy.extrapolates else "no"
+        return Interp1D.new_unchecked(
+            x, data, CubicSplineStrategy(built[0], built[1], mode)
+        )
+
+    def fast_build_2d(data, strategy=None):
+        from ndarray_interp_tpu.models.strategies.bilinear import Bilinear
+
+        data = jnp.asarray(data)
+        x = jnp.arange(data.shape[0], dtype=data.dtype)
+        y = jnp.arange(data.shape[1], dtype=data.dtype)
+        return Interp2D.new_unchecked(x, y, data, strategy or Bilinear())
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
@@ -111,7 +145,7 @@ def main():
     # ---- 1D scalar family (100-knot linear, 10k queries) -----------------
     data100 = rng.uniform(0.0, 1.0, 100)
     q10k = rng.uniform(0.0, 99.0, 10_000)
-    itp = Interp1D.builder(jnp.asarray(data100, dtype)).build()
+    itp = fast_build_1d(jnp.asarray(data100, dtype))
 
     if native.HAVE_NATIVE:
         state = itp._native_state()
@@ -153,9 +187,7 @@ def main():
     )
 
     # ---- 1D array family ((100,5) data) ----------------------------------
-    itp5 = Interp1D.builder(
-        jnp.asarray(rng.uniform(0, 1, (100, 5)), dtype)
-    ).build()
+    itp5 = fast_build_1d(jnp.asarray(rng.uniform(0, 1, (100, 5)), dtype))
     t = timer(f, itp5, qd, reps=reps, drain=drain_jax)
     record(
         "1D array (100,5) interp_array 10k (device)",
@@ -177,7 +209,7 @@ def main():
 
     # ---- 2D family --------------------------------------------------------
     grid = rng.uniform(0, 1, (100, 100))
-    itp2 = Interp2D.builder(jnp.asarray(grid, dtype)).build()
+    itp2 = fast_build_2d(jnp.asarray(grid, dtype))
     qx = rng.uniform(0, 99, 10_000)
     qy = rng.uniform(0, 99, 10_000)
     f2 = jax.jit(lambda t_, a, b: t_(a, b))
@@ -210,9 +242,7 @@ def main():
             "bench_interp2d.rs:12-84",
         )
 
-    itp2v = Interp2D.builder(
-        jnp.asarray(rng.uniform(0, 1, (100, 100, 5)), dtype)
-    ).build()
+    itp2v = fast_build_2d(jnp.asarray(rng.uniform(0, 1, (100, 100, 5)), dtype))
     t = timer(
         f2, itp2v, jnp.asarray(qx, dtype), jnp.asarray(qy, dtype),
         reps=reps, drain=drain_jax,
@@ -260,8 +290,6 @@ def main():
     strat = CubicSpline().extrapolate(True)
     build_jit = jax.jit(lambda x, v: (lambda s: (s.a, s.b))(strat.build(x, v)))
     a2k, b2k = build_jit(knots2k, vals2k)
-    from ndarray_interp_tpu.models.strategies.cubic import CubicSplineStrategy
-
     itp_c = Interp1D.new_unchecked(
         knots2k, vals2k, CubicSplineStrategy(a2k, b2k, "yes")
     )
@@ -289,7 +317,7 @@ def main():
     # NS3: 512x512x16 bilinear, 1M scattered 2-D queries
     g_shape = (128, 128, 4) if args.quick else (512, 512, 16)
     grid3 = jnp.asarray(rng.normal(size=g_shape).astype(np.float32), dtype)
-    itp3 = Interp2D.builder(grid3).build()
+    itp3 = fast_build_2d(grid3)
     qn = nq
     qx3 = jnp.asarray(
         rng.uniform(0, g_shape[0] - 1, qn).reshape(-1, 1000), dtype
@@ -307,10 +335,14 @@ def main():
 
     # NS4: Akima + PCHIP through the strategy protocol
     for name, s in (("akima", Akima()), ("pchip", Pchip())):
-        itp4 = (
-            Interp1D.builder(vals2k).x(knots2k).strategy(
-                type(s)(extrapolate=True)
-            ).build()
+        k_fn = jax.jit(
+            lambda x_, d_: (lambda st: (st.a, st.b))(
+                type(s)(extrapolate=True).build(x_, d_)
+            )
+        )
+        a4, b4 = k_fn(knots2k, vals2k)
+        itp4 = Interp1D.new_unchecked(
+            knots2k, vals2k, CubicSplineStrategy(a4, b4, "yes")
         )
         t = timer(f, itp4, qbig, reps=reps, drain=drain_jax)
         record(

@@ -48,6 +48,29 @@ def _is_traced(x) -> bool:
     return isinstance(x, jax.core.Tracer)
 
 
+def _host_view(arr):
+    """A numpy view of ``arr`` if obtainable without touching an
+    accelerator, else None.
+
+    Device→host transfers can be arbitrarily slow (or wedge entirely on
+    relay-tunneled TPU backends), so the eager paths only ever use host
+    copies captured at build time or arrays already backed by host memory.
+    """
+    if arr is None or _is_traced(arr):
+        return None
+    if isinstance(arr, np.ndarray):
+        return arr
+    devices = getattr(arr, "devices", None)
+    if devices is None:
+        return np.asarray(arr)  # list/scalar/etc.
+    try:
+        if all(d.platform == "cpu" for d in devices()):
+            return np.asarray(arr)
+    except Exception:
+        pass
+    return None
+
+
 @jax.jit
 def _eval_flat(interp, flat):
     """Jitted strategy dispatch.
@@ -141,7 +164,8 @@ class Interp1D:
         reference's NaN-cast panic (``vector_extensions.rs:267-271``)."""
         xs_host = np.asarray(xs_flat)
         if not self.strategy.extrapolates:
-            ok = np.asarray(is_in_range(np.asarray(self.x), xs_host))
+            x0, xn = self._range_host()
+            ok = (x0 <= xs_host) & (xs_host <= xn)
             if not ok.all():
                 bad = xs_host[~ok][0] if xs_host.ndim else xs_host
                 raise OutOfBoundsError(f"x = {bad} is not in range")
@@ -149,6 +173,20 @@ class Interp1D:
             xs_host
         ).any():
             raise ValueError("failed to convert NaN to an index")
+
+    def _range_host(self):
+        """``(x[0], x[-1])`` as host scalars, cached; at most two scalar
+        device fetches when no host copy of the axis exists."""
+        cached = getattr(self, "_range_cache", None)
+        if cached is None:
+            hi = getattr(self, "_host_inputs", None)
+            x_np = hi[0] if hi is not None else _host_view(self.x)
+            if x_np is not None:
+                cached = (float(x_np[0]), float(x_np[-1]))
+            else:
+                cached = (float(self.x[0]), float(self.x[-1]))
+            self._range_cache = cached
+        return cached
 
     # -- native host fast path ------------------------------------------------
     def _native_state(self):
@@ -168,34 +206,51 @@ class Interp1D:
             from ..native import HAVE_NATIVE
 
             if HAVE_NATIVE and getattr(config, "use_native_host", True):
-                dt = np.dtype(self.data.dtype)
-                if dt in (np.float32, np.float64):
-                    from .strategies.cubic import CubicSplineStrategy
-                    from .strategies.linear import Linear as _Lin
-
-                    if isinstance(self.strategy, _Lin):
-                        state = (
-                            "linear",
-                            np.asarray(self.x),
-                            np.asarray(self.data),
-                            bool(self.strategy.extrapolates),
-                        )
-                    elif isinstance(self.strategy, CubicSplineStrategy):
-                        mode = {"no": 0, "yes": 1, "periodic": 2}[
-                            self.strategy.mode
-                        ]
-                        state = (
-                            "hermite",
-                            np.asarray(self.x),
-                            np.asarray(self.data),
-                            np.asarray(self.strategy.a),
-                            np.asarray(self.strategy.b),
-                            mode,
-                        )
+                state = self._build_native_state()
         except Exception:
             state = None
         self._host_cache = state if state is not None else ()
         return state
+
+    def _build_native_state(self):
+        from .strategies.cubic import CubicSplineStrategy
+        from .strategies.linear import Linear as _Lin
+
+        if np.dtype(self.data.dtype) not in (np.float32, np.float64):
+            return None
+
+        hi = getattr(self, "_host_inputs", None)
+        if hi is not None:
+            x_np, d_np, strat_builder = hi
+        else:
+            x_np = _host_view(self.x)
+            d_np = _host_view(self.data)
+            strat_builder = None
+        if x_np is None or d_np is None:
+            return None
+
+        if isinstance(self.strategy, _Lin):
+            return ("linear", x_np, d_np, bool(self.strategy.extrapolates))
+        if isinstance(self.strategy, CubicSplineStrategy):
+            mode = {"no": 0, "yes": 1, "periodic": 2}[self.strategy.mode]
+            a_np = _host_view(self.strategy.a)
+            b_np = _host_view(self.strategy.b)
+            if (a_np is None or b_np is None) and strat_builder is not None:
+                # coefficients live on an accelerator; recompute them on the
+                # CPU backend from the host inputs rather than transferring
+                import jax
+
+                cpu = jax.devices("cpu")[0]
+                with jax.default_device(cpu):
+                    s2 = strat_builder.build(
+                        jnp.asarray(x_np), jnp.asarray(d_np)
+                    )
+                a_np = np.asarray(s2.a)
+                b_np = np.asarray(s2.b)
+            if a_np is None or b_np is None:
+                return None
+            return ("hermite", x_np, d_np, a_np, b_np, mode)
+        return None
 
     def _native_eval(self, xs):
         """Evaluate via the native runtime; returns None on ineligibility."""
@@ -259,6 +314,11 @@ class Interp1D:
                 f"buffer shape mismatch expected: {list(expect)}, "
                 f"got: {list(buffer.shape)}"
             )
+        if not _is_traced(x) and not hasattr(x, "devices"):
+            out = self._native_eval(x)
+            if out is not None:
+                buffer[...] = out
+                return buffer
         result = self.interp(x)
         buffer[...] = np.asarray(result)
         return buffer
@@ -274,14 +334,18 @@ class Interp1D:
     def interp_array_into(self, xs, buffer):
         """``interp_array`` into a caller-provided numpy buffer
         (``mod.rs:272-324``)."""
-        xs = jnp.asarray(xs)
-        expect = self.get_buffer_shape(xs.shape)
+        expect = self.get_buffer_shape(np.shape(xs))
         if tuple(buffer.shape) != expect:
             raise ValueError(
                 f"buffer shape mismatch expected: {list(expect)}, "
                 f"got: {list(buffer.shape)}"
             )
-        result = self.interp_array(xs)
+        if not _is_traced(xs) and not hasattr(xs, "devices"):
+            out = self._native_eval(np.asarray(xs))
+            if out is not None:
+                buffer[...] = out
+                return buffer
+        result = self.interp_array(jnp.asarray(xs))
         buffer[...] = np.asarray(result)
         return buffer
 
@@ -313,16 +377,21 @@ class Interp1DBuilder:
     """
 
     def __init__(self, data):
+        self._data_host = _host_view(data)
         data = jnp.asarray(data)
         self._data = data
         n = data.shape[0] if data.ndim >= 1 else 0
         # default x = 0..n cast to the data's dtype (mod.rs:399-410)
         self._x = jnp.arange(n, dtype=data.dtype) if data.ndim >= 1 else None
+        self._x_host = (
+            np.arange(n, dtype=np.dtype(data.dtype)) if data.ndim >= 1 else None
+        )
         self._strategy = Linear()
 
     def x(self, x) -> "Interp1DBuilder":
         """Set a custom x axis; must be strictly monotonic rising and match
         the data's axis-0 length (``mod.rs:424-430``)."""
+        self._x_host = _host_view(x)
         self._x = jnp.asarray(x)
         return self
 
@@ -345,7 +414,8 @@ class Interp1DBuilder:
                 "The chosen Interpolation strategy needs at least "
                 f"{strat.MINIMUM_DATA_LENGTH} data points"
             )
-        if not monotonic_prop(np.asarray(x)).is_strict_rising:
+        x_host = self._x_host if self._x_host is not None else np.asarray(x)
+        if not monotonic_prop(x_host).is_strict_rising:
             raise MonotonicError(
                 "Values in the x axis need to be strictly monotonic rising"
             )
@@ -362,4 +432,14 @@ class Interp1DBuilder:
         data = data.astype(ct)
 
         finished = strat.build(x, data)
-        return Interp1D(x, data, finished)
+        interp = Interp1D(x, data, finished)
+        # capture host copies for the native scalar path and range checks —
+        # the eager API must never depend on a device→host array transfer
+        if self._data_host is not None:
+            ct_np = np.dtype(ct)
+            interp._host_inputs = (
+                x_host.astype(ct_np, copy=False),
+                self._data_host.astype(ct_np, copy=False),
+                strat,
+            )
+        return interp

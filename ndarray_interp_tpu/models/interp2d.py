@@ -29,7 +29,7 @@ from ..errors import (
 )
 from ..ops.searchsorted import get_lower_index, is_in_range
 from ..utils.monotonic import monotonic_prop
-from .interp1d import _is_traced
+from .interp1d import _host_view, _is_traced
 from .strategies.base2d import Interp2DStrategyBuilder
 from .strategies.bilinear import Bilinear
 
@@ -104,6 +104,32 @@ class Interp2D:
         return is_in_range(self.y, y)
 
     # -- eager API -------------------------------------------------------------
+    def _range_host(self):
+        cached = getattr(self, "_range_cache", None)
+        if cached is None:
+            hi = getattr(self, "_host_inputs", None)
+            if hi is not None:
+                x_np, y_np = hi[0], hi[1]
+            else:
+                x_np = _host_view(self.x)
+                y_np = _host_view(self.y)
+            if x_np is not None and y_np is not None:
+                cached = (
+                    float(x_np[0]),
+                    float(x_np[-1]),
+                    float(y_np[0]),
+                    float(y_np[-1]),
+                )
+            else:  # at most four scalar device fetches, once
+                cached = (
+                    float(self.x[0]),
+                    float(self.x[-1]),
+                    float(self.y[0]),
+                    float(self.y[-1]),
+                )
+            self._range_cache = cached
+        return cached
+
     def _check_queries(self, xs_flat, ys_flat):
         if self.strategy.extrapolates:
             for name, q in (("x", xs_flat), ("y", ys_flat)):
@@ -112,13 +138,14 @@ class Interp2D:
                     raise ValueError("failed to convert NaN to an index")
             return
         # reference checks x then y per point (bilinear.rs:71-80)
+        x0, xn, y0, yn = self._range_host()
         xh = np.asarray(xs_flat)
-        ok = np.asarray(is_in_range(np.asarray(self.x), xh))
+        ok = (x0 <= xh) & (xh <= xn)
         if not ok.all():
             bad = xh[~ok][0] if xh.ndim else xh
             raise OutOfBoundsError(f"x = {bad} is not in range")
         yh = np.asarray(ys_flat)
-        ok = np.asarray(is_in_range(np.asarray(self.y), yh))
+        ok = (y0 <= yh) & (yh <= yn)
         if not ok.all():
             bad = yh[~ok][0] if yh.ndim else yh
             raise OutOfBoundsError(f"y = {bad} is not in range")
@@ -140,12 +167,20 @@ class Interp2D:
                 and isinstance(self.strategy, _Bil)
                 and np.dtype(self.data.dtype) in (np.float32, np.float64)
             ):
-                state = (
-                    np.asarray(self.x),
-                    np.asarray(self.y),
-                    np.asarray(self.data),
-                    bool(self.strategy.extrapolates),
-                )
+                hi = getattr(self, "_host_inputs", None)
+                if hi is not None:
+                    x_np, y_np, d_np = hi
+                else:
+                    x_np = _host_view(self.x)
+                    y_np = _host_view(self.y)
+                    d_np = _host_view(self.data)
+                if x_np is not None and y_np is not None and d_np is not None:
+                    state = (
+                        x_np,
+                        y_np,
+                        d_np,
+                        bool(self.strategy.extrapolates),
+                    )
         except Exception:
             state = None
         self._host_cache = state if state is not None else ()
@@ -261,21 +296,27 @@ class Interp2DBuilder:
     """Create and configure an :class:`Interp2D` (``mod.rs:50-64``)."""
 
     def __init__(self, data):
+        self._data_host = _host_view(data)
         data = jnp.asarray(data)
         self._data = data
         if data.ndim >= 2:
+            dt = np.dtype(data.dtype)
             self._x = jnp.arange(data.shape[0], dtype=data.dtype)
             self._y = jnp.arange(data.shape[1], dtype=data.dtype)
+            self._x_host = np.arange(data.shape[0], dtype=dt)
+            self._y_host = np.arange(data.shape[1], dtype=dt)
         else:
-            self._x = None
-            self._y = None
+            self._x = self._y = None
+            self._x_host = self._y_host = None
         self._strategy = Bilinear()
 
     def x(self, x) -> "Interp2DBuilder":
+        self._x_host = _host_view(x)
         self._x = jnp.asarray(x)
         return self
 
     def y(self, y) -> "Interp2DBuilder":
+        self._y_host = _host_view(y)
         self._y = jnp.asarray(y)
         return self
 
@@ -312,11 +353,13 @@ class Interp2DBuilder:
                 "Lengths of y-axis and data-1-axis need to match. "
                 f"Got y: {y.shape[0]}, data-1: {data.shape[1]}"
             )
-        if not monotonic_prop(np.asarray(x)).is_strict_rising:
+        x_host = self._x_host if self._x_host is not None else np.asarray(x)
+        y_host = self._y_host if self._y_host is not None else np.asarray(y)
+        if not monotonic_prop(x_host).is_strict_rising:
             raise MonotonicError(
                 "The x-axis needs to be strictly monotonic rising"
             )
-        if not monotonic_prop(np.asarray(y)).is_strict_rising:
+        if not monotonic_prop(y_host).is_strict_rising:
             raise MonotonicError(
                 "The y-axis needs to be strictly monotonic rising"
             )
@@ -327,4 +370,12 @@ class Interp2DBuilder:
         data = data.astype(ct)
 
         finished = strat.build(x, y, data)
-        return Interp2D(x, y, data, finished)
+        interp = Interp2D(x, y, data, finished)
+        if self._data_host is not None:
+            ct_np = np.dtype(ct)
+            interp._host_inputs = (
+                x_host.astype(ct_np, copy=False),
+                y_host.astype(ct_np, copy=False),
+                self._data_host.astype(ct_np, copy=False),
+            )
+        return interp

@@ -232,5 +232,6 @@ def can_use_fused(x, data, extra=()):
         platform == "tpu"
         and all(a.dtype == jnp.float32 for a in arrays)
         and data.ndim == 1
-        and x.shape[0] >= 4
+        # VMEM budget: tables cost ~(ch+1)·n·4 bytes; cap well below 16 MB
+        and 4 <= x.shape[0] <= 131072
     )
