@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -47,6 +48,52 @@ def _drain(x):
     # fetching a scalar result drains the queue cheaply (~10 us once idle)
     if hasattr(x, "block_until_ready"):
         float(x)
+
+
+def _supervise():
+    """Run the measurement in a watchdogged child.
+
+    The tunneled TPU backend can wedge indefinitely (hung RPCs are not
+    interruptible in-process); a child + timeout guarantees this script
+    always prints its JSON line.  Falls back to the CPU backend if the
+    accelerator run fails or times out.
+    """
+    import os
+    import subprocess
+
+    here = Path(__file__).resolve()
+    env = dict(os.environ)
+    env["NDI_BENCH_CHILD"] = "1"
+    try:
+        out = subprocess.run(
+            [sys.executable, str(here)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return 0
+    except subprocess.TimeoutExpired:
+        pass
+    # fallback: CPU backend, no relay plugin
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = subprocess.run(
+        [sys.executable, str(here)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            print(line)
+            return 0
+    sys.stderr.write(out.stderr[-2000:])
+    return 1
 
 
 def main():
@@ -122,4 +169,8 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    import os
+
+    if os.environ.get("NDI_BENCH_CHILD"):
+        sys.exit(main())
+    sys.exit(_supervise())

@@ -148,12 +148,16 @@ def main():
     itp = fast_build_1d(jnp.asarray(data100, dtype))
 
     if native.HAVE_NATIVE:
-        state = itp._native_state()
+        # numpy-input build → host copies captured → native scalar path
+        itp_host = Interp1D.builder(
+            data100.astype(np.dtype(dtype))
+        ).build()
+        state = itp_host._native_state()
         assert state is not None
 
         def scalar_loop():
             for x in q10k[:1000]:
-                itp.interp_scalar(float(x))
+                itp_host.interp_scalar(float(x))
             return None
 
         t = timer(scalar_loop, reps=max(1, reps // 3), warmup=1)

@@ -33,16 +33,48 @@ class Bilinear(Interp2DStrategy, Interp2DStrategyBuilder):
         return self
 
     def eval(self, interp, xq, yq):
+        import jax
+
         x, y, data = interp.x, interp.y, interp.data
         xi = get_lower_index(x, xq)
         yi = get_lower_index(y, yq)
         x1, x2 = x[xi], x[xi + 1]
         y1, y2 = y[yi], y[yi + 1]
-        # 4-corner gather, (Q, *data.shape[2:]) each
-        z11 = data[xi, yi]
-        z12 = data[xi, yi + 1]
-        z21 = data[xi + 1, yi]
-        z22 = data[xi + 1, yi + 1]
+
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except RuntimeError:  # pragma: no cover
+            on_tpu = False
+        if on_tpu:
+            # One row gather of all 4 corners from a quad table: XLA's
+            # scattered per-element gather is the 2-D bottleneck on TPU;
+            # fetching one contiguous (4·R)-wide row per query amortizes it.
+            nx, ny = data.shape[0], data.shape[1]
+            quad = jnp.stack(
+                [
+                    data[:-1, :-1],
+                    data[:-1, 1:],
+                    data[1:, :-1],
+                    data[1:, 1:],
+                ],
+                axis=-1,
+            )  # (nx-1, ny-1, *trailing, 4)
+            flat = xi * (ny - 1) + yi
+            g = jnp.take(
+                quad.reshape((nx - 1) * (ny - 1), *quad.shape[2:]),
+                flat,
+                axis=0,
+            )
+            z11 = g[..., 0]
+            z12 = g[..., 1]
+            z21 = g[..., 2]
+            z22 = g[..., 3]
+        else:
+            # 4-corner gather, (Q, *data.shape[2:]) each
+            z11 = data[xi, yi]
+            z12 = data[xi, yi + 1]
+            z21 = data[xi + 1, yi]
+            z22 = data[xi + 1, yi + 1]
 
         expand = xq.shape + (1,) * (data.ndim - 2)
 

@@ -505,8 +505,10 @@ class CubicSplineStrategy(Interp1DStrategy):
 
         idx = get_lower_index(x, xq)
         # One stacked row-gather instead of six scalar gathers: the interval
-        # table (n-1, *trailing, 6) costs O(n) to assemble (fused/hoisted by
-        # XLA) and turns the hot path into a single contiguous gather.
+        # table (n-1, *trailing, 4) costs O(n) to assemble (fused/hoisted by
+        # XLA); gather_rows picks take vs one-hot-MXU by table shape.
+        from ...ops.gather import gather_rows
+
         xpair = jnp.stack([x[:-1], x[1:]], axis=-1)  # (n-1, 2)
         xg = xpair[idx]
         x_left = xg[..., 0]
@@ -514,7 +516,7 @@ class CubicSplineStrategy(Interp1DStrategy):
         tbl = jnp.stack(
             [interp.data[:-1], interp.data[1:], self.a, self.b], axis=-1
         )  # (n-1, *trailing, 4)
-        g = tbl[idx]
+        g = gather_rows(tbl, idx)
         y_left = g[..., 0]
         y_right = g[..., 1]
         a = g[..., 2]

@@ -58,11 +58,15 @@ class Linear(Interp1DStrategy, Interp1DStrategyBuilder):
             tbl = make_interval_table(interp.x, interp.data)
             return fused_eval_1d(interp.x, tbl, xq)
 
+        from ...ops.gather import gather_rows
+
         idx = get_lower_index(interp.x, xq)
         # single stacked gather for both interval endpoints (see cubic.py)
         xg = jnp.stack([interp.x[:-1], interp.x[1:]], axis=-1)[idx]
         x1, x2 = xg[..., 0], xg[..., 1]
-        yg = jnp.stack([interp.data[:-1], interp.data[1:]], axis=-1)[idx]
+        yg = gather_rows(
+            jnp.stack([interp.data[:-1], interp.data[1:]], axis=-1), idx
+        )
         y1, y2 = yg[..., 0], yg[..., 1]
         expand = xq.shape + (1,) * (interp.data.ndim - 1)
         return calc_frac(

@@ -1,0 +1,83 @@
+"""Row gather along axis 0, TPU-shaped.
+
+XLA's gather on TPU degrades badly for banked tables: fetching 4k interval
+rows from a (255, 16384) coefficient bank measured ~640 ms on v5e — ~500×
+off the HBM floor.  For moderate knot counts the gather is better spent on
+the MXU as a one-hot matmul (selection by exact 0/1 weights), which is how
+TPUs want to move scattered rows.
+
+``gather_rows`` picks the formulation statically:
+
+* one-hot matmul when the table's row count is small enough and the bank
+  (trailing size) is wide enough for matmul to win,
+* plain ``take`` otherwise.
+
+The one-hot path chunks the query axis so the (Q, n) selection mask never
+exceeds a VMEM-friendly footprint.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# use the MXU when the bank is at least this wide
+_MIN_BANK = 8
+# and the knot axis is at most this long (one-hot cost is O(n) per query)
+_MAX_ROWS = 8192
+# cap the materialized one-hot at ~32M elements (128 MB f32)
+_MAX_OH_ELEMS = 32 * 1024 * 1024
+
+
+def _onehot_gather(table2, idx):
+    """table2 (n, r), idx (Q,) → (Q, r) via one-hot matmul."""
+    n = table2.shape[0]
+
+    def chunk(ic):
+        oh = (
+            ic[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        ).astype(table2.dtype)
+        return jnp.dot(
+            oh,
+            table2,
+            preferred_element_type=table2.dtype,
+            precision=lax.Precision.HIGHEST,
+        )
+
+    q = idx.shape[0]
+    max_chunk = max(1, _MAX_OH_ELEMS // max(n, 1))
+    if q <= max_chunk:
+        return chunk(idx)
+    # pad to a multiple and map over chunks
+    nchunk = -(-q // max_chunk)
+    pad = nchunk * max_chunk - q
+    idx_p = jnp.pad(idx, (0, pad)).reshape(nchunk, max_chunk)
+    out = lax.map(chunk, idx_p)
+    return out.reshape(nchunk * max_chunk, -1)[:q]
+
+
+def gather_rows(table, idx):
+    """``table[idx]`` along axis 0; table (n, *trailing), idx (Q,)."""
+    n = table.shape[0]
+    trailing = table.shape[1:]
+    r = 1
+    for s in trailing:
+        r *= s
+
+    use_mxu = False
+    try:
+        use_mxu = (
+            jax.devices()[0].platform == "tpu"
+            and r >= _MIN_BANK
+            and n <= _MAX_ROWS
+            and jnp.issubdtype(table.dtype, jnp.floating)
+        )
+    except RuntimeError:  # pragma: no cover
+        pass
+
+    if not use_mxu:
+        return jnp.take(table, idx, axis=0)
+    out = _onehot_gather(table.reshape(n, r), idx)
+    return out.reshape(idx.shape + trailing)

@@ -69,10 +69,14 @@ def thomas_solve(a_up, a_mid, a_low, rhs):
         a_low.reshape(a_low.shape + (1,) * (rhs.ndim - a_low.ndim)), (n, *bshape)
     )
 
+    # unroll to amortize the per-step scan overhead on TPU (the recurrence
+    # is latency-bound: each step is a handful of elementwise ops)
+    unroll = 8 if n >= 64 else 1
     (_, _), (a_mid_swept, rhs_swept) = lax.scan(
         fwd,
         (a_mid_b[0], rhs[0]),
         (a_up_b[:-1], a_mid_b[1:], a_low_b[1:], rhs[1:]),
+        unroll=unroll,
     )
     a_mid_full = jnp.concatenate([a_mid_b[:1], a_mid_swept], axis=0)
     rhs_full = jnp.concatenate([rhs[:1], rhs_swept], axis=0)
@@ -89,5 +93,6 @@ def thomas_solve(a_up, a_mid, a_low, rhs):
         k_last,
         (a_up_b[:-1], a_mid_full[:-1], rhs_full[:-1]),
         reverse=True,
+        unroll=unroll,
     )
     return jnp.concatenate([k_rev, k_last[None]], axis=0)
