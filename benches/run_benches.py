@@ -52,10 +52,13 @@ def timer(fn, *args, reps=10, warmup=2, drain=None):
 
 def drain_jax(r):
     import jax
+    import jax.numpy as jnp
 
     leaf = jax.tree_util.tree_leaves(r)[0]
-    leaf.block_until_ready()
-    float(np.asarray(leaf).ravel()[0])
+    # reduce on-device and fetch one scalar: fetching the raw result would
+    # time the relay transfer (hundreds of MB for bank outputs), not the
+    # computation
+    float(jnp.sum(leaf))
 
 
 def rand_ordered(rng, size, lo, hi):
