@@ -38,18 +38,23 @@ class Bilinear(Interp2DStrategy, Interp2DStrategyBuilder):
         x, y, data = interp.x, interp.y, interp.data
         xi = get_lower_index(x, xq)
         yi = get_lower_index(y, yq)
-        x1, x2 = x[xi], x[xi + 1]
-        y1, y2 = y[yi], y[yi + 1]
 
         try:
             on_tpu = jax.devices()[0].platform == "tpu"
         except RuntimeError:  # pragma: no cover
             on_tpu = False
         if on_tpu:
-            # One row gather of all 4 corners from a quad table: XLA's
-            # scattered per-element gather is the 2-D bottleneck on TPU;
-            # fetching one contiguous (4·R)-wide row per query amortizes it.
+            # One row gather for everything a query needs: XLA's scattered
+            # per-element gather is the 2-D bottleneck on TPU, so the quad
+            # table packs all 4 corners (contiguous blocks — a corner-minor
+            # layout would force strided relayouts) AND the interval
+            # endpoints into one row; even the four scalar x/y-endpoint
+            # gathers measured ~20 ms/1M queries as separate ops.
             nx, ny = data.shape[0], data.shape[1]
+            trailing = data.shape[2:]
+            r = 1
+            for s in trailing:
+                r *= s
             quad = jnp.stack(
                 [
                     data[:-1, :-1],
@@ -57,19 +62,34 @@ class Bilinear(Interp2DStrategy, Interp2DStrategyBuilder):
                     data[1:, :-1],
                     data[1:, 1:],
                 ],
+                axis=2,
+            ).reshape(nx - 1, ny - 1, 4 * r)
+            ends = jnp.stack(
+                [
+                    jnp.broadcast_to(x[:-1, None], (nx - 1, ny - 1)),
+                    jnp.broadcast_to(x[1:, None], (nx - 1, ny - 1)),
+                    jnp.broadcast_to(y[None, :-1], (nx - 1, ny - 1)),
+                    jnp.broadcast_to(y[None, 1:], (nx - 1, ny - 1)),
+                ],
                 axis=-1,
-            )  # (nx-1, ny-1, *trailing, 4)
-            flat = xi * (ny - 1) + yi
-            g = jnp.take(
-                quad.reshape((nx - 1) * (ny - 1), *quad.shape[2:]),
-                flat,
-                axis=0,
             )
-            z11 = g[..., 0]
-            z12 = g[..., 1]
-            z21 = g[..., 2]
-            z22 = g[..., 3]
+            rows = jnp.concatenate([quad, ends], axis=-1).reshape(
+                (nx - 1) * (ny - 1), 4 * r + 4
+            )
+            flat = xi * (ny - 1) + yi
+            g2 = jnp.take(rows, flat, axis=0)
+            out_shape = flat.shape + trailing
+            z11 = g2[:, 0 * r : 1 * r].reshape(out_shape)
+            z12 = g2[:, 1 * r : 2 * r].reshape(out_shape)
+            z21 = g2[:, 2 * r : 3 * r].reshape(out_shape)
+            z22 = g2[:, 3 * r : 4 * r].reshape(out_shape)
+            x1 = g2[:, 4 * r]
+            x2 = g2[:, 4 * r + 1]
+            y1 = g2[:, 4 * r + 2]
+            y2 = g2[:, 4 * r + 3]
         else:
+            x1, x2 = x[xi], x[xi + 1]
+            y1, y2 = y[yi], y[yi + 1]
             # 4-corner gather, (Q, *data.shape[2:]) each
             z11 = data[xi, yi]
             z12 = data[xi, yi + 1]

@@ -78,6 +78,8 @@ def gather_rows(table, idx):
         pass
 
     if not use_mxu:
-        return jnp.take(table, idx, axis=0)
+        # XLA's TPU gather degrades ~7x on >2-D operands; flatten first
+        out = jnp.take(table.reshape(n, r), idx, axis=0)
+        return out.reshape(idx.shape + trailing)
     out = _onehot_gather(table.reshape(n, r), idx)
     return out.reshape(idx.shape + trailing)
