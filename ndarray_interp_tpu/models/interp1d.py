@@ -288,10 +288,40 @@ class Interp1D:
                 "interp_scalar requires 1-D data; use interp() instead"
             )
         if not _is_traced(x) and not hasattr(x, "devices"):
+            fast = self._scalar_evaluator()
+            if fast is not None and isinstance(x, (int, float)):
+                v, err = fast(float(x))
+                if err == 0:
+                    return v
+                if err == 1:
+                    raise OutOfBoundsError(f"x = {x} is not in range")
+                if self.strategy.extrapolates:
+                    raise ValueError("failed to convert NaN to an index")
+                raise OutOfBoundsError(f"x = {x} is not in range")
             out = self._native_eval(x)
             if out is not None:
                 return out[()]
         return self.interp(x)[()]
+
+    def _scalar_evaluator(self):
+        """Prebound C scalar evaluator (f64 1-D data only — f32 stays on
+        the batch path so its arithmetic dtype matches the reference)."""
+        fast = getattr(self, "_scalar_eval", None)
+        if fast is not None:
+            return fast if fast is not False else None
+        fast = False
+        state = self._native_state()
+        if state is not None and state[1].dtype == np.float64:
+            from ..native import ScalarEval1D
+
+            if state[0] == "linear":
+                _, x_np, d_np, extrap = state
+                fast = ScalarEval1D(x_np, d_np, mode=int(extrap))
+            else:
+                _, x_np, d_np, a_np, b_np, mode = state
+                fast = ScalarEval1D(x_np, d_np, a_np, b_np, mode=mode)
+        self._scalar_eval = fast
+        return fast if fast is not False else None
 
     def interp(self, x):
         """Interpolated values at scalar ``x``; shape = data shape minus
@@ -325,7 +355,19 @@ class Interp1D:
 
     def interp_array(self, xs):
         """Interpolated values at all points in ``xs``; output dims
-        ``M + N - 1`` with query dims leading (``mod.rs:197-211``)."""
+        ``M + N - 1`` with query dims leading (``mod.rs:197-211``).
+
+        Host-side f64 queries (numpy/lists) evaluate on the native C++
+        runtime and return numpy; device arrays / f32 use the JAX path.
+        """
+        if (
+            not _is_traced(xs)
+            and not hasattr(xs, "devices")
+            and np.dtype(self.data.dtype) == np.float64
+        ):
+            out = self._native_eval(np.asarray(xs))
+            if out is not None:
+                return out
         xs = jnp.asarray(xs)
         if not _is_traced(xs):
             self._check_queries(xs.reshape(-1))

@@ -221,10 +221,42 @@ class Interp2D:
             or hasattr(x, "devices")
             or hasattr(y, "devices")
         ):
+            fast = self._scalar_evaluator()
+            if (
+                fast is not None
+                and isinstance(x, (int, float))
+                and isinstance(y, (int, float))
+            ):
+                v, err = fast(float(x), float(y))
+                if err == 0:
+                    return v
+                if err == 2:
+                    if self.strategy.extrapolates:
+                        raise ValueError(
+                            "failed to convert NaN to an index"
+                        )
+                    raise OutOfBoundsError("x = nan is not in range")
+                if err == 1:
+                    raise OutOfBoundsError(f"x = {x} is not in range")
+                raise OutOfBoundsError(f"y = {y} is not in range")
             out = self._native_eval(x, y)
             if out is not None:
                 return out[()]
         return self.interp(x, y)[()]
+
+    def _scalar_evaluator(self):
+        fast = getattr(self, "_scalar_eval", None)
+        if fast is not None:
+            return fast if fast is not False else None
+        fast = False
+        state = self._native_state()
+        if state is not None and state[0].dtype == np.float64:
+            from ..native import ScalarEval2D
+
+            x_np, y_np, d_np, extrap = state
+            fast = ScalarEval2D(x_np, y_np, d_np, extrap)
+        self._scalar_eval = fast
+        return fast if fast is not False else None
 
     def interp(self, x, y):
         """Interpolated values at scalar ``(x, y)``; shape = data shape
@@ -252,10 +284,18 @@ class Interp2D:
         Output dims = ``xs.ndim + data.ndim - 2`` with query dims leading;
         ``xs.shape`` must equal ``ys.shape``.
         """
+        if np.shape(xs) != np.shape(ys):
+            raise ValueError("`xs.shape` and `ys.shape` do not match")
+        if (
+            not (_is_traced(xs) or _is_traced(ys))
+            and not (hasattr(xs, "devices") or hasattr(ys, "devices"))
+            and np.dtype(self.data.dtype) == np.float64
+        ):
+            out = self._native_eval(np.asarray(xs), np.asarray(ys))
+            if out is not None:
+                return out
         xs = jnp.asarray(xs)
         ys = jnp.asarray(ys)
-        if xs.shape != ys.shape:
-            raise ValueError("`xs.shape` and `ys.shape` do not match")
         if not (_is_traced(xs) or _is_traced(ys)):
             self._check_queries(xs.reshape(-1), ys.reshape(-1))
         return self.eval_unchecked(xs, ys)

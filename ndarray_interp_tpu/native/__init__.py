@@ -41,6 +41,20 @@ def _load():
     pf = ctypes.POINTER(ctypes.c_float)
     pi = ctypes.POINTER(ctypes.c_int64)
 
+    pint = ctypes.POINTER(ctypes.c_int)
+    _lib.ndi_scalar_linear_f64.restype = ctypes.c_double
+    _lib.ndi_scalar_linear_f64.argtypes = [
+        pd, pd, c_i64, ctypes.c_double, c_int, pint,
+    ]
+    _lib.ndi_scalar_hermite_f64.restype = ctypes.c_double
+    _lib.ndi_scalar_hermite_f64.argtypes = [
+        pd, pd, pd, pd, c_i64, ctypes.c_double, c_int, pint,
+    ]
+    _lib.ndi_scalar_bilinear_f64.restype = ctypes.c_double
+    _lib.ndi_scalar_bilinear_f64.argtypes = [
+        pd, pd, pd, c_i64, c_i64, ctypes.c_double, ctypes.c_double,
+        c_int, pint,
+    ]
     _lib.ndi_lower_index_f64.restype = c_i64
     _lib.ndi_lower_index_f64.argtypes = [pd, c_i64, ctypes.c_double]
     _lib.ndi_lower_index_f32.restype = c_i64
@@ -103,7 +117,7 @@ def eval_linear(x, y, q, extrapolate: bool):
     dt = np.float64 if np.result_type(x, y, q) == np.float64 else np.float32
     x = _prep(x, dt)
     yc = _prep(y, dt).reshape(y.shape[0], -1)
-    qc = _prep(np.atleast_1d(q), dt)
+    qc = _prep(np.atleast_1d(q), dt).reshape(-1)
     out = np.empty((qc.shape[0], yc.shape[1]), dt)
     fn = lib.ndi_eval_linear_f64 if dt == np.float64 else lib.ndi_eval_linear_f32
     rc = fn(
@@ -121,7 +135,7 @@ def eval_hermite(x, y, a, b, q, mode: int):
     yc = _prep(y, dt).reshape(y.shape[0], -1)
     ac = _prep(a, dt).reshape(a.shape[0], -1)
     bc = _prep(b, dt).reshape(b.shape[0], -1)
-    qc = _prep(np.atleast_1d(q), dt)
+    qc = _prep(np.atleast_1d(q), dt).reshape(-1)
     out = np.empty((qc.shape[0], yc.shape[1]), dt)
     fn = (
         lib.ndi_eval_hermite_f64 if dt == np.float64 else lib.ndi_eval_hermite_f32
@@ -139,8 +153,8 @@ def eval_bilinear(x, y, z, qx, qy, extrapolate: bool):
     x = _prep(x, dt)
     y = _prep(y, dt)
     zc = _prep(z, dt).reshape(z.shape[0], z.shape[1], -1)
-    qxc = _prep(np.atleast_1d(qx), dt)
-    qyc = _prep(np.atleast_1d(qy), dt)
+    qxc = _prep(np.atleast_1d(qx), dt).reshape(-1)
+    qyc = _prep(np.atleast_1d(qy), dt).reshape(-1)
     out = np.empty((qxc.shape[0], zc.shape[2]), dt)
     fn = (
         lib.ndi_eval_bilinear_f64
@@ -152,6 +166,61 @@ def eval_bilinear(x, y, z, qx, qy, extrapolate: bool):
         _ptr(qxc), _ptr(qyc), qxc.shape[0], _ptr(out), int(extrapolate),
     )
     return out.reshape(np.shape(qx) + z.shape[2:]), int(rc)
+
+
+class ScalarEval1D:
+    """Prebound scalar evaluator: caches contiguous f64 buffers and ctypes
+    pointers once, so each ``interp_scalar`` is one C call (~µs)."""
+
+    def __init__(self, x, y, a=None, b=None, mode=0):
+        lib = _load()
+        self._err = ctypes.c_int(0)
+        self._x = _prep(x, np.float64)
+        self._y = _prep(y, np.float64)
+        self._n = self._x.shape[0]
+        self._xp = _ptr(self._x)
+        self._yp = _ptr(self._y)
+        self._mode = int(mode)
+        if a is None:
+            self._fn = lib.ndi_scalar_linear_f64
+            self._args = (self._xp, self._yp, self._n)
+        else:
+            self._a = _prep(a, np.float64)
+            self._b = _prep(b, np.float64)
+            self._ap = _ptr(self._a)
+            self._bp = _ptr(self._b)
+            self._fn = lib.ndi_scalar_hermite_f64
+            self._args = (self._xp, self._yp, self._ap, self._bp, self._n)
+
+    def __call__(self, q: float):
+        """Returns (value, err): err 0 ok, 1 OOB, 2 NaN."""
+        err = self._err
+        v = self._fn(*self._args, q, self._mode, ctypes.byref(err))
+        return v, err.value
+
+
+class ScalarEval2D:
+    def __init__(self, x, y, z, extrapolate: bool):
+        lib = _load()
+        self._err = ctypes.c_int(0)
+        self._x = _prep(x, np.float64)
+        self._y = _prep(y, np.float64)
+        self._z = _prep(z, np.float64)
+        self._args = (
+            _ptr(self._x),
+            _ptr(self._y),
+            _ptr(self._z),
+            self._x.shape[0],
+            self._y.shape[0],
+        )
+        self._extrap = int(extrapolate)
+        self._fn = lib.ndi_scalar_bilinear_f64
+
+    def __call__(self, qx: float, qy: float):
+        """Returns (value, err): 0 ok, 1 x-OOB, -1 y-OOB, 2 NaN."""
+        err = self._err
+        v = self._fn(*self._args, qx, qy, self._extrap, ctypes.byref(err))
+        return v, err.value
 
 
 # try to load eagerly so HAVE_NATIVE is accurate at import time

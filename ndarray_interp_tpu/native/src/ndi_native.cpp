@@ -163,6 +163,55 @@ int monotonic(const T* x, int64_t n) {
 
 extern "C" {
 
+// ---- scalar fast path (interp_scalar: 1-D data / 2-D data) ----------------
+// err: 0 ok, 1 out-of-bounds, 2 NaN query
+double ndi_scalar_linear_f64(const double* x, const double* y, int64_t n,
+                             double q, int extrapolate, int* err) {
+  *err = 0;
+  if (q != q) { *err = 2; return q; }
+  if (!extrapolate && !(x[0] <= q && q <= x[n - 1])) { *err = 1; return 0.0; }
+  int64_t i = lower_index(x, n, q);
+  return lerp(x[i], y[i], x[i + 1], y[i + 1], q);
+}
+
+double ndi_scalar_hermite_f64(const double* x, const double* y,
+                              const double* a, const double* b, int64_t n,
+                              double q, int mode, int* err) {
+  *err = 0;
+  if (q != q) { *err = 2; return q; }
+  bool in_range = (x[0] <= q && q <= x[n - 1]);
+  if (mode == 0 && !in_range) { *err = 1; return 0.0; }
+  if (mode == 2 && !in_range) {
+    double span = x[n - 1] - x[0];
+    double r = std::fmod(q - x[0], span);
+    if (r < 0) r += span;
+    q = r + x[0];
+  }
+  int64_t i = lower_index(x, n, q);
+  const double t = (q - x[i]) / (x[i + 1] - x[i]);
+  return (1.0 - t) * y[i] + t * y[i + 1] +
+         t * (1.0 - t) * (a[i] * (1.0 - t) + b[i] * t);
+}
+
+double ndi_scalar_bilinear_f64(const double* x, const double* yax,
+                               const double* z, int64_t nx, int64_t ny,
+                               double qx, double qy, int extrapolate,
+                               int* err) {
+  *err = 0;
+  if (qx != qx || qy != qy) { *err = 2; return qx + qy; }
+  if (!extrapolate) {
+    if (!(x[0] <= qx && qx <= x[nx - 1])) { *err = 1; return 0.0; }
+    if (!(yax[0] <= qy && qy <= yax[ny - 1])) { *err = -1; return 0.0; }
+  }
+  int64_t xi = lower_index(x, nx, qx);
+  int64_t yi = lower_index(yax, ny, qy);
+  const double z11 = z[xi * ny + yi], z12 = z[xi * ny + yi + 1];
+  const double z21 = z[(xi + 1) * ny + yi], z22 = z[(xi + 1) * ny + yi + 1];
+  double zq1 = lerp(x[xi], z11, x[xi + 1], z21, qx);
+  double zq2 = lerp(x[xi], z12, x[xi + 1], z22, qx);
+  return lerp(yax[yi], zq1, yax[yi + 1], zq2, qy);
+}
+
 int64_t ndi_lower_index_f64(const double* x, int64_t n, double q) {
   return lower_index(x, n, q);
 }
