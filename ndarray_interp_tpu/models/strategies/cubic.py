@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from jax.tree_util import register_pytree_node_class
 
 from ...errors import BuilderValueError, ShapeError
+from ...ops.pallas_thomas import thomas_solve_fast
 from ...ops.searchsorted import get_lower_index
 from ...ops.thomas import thomas_solve
 from .base import Interp1DStrategy, Interp1DStrategyBuilder
@@ -298,7 +299,7 @@ def _solve_for_k(x, y, left_kind, left_val, right_kind, right_val):
         a_mid = a_mid_1d.at[0].set(am0).at[n - 1].set(amn)
         a_low = a_low_1d.at[n - 1].set(aln)
 
-    return thomas_solve(a_up, a_mid, a_low, rhs)
+    return thomas_solve_fast(a_up, a_mid, a_low, rhs)
 
 
 def _solve_periodic(x, y):
@@ -371,8 +372,8 @@ def _solve_periodic_core(x, y):
     rhs2 = rhs2.at[0].set(-dx0)
     rhs2 = rhs2.at[n - 3].set(-dx_3)
 
-    k1 = thomas_solve(a_up, a_mid, a_low, rhs1)
-    k2 = thomas_solve(a_up, a_mid, a_low, rhs2)
+    k1 = thomas_solve_fast(a_up, a_mid, a_low, rhs1)
+    k2 = thomas_solve_fast(a_up, a_mid, a_low, rhs2)
 
     k_m1 = (rhs_full[n - 2] - k1[0] * dx_2 - k1[n - 3] * dx_1) / (
         k2[0] * dx_2 + k2[n - 3] * dx_1 + 2.0 * (dx_1 + dx_2)
