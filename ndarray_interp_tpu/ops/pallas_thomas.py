@@ -3,9 +3,9 @@
 The scan-based solver (:mod:`.thomas`) is correct everywhere but pays XLA
 per-step overhead on TPU (~12 ms for a 2048-knot × 4096-spline bank even
 unrolled).  This kernel runs the same recurrence as a hardware loop with
-the bank tiled across lanes: shared diagonals live in VMEM as (n, 1)
-columns, each step updates one (1, B) row of the right-hand side, and the
-back-substitution reuses the swept diagonal from scratch.  Per-element
+the bank tiled across lanes: shared diagonals live in SMEM as 1-D scalar
+arrays, each step updates one (1, B) row of the right-hand side, and the
+back-substitution reuses the swept diagonal from SMEM scratch.  Per-element
 operation order matches the scan solver (and therefore the reference's
 ``thomas``, ``cubic_spline.rs:678-721``).
 
@@ -16,8 +16,6 @@ VJP of the scan solver.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
