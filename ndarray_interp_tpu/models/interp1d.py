@@ -71,6 +71,16 @@ def _host_view(arr):
     return None
 
 
+def _promote_queries(interp, flat):
+    """Queries promote to the knot dtype (e.g. bf16 queries against an f32
+    bank, BASELINE.json config 5) so every strategy/kernel sees one dtype."""
+    if flat.dtype != interp.x.dtype and jnp.issubdtype(
+        interp.x.dtype, jnp.inexact
+    ):
+        return flat.astype(interp.x.dtype)
+    return flat
+
+
 @jax.jit
 def _eval_flat(interp, flat):
     """Jitted strategy dispatch.
@@ -79,11 +89,12 @@ def _eval_flat(interp, flat):
     pytree aux data, so the jit cache is keyed on it automatically; repeated
     eager calls with the same shapes reuse the compiled program.
     """
-    return interp.strategy.eval(interp, flat)
+    return interp.strategy.eval(interp, _promote_queries(interp, flat))
 
 
 @jax.jit
 def _eval_flat_masked(interp, flat):
+    flat = _promote_queries(interp, flat)
     out = interp.strategy.eval(interp, flat)
     if not interp.strategy.extrapolates and jnp.issubdtype(
         out.dtype, jnp.inexact
@@ -143,6 +154,26 @@ class Interp1D:
         xs = jnp.asarray(xs)
         out = _eval_flat(self, xs.reshape(-1))
         return out.reshape(xs.shape + self.data.shape[1:])
+
+    def eval_checked(self, xs):
+        """Jit-compatible checked evaluation via ``checkify``.
+
+        Returns ``(error, values)``; the error is set when any query is out
+        of range and the strategy does not extrapolate (the functional
+        stand-in for the reference's ``Err(OutOfBounds)`` under ``jit`` —
+        call ``error.throw()`` host-side to raise).
+        """
+        from jax.experimental import checkify
+
+        def run(interp, xs):
+            xs = jnp.asarray(xs)
+            flat = xs.reshape(-1)
+            if not interp.strategy.extrapolates:
+                ok = is_in_range(interp.x, _promote_queries(interp, flat))
+                checkify.check(jnp.all(ok), "a query point is not in range")
+            return interp.eval_unchecked(xs)
+
+        return checkify.checkify(run)(self, xs)
 
     # -- helpers available to strategies (``mod.rs:367-386``) ----------------
     def index_point(self, index):

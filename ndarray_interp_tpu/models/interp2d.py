@@ -34,13 +34,20 @@ from .strategies.base2d import Interp2DStrategyBuilder
 from .strategies.bilinear import Bilinear
 
 
+from .interp1d import _promote_queries
+
+
 @jax.jit
 def _eval_flat(interp, xflat, yflat):
-    return interp.strategy.eval(interp, xflat, yflat)
+    return interp.strategy.eval(
+        interp, _promote_queries(interp, xflat), _promote_queries(interp, yflat)
+    )
 
 
 @jax.jit
 def _eval_flat_masked(interp, xflat, yflat):
+    xflat = _promote_queries(interp, xflat)
+    yflat = _promote_queries(interp, yflat)
     out = interp.strategy.eval(interp, xflat, yflat)
     if not interp.strategy.extrapolates and jnp.issubdtype(
         out.dtype, jnp.inexact
@@ -88,6 +95,29 @@ class Interp2D:
             raise ValueError("`xs.shape` and `ys.shape` do not match")
         out = _eval_flat(self, xs.reshape(-1), ys.reshape(-1))
         return out.reshape(xs.shape + self.data.shape[2:])
+
+    def eval_checked(self, xs, ys):
+        """Jit-compatible checked evaluation via ``checkify``; returns
+        ``(error, values)`` (see ``Interp1D.eval_checked``)."""
+        from jax.experimental import checkify
+
+        def run(interp, xs, ys):
+            xs = jnp.asarray(xs)
+            ys = jnp.asarray(ys)
+            xf = _promote_queries(interp, xs.reshape(-1))
+            yf = _promote_queries(interp, ys.reshape(-1))
+            if not interp.strategy.extrapolates:
+                checkify.check(
+                    jnp.all(is_in_range(interp.x, xf)),
+                    "an x query point is not in range",
+                )
+                checkify.check(
+                    jnp.all(is_in_range(interp.y, yf)),
+                    "a y query point is not in range",
+                )
+            return interp.eval_unchecked(xs, ys)
+
+        return checkify.checkify(run)(self, xs, ys)
 
     # -- strategy helpers (``mod.rs:344-379``) --------------------------------
     def index_point(self, x_idx, y_idx):
