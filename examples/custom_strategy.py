@@ -16,6 +16,11 @@ Two equivalent styles are shown:
 Run: ``python examples/custom_strategy.py``
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 import jax.numpy as jnp
