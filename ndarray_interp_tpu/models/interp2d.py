@@ -305,6 +305,16 @@ class Interp2D:
                 f"buffer shape mismatch expected: {list(expect)}, "
                 f"got: {list(buffer.shape)}"
             )
+        if not (
+            _is_traced(x)
+            or _is_traced(y)
+            or hasattr(x, "devices")
+            or hasattr(y, "devices")
+        ):
+            out = self._native_eval(x, y)
+            if out is not None:
+                buffer[...] = out
+                return buffer
         buffer[...] = np.asarray(self.interp(x, y))
         return buffer
 
@@ -332,13 +342,24 @@ class Interp2D:
 
     def interp_array_into(self, xs, ys, buffer):
         """``interp_array`` into a numpy buffer (``mod.rs:215-285``)."""
-        xs = jnp.asarray(xs)
-        expect = self.get_buffer_shape(xs.shape)
+        expect = self.get_buffer_shape(np.shape(xs))
         if tuple(buffer.shape) != expect:
             raise ValueError(
                 f"buffer shape mismatch expected: {list(expect)}, "
                 f"got: {list(buffer.shape)}"
             )
+        if np.shape(xs) != np.shape(ys):
+            raise ValueError("`xs.shape` and `ys.shape` do not match")
+        if not (
+            _is_traced(xs)
+            or _is_traced(ys)
+            or hasattr(xs, "devices")
+            or hasattr(ys, "devices")
+        ):
+            out = self._native_eval(np.asarray(xs), np.asarray(ys))
+            if out is not None:
+                buffer[...] = out
+                return buffer
         buffer[...] = np.asarray(self.interp_array(xs, ys))
         return buffer
 

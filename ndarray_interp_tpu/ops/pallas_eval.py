@@ -232,6 +232,9 @@ def can_use_fused(x, data, extra=()):
         platform == "tpu"
         and all(a.dtype == jnp.float32 for a in arrays)
         and data.ndim == 1
-        # VMEM budget: tables cost ~(ch+1)·n·4 bytes; cap well below 16 MB
-        and 4 <= x.shape[0] <= 131072
+        # VMEM budget: the in-kernel (C, B) coarse-compare/one-hot tensors
+        # cost C·B·4 bytes each (C = n/W blocks, B = 2048 query lanes), so
+        # cap n at 8192 (C = 256 → ~2 MB per tensor); larger axes fall back
+        # to the XLA path
+        and 4 <= x.shape[0] <= 8192
     )
