@@ -256,12 +256,16 @@ def _solve_for_k(x, y, left_kind, left_val, right_kind, right_val):
     sd_rhsn = 3.0 * (y_1 - y_2) + rv * dx_1 * dx_1 / 2.0
     slope_last = (y_1 - y_2) / dx_1  # == slope1 when n == 3
 
+    # NOTE: the right-NAK diagonal is dx_2 (the second-to-last interval),
+    # matching SciPy's formulation.  The reference writes dx_1 here
+    # (cubic_spline.rs:635) — a latent bug invisible in its own tests,
+    # which only exercise right-NAK on uniform axes where dx_1 == dx_2.
     amn = jnp.where(
         both_nak3,
         one,
         jnp.where(
             rk == _NOT_A_KNOT,
-            dx_1,
+            dx_2,
             jnp.where(rk == _FIRST_DERIV, one, 2.0 * dx_1),
         ),
     )
