@@ -45,17 +45,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# queries per grid step (lanes); a multiple of 128
-_BLOCK_Q = 2048
-# in-window knot count; W*C = padded knot count
-_W = 32
-
-
 def _plan(n: int):
-    """Choose (W, C) so that W*C >= n and the compare cost C + W is small."""
-    w = _W
+    """Choose (W, C, B): window size, block count, and query lanes per grid
+    step, under the VMEM budget (the (C, B) compare/one-hot tensors and the
+    (ch·W, B) fetched window dominate).  Returns None beyond ~64k knots."""
+    if n <= 8192:
+        w, b = 32, 2048
+    elif n <= 16384:
+        w, b = 64, 2048
+    elif n <= 32768:
+        w, b = 128, 1024
+    elif n <= 65536:
+        w, b = 128, 512
+    else:
+        return None
     c = max(2, math.ceil(n / w))
-    return w, c
+    return w, c, b
 
 
 def _kernel(lead_ref, kblk_ref, tblk_ref, q_ref, out_ref, *, n, w, c, ch):
@@ -168,13 +173,12 @@ def _fused_eval_impl(knots, tbl, q, interpret=False):
     n = knots.shape[0]
     nq = q.shape[0]
     ch = 6
-    w, c = _plan(n)
+    w, c, B = _plan(n)
     if tbl.shape[1] != ch:
         tbl = tbl[:, :ch]
 
     lead, kblk, tblk = _pack_tables(knots, tbl, w, c)
 
-    B = _BLOCK_Q
     nb = (nq + B - 1) // B
     qpad = jnp.pad(q, (0, nb * B - nq)).reshape(1, nb * B)
 
@@ -232,9 +236,6 @@ def can_use_fused(x, data, extra=()):
         platform == "tpu"
         and all(a.dtype == jnp.float32 for a in arrays)
         and data.ndim == 1
-        # VMEM budget: the in-kernel (C, B) coarse-compare/one-hot tensors
-        # cost C·B·4 bytes each (C = n/W blocks, B = 2048 query lanes), so
-        # cap n at 8192 (C = 256 → ~2 MB per tensor); larger axes fall back
-        # to the XLA path
-        and 4 <= x.shape[0] <= 8192
+        and x.shape[0] >= 4
+        and _plan(x.shape[0]) is not None
     )
