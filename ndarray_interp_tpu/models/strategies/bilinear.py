@@ -39,11 +39,7 @@ class Bilinear(Interp2DStrategy, Interp2DStrategyBuilder):
         xi = get_lower_index(x, xq)
         yi = get_lower_index(y, yq)
 
-        try:
-            on_tpu = jax.devices()[0].platform == "tpu"
-        except RuntimeError:  # pragma: no cover
-            on_tpu = False
-        if on_tpu:
+        def tpu_corners(xi, yi):
             # One row gather for everything a query needs: XLA's scattered
             # per-element gather is the 2-D bottleneck on TPU, so the quad
             # table packs all 4 corners (contiguous blocks — a corner-minor
@@ -72,29 +68,43 @@ class Bilinear(Interp2DStrategy, Interp2DStrategyBuilder):
                     jnp.broadcast_to(y[None, 1:], (nx - 1, ny - 1)),
                 ],
                 axis=-1,
-            )
+            ).astype(data.dtype)
             rows = jnp.concatenate([quad, ends], axis=-1).reshape(
                 (nx - 1) * (ny - 1), 4 * r + 4
             )
             flat = xi * (ny - 1) + yi
             g2 = jnp.take(rows, flat, axis=0)
             out_shape = flat.shape + trailing
-            z11 = g2[:, 0 * r : 1 * r].reshape(out_shape)
-            z12 = g2[:, 1 * r : 2 * r].reshape(out_shape)
-            z21 = g2[:, 2 * r : 3 * r].reshape(out_shape)
-            z22 = g2[:, 3 * r : 4 * r].reshape(out_shape)
-            x1 = g2[:, 4 * r]
-            x2 = g2[:, 4 * r + 1]
-            y1 = g2[:, 4 * r + 2]
-            y2 = g2[:, 4 * r + 3]
-        else:
-            x1, x2 = x[xi], x[xi + 1]
-            y1, y2 = y[yi], y[yi + 1]
+            return (
+                g2[:, 0 * r : 1 * r].reshape(out_shape),
+                g2[:, 1 * r : 2 * r].reshape(out_shape),
+                g2[:, 2 * r : 3 * r].reshape(out_shape),
+                g2[:, 3 * r : 4 * r].reshape(out_shape),
+                g2[:, 4 * r],
+                g2[:, 4 * r + 1],
+                g2[:, 4 * r + 2],
+                g2[:, 4 * r + 3],
+            )
+
+        def default_corners(xi, yi):
             # 4-corner gather, (Q, *data.shape[2:]) each
-            z11 = data[xi, yi]
-            z12 = data[xi, yi + 1]
-            z21 = data[xi + 1, yi]
-            z22 = data[xi + 1, yi + 1]
+            return (
+                data[xi, yi],
+                data[xi, yi + 1],
+                data[xi + 1, yi],
+                data[xi + 1, yi + 1],
+                x[xi].astype(data.dtype),
+                x[xi + 1].astype(data.dtype),
+                y[yi].astype(data.dtype),
+                y[yi + 1].astype(data.dtype),
+            )
+
+        if jnp.issubdtype(data.dtype, jnp.floating) and x.dtype == data.dtype:
+            z11, z12, z21, z22, x1, x2, y1, y2 = jax.lax.platform_dependent(
+                xi, yi, tpu=tpu_corners, default=default_corners
+            )
+        else:
+            z11, z12, z21, z22, x1, x2, y1, y2 = default_corners(xi, yi)
 
         expand = xq.shape + (1,) * (data.ndim - 2)
 

@@ -505,9 +505,20 @@ class CubicSplineStrategy(Interp1DStrategy):
             and xq.dtype == jnp.float32
             and can_use_fused(x, interp.data, (self.a, self.b))
         ):
-            tbl = make_interval_table(x, interp.data, self.a, self.b)
-            return fused_eval_1d(x, tbl, xq)
+            # platform selected at lowering time: the Pallas kernel on TPU,
+            # the XLA formulation everywhere else (incl. CPU-device meshes
+            # running under a TPU-default process)
+            return jax.lax.platform_dependent(
+                xq,
+                tpu=lambda q: fused_eval_1d(
+                    x, make_interval_table(x, interp.data, self.a, self.b), q
+                ),
+                default=lambda q: self._eval_xla(interp, q),
+            )
+        return self._eval_xla(interp, xq)
 
+    def _eval_xla(self, interp, xq):
+        x = interp.x
         idx = get_lower_index(x, xq)
         # One stacked row-gather instead of six scalar gathers: the interval
         # table (n-1, *trailing, 4) costs O(n) to assemble (fused/hoisted by

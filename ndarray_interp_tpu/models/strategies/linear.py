@@ -42,6 +42,8 @@ class Linear(Interp1DStrategy, Interp1DStrategyBuilder):
         return self
 
     def eval(self, interp, xq):
+        import jax
+
         from ... import config
         from ...ops.pallas_eval import (
             can_use_fused,
@@ -54,10 +56,18 @@ class Linear(Interp1DStrategy, Interp1DStrategyBuilder):
             and xq.dtype == jnp.float32
             and can_use_fused(interp.x, interp.data)
         ):
-            # a = b = 0 collapses the shared Hermite kernel to the lerp
-            tbl = make_interval_table(interp.x, interp.data)
-            return fused_eval_1d(interp.x, tbl, xq)
+            # a = b = 0 collapses the shared Hermite kernel to the lerp;
+            # platform selected at lowering time
+            return jax.lax.platform_dependent(
+                xq,
+                tpu=lambda q: fused_eval_1d(
+                    interp.x, make_interval_table(interp.x, interp.data), q
+                ),
+                default=lambda q: self._eval_xla(interp, q),
+            )
+        return self._eval_xla(interp, xq)
 
+    def _eval_xla(self, interp, xq):
         from ...ops.gather import gather_rows
 
         idx = get_lower_index(interp.x, xq)

@@ -66,20 +66,22 @@ def gather_rows(table, idx):
     for s in trailing:
         r *= s
 
-    use_mxu = False
-    try:
-        use_mxu = (
-            jax.devices()[0].platform == "tpu"
-            and r >= _MIN_BANK
-            and n <= _MAX_ROWS
-            and jnp.issubdtype(table.dtype, jnp.floating)
-        )
-    except RuntimeError:  # pragma: no cover
-        pass
+    table2 = table.reshape(n, r)
 
-    if not use_mxu:
-        # XLA's TPU gather degrades ~7x on >2-D operands; flatten first
-        out = jnp.take(table.reshape(n, r), idx, axis=0)
-        return out.reshape(idx.shape + trailing)
-    out = _onehot_gather(table.reshape(n, r), idx)
+    def take_branch(table2, idx):
+        # XLA's TPU gather degrades ~7x on >2-D operands; already flattened
+        return jnp.take(table2, idx, axis=0)
+
+    eligible = (
+        r >= _MIN_BANK
+        and n <= _MAX_ROWS
+        and jnp.issubdtype(table.dtype, jnp.floating)
+    )
+    if eligible:
+        # MXU one-hot gather only when lowering for TPU
+        out = jax.lax.platform_dependent(
+            table2, idx, tpu=_onehot_gather, default=take_branch
+        )
+    else:
+        out = take_branch(table2, idx)
     return out.reshape(idx.shape + trailing)

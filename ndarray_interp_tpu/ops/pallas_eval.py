@@ -226,15 +226,11 @@ def make_interval_table(x, data, a=None, b=None):
 
 
 def can_use_fused(x, data, extra=()):
-    """Static eligibility check for the fused kernel."""
-    try:
-        platform = jax.devices()[0].platform
-    except RuntimeError:  # pragma: no cover
-        return False
+    """Shape/dtype eligibility for the fused kernel (the platform is
+    selected per lowering via ``lax.platform_dependent`` in the caller)."""
     arrays = (x, data) + tuple(extra)
     return (
-        platform == "tpu"
-        and all(a.dtype == jnp.float32 for a in arrays)
+        all(a.dtype == jnp.float32 for a in arrays)
         and data.ndim == 1
         and x.shape[0] >= 4
         and _plan(x.shape[0]) is not None

@@ -125,14 +125,10 @@ _thomas_pallas.defvjp(_fwd, _bwd)
 
 
 def can_use_pallas_thomas(a_up, a_mid, a_low, rhs) -> bool:
-    try:
-        platform = jax.devices()[0].platform
-    except RuntimeError:  # pragma: no cover
-        return False
+    """Shape/dtype eligibility; the platform is decided at lowering time."""
     n = rhs.shape[0]
     return (
-        platform == "tpu"
-        and rhs.dtype == jnp.float32
+        rhs.dtype == jnp.float32
         and a_up.ndim == a_mid.ndim == a_low.ndim == 1
         and n >= 8
         and _pick_tile(n) is not None
@@ -140,18 +136,33 @@ def can_use_pallas_thomas(a_up, a_mid, a_low, rhs) -> bool:
 
 
 def thomas_solve_fast(a_up, a_mid, a_low, rhs):
-    """Dispatch: Pallas kernel when eligible, scan solver otherwise.
+    """Dispatch: Pallas kernel on TPU when eligible, scan solver otherwise.
 
+    Platform selection happens per lowering via ``lax.platform_dependent``,
+    so a program sharded onto CPU devices (e.g. a virtual mesh) never
+    touches the TPU kernel even when a TPU is the default backend.
     ``rhs`` may have any trailing shape; the kernel sees it flattened to
     one bank axis.
     """
     from .. import config
 
-    if getattr(config, "use_fused_kernel", True) and can_use_pallas_thomas(
-        a_up, a_mid, a_low, rhs
+    if not (
+        getattr(config, "use_fused_kernel", True)
+        and can_use_pallas_thomas(a_up, a_mid, a_low, rhs)
     ):
+        return thomas_solve(a_up, a_mid, a_low, rhs)
+
+    def pallas_branch(a_up, a_mid, a_low, rhs):
         n = rhs.shape[0]
         bank_shape = rhs.shape[1:]
         out = _thomas_pallas(a_up, a_mid, a_low, rhs.reshape(n, -1))
         return out.reshape((n,) + bank_shape)
-    return thomas_solve(a_up, a_mid, a_low, rhs)
+
+    return jax.lax.platform_dependent(
+        a_up,
+        a_mid,
+        a_low,
+        rhs,
+        tpu=pallas_branch,
+        default=thomas_solve,
+    )
