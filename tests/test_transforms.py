@@ -52,3 +52,34 @@ def test_integer_queries_promote():
     np.testing.assert_array_equal(
         np.asarray(itp(jnp.array([0, 1, 2]))), [0.0, 10.0, 20.0]
     )
+
+
+def test_vmap_build_per_sample_axes():
+    """vmap over spline construction with a DIFFERENT knot axis per sample
+    — inexpressible in the reference (one shared x per interpolator), free
+    here because build is a pure jittable function."""
+    import scipy.interpolate as si
+
+    from ndarray_interp_tpu.models.strategies.cubic import (
+        CubicSplineStrategy,
+    )
+
+    rng = np.random.default_rng(0)
+    B, n = 5, 12
+    xs = np.sort(rng.uniform(0, 10, (B, n)), axis=1)
+    ys = rng.normal(size=(B, n))
+    q = jnp.linspace(2.0, 8.0, 33)
+
+    strat = CubicSpline().extrapolate(True)
+
+    def one(x, y):
+        s = strat.build(x, y)
+        itp = Interp1D.new_unchecked(x, y, s)
+        return itp(q)
+
+    batched = jax.vmap(one)(jnp.asarray(xs), jnp.asarray(ys))
+    for b in range(B):
+        ref = si.CubicSpline(xs[b], ys[b], bc_type="not-a-knot")(
+            np.asarray(q)
+        )
+        np.testing.assert_allclose(np.asarray(batched[b]), ref, atol=1e-9)
