@@ -391,10 +391,16 @@ class Interp1D:
         Host-side f64 queries (numpy/lists) evaluate on the native C++
         runtime and return numpy; device arrays / f32 use the JAX path.
         """
+        tr_size = 1
+        for s in self.data.shape[1:]:
+            tr_size *= s
         if (
             not _is_traced(xs)
             and not hasattr(xs, "devices")
             and np.dtype(self.data.dtype) == np.float64
+            # small-batch regime: device dispatch latency dominates there;
+            # large host batches are better off on the accelerator
+            and np.size(xs) * tr_size <= 1_000_000
         ):
             out = self._native_eval(np.asarray(xs))
             if out is not None:

@@ -326,10 +326,14 @@ class Interp2D:
         """
         if np.shape(xs) != np.shape(ys):
             raise ValueError("`xs.shape` and `ys.shape` do not match")
+        tr_size = 1
+        for s in self.data.shape[2:]:
+            tr_size *= s
         if (
             not (_is_traced(xs) or _is_traced(ys))
             and not (hasattr(xs, "devices") or hasattr(ys, "devices"))
             and np.dtype(self.data.dtype) == np.float64
+            and np.size(xs) * tr_size <= 1_000_000
         ):
             out = self._native_eval(np.asarray(xs), np.asarray(ys))
             if out is not None:

@@ -29,6 +29,7 @@ def build(verbose: bool = True) -> Path:
         "-shared",
         "-fPIC",
         "-std=c++17",
+        "-fopenmp",
         str(SRC),
         "-o",
         str(OUT),

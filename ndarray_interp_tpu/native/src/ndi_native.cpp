@@ -16,6 +16,10 @@
 #include <cmath>
 #include <cstdint>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
 
 // Interval lookup on a strictly-rising axis; clamps to [0, n-2].
@@ -59,17 +63,29 @@ inline T lerp(T x1, T y1, T x2, T y2, T x) {
 }
 
 template <typename T>
+inline void eval_linear_one(const T* x, const T* y, int64_t n,
+                            int64_t trailing, T qi, T* o) {
+  int64_t idx = lower_index(x, n, qi);
+  const T x1 = x[idx], x2 = x[idx + 1];
+  const T* y1 = y + idx * trailing;
+  const T* y2 = y + (idx + 1) * trailing;
+  for (int64_t t = 0; t < trailing; ++t) o[t] = lerp(x1, y1[t], x2, y2[t], qi);
+}
+
+template <typename T>
 int64_t eval_linear(const T* x, const T* y, int64_t n, int64_t trailing,
                     const T* q, int64_t m, T* out, int extrapolate) {
+  if (extrapolate) {
+    // no per-point error exits -> data-parallel across queries
+#pragma omp parallel for schedule(static) if (m * (trailing + 8) > 1 << 15)
+    for (int64_t i = 0; i < m; ++i)
+      eval_linear_one(x, y, n, trailing, q[i], out + i * trailing);
+    return 0;
+  }
   for (int64_t i = 0; i < m; ++i) {
     T qi = q[i];
-    if (!extrapolate && !(x[0] <= qi && qi <= x[n - 1])) return i + 1;
-    int64_t idx = lower_index(x, n, qi);
-    const T x1 = x[idx], x2 = x[idx + 1];
-    const T* y1 = y + idx * trailing;
-    const T* y2 = y + (idx + 1) * trailing;
-    T* o = out + i * trailing;
-    for (int64_t t = 0; t < trailing; ++t) o[t] = lerp(x1, y1[t], x2, y2[t], qi);
+    if (!(x[0] <= qi && qi <= x[n - 1])) return i + 1;
+    eval_linear_one(x, y, n, trailing, qi, out + i * trailing);
   }
   return 0;
 }
@@ -77,34 +93,47 @@ int64_t eval_linear(const T* x, const T* y, int64_t n, int64_t trailing,
 // Hermite symmetric-form evaluation, op order of cubic_spline.rs:818-828.
 // mode: 0 = error on OOB, 1 = extrapolate, 2 = periodic wrap
 template <typename T>
+inline void eval_hermite_one(const T* x, const T* y, const T* a, const T* b,
+                             int64_t n, int64_t trailing, T qi, int mode,
+                             T x0, T xn, T* o) {
+  if (mode == 2 && !(x0 <= qi && qi <= xn)) {
+    // rem_euclid analogue (cubic_spline.rs:804-809)
+    T span = xn - x0;
+    T r = std::fmod(qi - x0, span);
+    if (r < 0) r += span;
+    qi = r + x0;
+  }
+  int64_t idx = lower_index(x, n, qi);
+  const T xl = x[idx], xr = x[idx + 1];
+  const T t = (qi - xl) / (xr - xl);
+  const T* yl = y + idx * trailing;
+  const T* yr = y + (idx + 1) * trailing;
+  const T* ai = a + idx * trailing;
+  const T* bi = b + idx * trailing;
+  const T one = T(1);
+  for (int64_t k = 0; k < trailing; ++k) {
+    o[k] = (one - t) * yl[k] + t * yr[k] +
+           t * (one - t) * (ai[k] * (one - t) + bi[k] * t);
+  }
+}
+
+template <typename T>
 int64_t eval_hermite(const T* x, const T* y, const T* a, const T* b,
                      int64_t n, int64_t trailing, const T* q, int64_t m,
                      T* out, int mode) {
   const T x0 = x[0], xn = x[n - 1];
+  if (mode != 0) {
+#pragma omp parallel for schedule(static) if (m * (trailing + 8) > 1 << 15)
+    for (int64_t i = 0; i < m; ++i)
+      eval_hermite_one(x, y, a, b, n, trailing, q[i], mode, x0, xn,
+                       out + i * trailing);
+    return 0;
+  }
   for (int64_t i = 0; i < m; ++i) {
     T qi = q[i];
-    bool in_range = (x0 <= qi && qi <= xn);
-    if (mode == 0 && !in_range) return i + 1;
-    if (mode == 2 && !in_range) {
-      // rem_euclid analogue (cubic_spline.rs:804-809)
-      T span = xn - x0;
-      T r = std::fmod(qi - x0, span);
-      if (r < 0) r += span;
-      qi = r + x0;
-    }
-    int64_t idx = lower_index(x, n, qi);
-    const T xl = x[idx], xr = x[idx + 1];
-    const T t = (qi - xl) / (xr - xl);
-    const T* yl = y + idx * trailing;
-    const T* yr = y + (idx + 1) * trailing;
-    const T* ai = a + idx * trailing;
-    const T* bi = b + idx * trailing;
-    T* o = out + i * trailing;
-    const T one = T(1);
-    for (int64_t k = 0; k < trailing; ++k) {
-      o[k] = (one - t) * yl[k] + t * yr[k] +
-             t * (one - t) * (ai[k] * (one - t) + bi[k] * t);
-    }
+    if (!(x0 <= qi && qi <= xn)) return i + 1;
+    eval_hermite_one(x, y, a, b, n, trailing, qi, mode, x0, xn,
+                     out + i * trailing);
   }
   return 0;
 }
