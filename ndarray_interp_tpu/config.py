@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import os
 
+#: NOTE: flags are consulted at trace time; flipping them does not
+#: invalidate already-compiled jit caches.
 use_fused_kernel: bool = os.environ.get("NDI_TPU_DISABLE_FUSED", "0") != "1"
 
 #: Route eager scalar queries (``interp_scalar``) through the native C++

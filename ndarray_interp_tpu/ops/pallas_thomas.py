@@ -36,6 +36,103 @@ def _pick_tile(n: int):
     return None  # fall back to the scan solver
 
 
+def _pick_tile_batched(n: int):
+    # batched diagonals put 5 (n, tile) blocks in VMEM instead of 2
+    if n <= 1024:
+        return 256
+    if n <= 4096:
+        return 128
+    return None
+
+
+def _kernel_batched(
+    a_up_ref, a_mid_ref, a_low_ref, rhs_ref, k_ref, amid_scratch
+):
+    """Per-lane (batched) diagonals: every operand is an (n, B) block and
+    each system in the bank has its own tridiagonal matrix — the
+    ``Individual``-boundary case, where boundary rows differ per spline."""
+    n = rhs_ref.shape[0]
+
+    amid0 = a_mid_ref[0:1, :]  # (1, B)
+    amid_scratch[0:1, :] = amid0
+    k_ref[0:1, :] = rhs_ref[0:1, :]
+
+    def fwd(i, carry):
+        amid_prev, rhs_prev = carry
+        w = a_low_ref[pl.ds(i, 1), :] / amid_prev  # (1, B)
+        amid_new = (
+            a_mid_ref[pl.ds(i, 1), :] - w * a_up_ref[pl.ds(i - 1, 1), :]
+        )
+        rhs_new = rhs_ref[pl.ds(i, 1), :] - w * rhs_prev
+        amid_scratch[pl.ds(i, 1), :] = amid_new
+        k_ref[pl.ds(i, 1), :] = rhs_new
+        return amid_new, rhs_new
+
+    amid_last, rhs_last = jax.lax.fori_loop(
+        1, n, fwd, (amid0, rhs_ref[0:1, :])
+    )
+
+    k_last = rhs_last / amid_last
+    k_ref[pl.ds(n - 1, 1), :] = k_last
+
+    def bwd(j, k_next):
+        i = n - 2 - j
+        k_i = (
+            k_ref[pl.ds(i, 1), :] - a_up_ref[pl.ds(i, 1), :] * k_next
+        ) / amid_scratch[pl.ds(i, 1), :]
+        k_ref[pl.ds(i, 1), :] = k_i
+        return k_i
+
+    jax.lax.fori_loop(0, n - 1, bwd, k_last)
+
+
+def _thomas_pallas_batched_impl(a_up, a_mid, a_low, rhs, interpret=False):
+    """All operands (n, bank) with per-lane diagonals."""
+    n, bank = rhs.shape
+    tile = _pick_tile_batched(n) if not interpret else bank
+    nb = -(-bank // tile)
+    pad = nb * tile - bank
+
+    def p(v):
+        return jnp.pad(v, ((0, 0), (0, pad)), constant_values=1.0)
+
+    blk = lambda: pl.BlockSpec(
+        (n, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _kernel_batched,
+        grid=(nb,),
+        in_specs=[blk(), blk(), blk(), blk()],
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct((n, nb * tile), rhs.dtype),
+        scratch_shapes=[pltpu.VMEM((n, tile), rhs.dtype)],
+        interpret=interpret,
+    )(p(a_up), p(a_mid), p(a_low), jnp.pad(rhs, ((0, 0), (0, pad))))
+    return out[:, :bank]
+
+
+@jax.custom_vjp
+def _thomas_pallas_batched(a_up, a_mid, a_low, rhs):
+    return _thomas_pallas_batched_impl(a_up, a_mid, a_low, rhs)
+
+
+def _fwd_b(a_up, a_mid, a_low, rhs):
+    return _thomas_pallas_batched_impl(a_up, a_mid, a_low, rhs), (
+        a_up,
+        a_mid,
+        a_low,
+        rhs,
+    )
+
+
+def _bwd_b(res, g):
+    _, vjp = jax.vjp(thomas_solve, *res)
+    return vjp(g)
+
+
+_thomas_pallas_batched.defvjp(_fwd_b, _bwd_b)
+
+
 def _kernel(a_up_ref, a_mid_ref, a_low_ref, rhs_ref, k_ref, amid_scratch):
     # The diagonals and the swept diagonal live in SMEM as 1-D scalar
     # arrays (scalar memory supports dynamic scalar reads/writes; VMEM has
@@ -135,6 +232,16 @@ def can_use_pallas_thomas(a_up, a_mid, a_low, rhs) -> bool:
     )
 
 
+def _can_use_batched(a_up, a_mid, a_low, rhs) -> bool:
+    return (
+        rhs.dtype == jnp.float32
+        and a_up.shape == a_mid.shape == a_low.shape == rhs.shape
+        and rhs.ndim >= 2
+        and rhs.shape[0] >= 8
+        and _pick_tile_batched(rhs.shape[0]) is not None
+    )
+
+
 def thomas_solve_fast(a_up, a_mid, a_low, rhs):
     """Dispatch: Pallas kernel on TPU when eligible, scan solver otherwise.
 
@@ -142,27 +249,45 @@ def thomas_solve_fast(a_up, a_mid, a_low, rhs):
     so a program sharded onto CPU devices (e.g. a virtual mesh) never
     touches the TPU kernel even when a TPU is the default backend.
     ``rhs`` may have any trailing shape; the kernel sees it flattened to
-    one bank axis.
+    one bank axis.  Shared 1-D diagonals and per-lane (``Individual``
+    boundary) diagonals each have a kernel variant.
     """
     from .. import config
 
-    if not (
-        getattr(config, "use_fused_kernel", True)
-        and can_use_pallas_thomas(a_up, a_mid, a_low, rhs)
+    if getattr(config, "use_fused_kernel", True) and can_use_pallas_thomas(
+        a_up, a_mid, a_low, rhs
     ):
-        return thomas_solve(a_up, a_mid, a_low, rhs)
 
-    def pallas_branch(a_up, a_mid, a_low, rhs):
-        n = rhs.shape[0]
-        bank_shape = rhs.shape[1:]
-        out = _thomas_pallas(a_up, a_mid, a_low, rhs.reshape(n, -1))
-        return out.reshape((n,) + bank_shape)
+        def pallas_branch(a_up, a_mid, a_low, rhs):
+            n = rhs.shape[0]
+            bank_shape = rhs.shape[1:]
+            out = _thomas_pallas(a_up, a_mid, a_low, rhs.reshape(n, -1))
+            return out.reshape((n,) + bank_shape)
 
-    return jax.lax.platform_dependent(
-        a_up,
-        a_mid,
-        a_low,
-        rhs,
-        tpu=pallas_branch,
-        default=thomas_solve,
-    )
+        return jax.lax.platform_dependent(
+            a_up, a_mid, a_low, rhs, tpu=pallas_branch, default=thomas_solve
+        )
+
+    if getattr(config, "use_fused_kernel", True) and _can_use_batched(
+        a_up, a_mid, a_low, rhs
+    ):
+
+        def pallas_batched_branch(a_up, a_mid, a_low, rhs):
+            n = rhs.shape[0]
+            bank_shape = rhs.shape[1:]
+            flat = lambda v: v.reshape(n, -1)
+            out = _thomas_pallas_batched(
+                flat(a_up), flat(a_mid), flat(a_low), flat(rhs)
+            )
+            return out.reshape((n,) + bank_shape)
+
+        return jax.lax.platform_dependent(
+            a_up,
+            a_mid,
+            a_low,
+            rhs,
+            tpu=pallas_batched_branch,
+            default=thomas_solve,
+        )
+
+    return thomas_solve(a_up, a_mid, a_low, rhs)

@@ -39,3 +39,24 @@ def test_dispatch_falls_back_on_cpu():
         np.asarray(thomas_solve(a_up, a_mid, a_low, rhs)),
         atol=1e-6,
     )
+
+
+@pytest.mark.parametrize("n,bank", [(8, 4), (64, 16)])
+def test_batched_kernel_matches_scan(n, bank):
+    from ndarray_interp_tpu.ops.pallas_thomas import (
+        _thomas_pallas_batched_impl,
+    )
+
+    rng = np.random.default_rng(n + 1)
+    dx = rng.uniform(0.5, 2.0, (n, bank))
+    a_up = jnp.asarray(np.roll(dx, 1, axis=0), jnp.float32)
+    a_low = jnp.asarray(dx, jnp.float32)
+    a_mid = jnp.asarray(
+        2.2 * (dx + np.roll(dx, 1, axis=0)), jnp.float32
+    )
+    rhs = jnp.asarray(rng.normal(size=(n, bank)).astype(np.float32))
+    got = np.asarray(
+        _thomas_pallas_batched_impl(a_up, a_mid, a_low, rhs, interpret=True)
+    )
+    want = np.asarray(thomas_solve(a_up, a_mid, a_low, rhs))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6)
