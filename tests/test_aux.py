@@ -107,3 +107,38 @@ def test_profiling_helpers(tmp_path):
         with profiling.annotate("eval"):
             itp.interp_array(jnp.linspace(0.0, 7.0, 16)).block_until_ready()
     assert any((tmp_path / "trace").rglob("*"))
+
+
+class TestServing:
+    def test_bucketed_eval_matches_direct(self):
+        import jax
+
+        from ndarray_interp_tpu.serving import Evaluator
+
+        rng = np.random.default_rng(0)
+        itp = (
+            Interp1D.builder(jnp.asarray(rng.normal(size=(32, 3))))
+            .strategy(CubicSpline().extrapolate(True))
+            .build()
+        )
+        ev = Evaluator(itp, max_batch=4096).warmup()
+        traces_before = ev._fn._cache_size()
+        for n in (1, 5, 300, 257, 1000, 4096, 9000):
+            q = jnp.asarray(rng.uniform(0, 31, n))
+            np.testing.assert_allclose(
+                np.asarray(ev(q)),
+                np.asarray(itp.interp_array(q)),
+                atol=1e-12,
+            )
+        # no new compilations after warmup
+        assert ev._fn._cache_size() == traces_before
+
+    def test_multidim_queries(self):
+        from ndarray_interp_tpu.serving import Evaluator
+
+        itp = Interp1D.builder(jnp.arange(16.0)).build()
+        ev = Evaluator(itp, max_batch=1024)
+        q = jnp.linspace(0.0, 15.0, 24).reshape(4, 6)
+        np.testing.assert_allclose(
+            np.asarray(ev(q)), np.asarray(itp.interp_array(q)), atol=1e-12
+        )
