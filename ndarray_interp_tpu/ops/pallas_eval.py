@@ -212,6 +212,55 @@ def _fused_bwd(res, g):
 fused_eval_1d.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _index_kernel(lead_ref, kblk_ref, q_ref, out_ref, *, n, w, c):
+    """Bucketize-only variant: the two-level windowed search emitting the
+    clamped interval index (int32) — used where the value fetch is cheaper
+    in XLA (e.g. the 2-D quad-row gather) but the searchsorted is not."""
+    f32 = jnp.float32
+    q = q_ref[:]
+    cmp1 = (lead_ref[:] <= q).astype(f32)
+    coarse = jnp.sum(cmp1, axis=0, keepdims=True)
+    cmax = float((n - 2) // w)
+    cidx = jnp.minimum(coarse, cmax)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, q.shape[1]), 0)
+    oh1 = (iota_c == cidx.astype(jnp.int32)).astype(f32)
+    win_x = jnp.dot(
+        kblk_ref[:],
+        oh1,
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    fine = jnp.sum((win_x <= q).astype(f32), axis=0, keepdims=True)
+    pred = cidx * float(w) + fine - 1.0
+    out_ref[:] = jnp.clip(pred, 0.0, float(n - 2)).astype(jnp.int32)
+
+
+def fused_lower_index(knots, q, interpret=False):
+    """Pallas two-level ``get_lower_index`` for f32 axes (same clamp
+    semantics); ~4x the throughput of the flat compare-and-count at
+    512-knot axes."""
+    n = knots.shape[0]
+    nq = q.shape[0]
+    w, c, B = _plan(n)
+    lead, kblk, _ = _pack_tables(knots, jnp.zeros((n - 1, 1), knots.dtype), w, c)
+    nb = (nq + B - 1) // B
+    qpad = jnp.pad(q, (0, nb * B - nq)).reshape(1, nb * B)
+    kern = functools.partial(_index_kernel, n=n, w=w, c=c)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((c - 1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, nb * B), jnp.int32),
+        interpret=interpret,
+    )(lead, kblk, qpad)
+    return out.reshape(nb * B)[:nq]
+
+
 def make_interval_table(x, data, a=None, b=None):
     """Stack the per-interval channels ``[x_l, x_r, y_l, y_r, a, b]``.
 

@@ -91,3 +91,22 @@ def test_grad_falls_back_to_xla_vjp():
     except Exception:
         pytest.skip("fused kernel not executable on this backend")
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4)
+
+
+@pytest.mark.parametrize("n", [4, 33, 512, 2048])
+def test_fused_lower_index_matches_reference_semantics(n):
+    from ndarray_interp_tpu.ops.pallas_eval import fused_lower_index
+    from ndarray_interp_tpu.ops.searchsorted import get_lower_index
+
+    rng = np.random.default_rng(n)
+    kn = np.sort(rng.uniform(0, 100, n))
+    kn[0], kn[-1] = 0.0, 100.0
+    knots = jnp.asarray(kn, jnp.float32)
+    q = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(-10, 110, 3000), [np.inf, -np.inf], kn[: min(97, n)]]
+        ).astype(np.float32)
+    )
+    got = np.asarray(fused_lower_index(knots, q, interpret=True))
+    want = np.asarray(get_lower_index(knots, q))
+    np.testing.assert_array_equal(got, want)
