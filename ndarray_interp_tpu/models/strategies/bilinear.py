@@ -35,30 +35,12 @@ class Bilinear(Interp2DStrategy, Interp2DStrategyBuilder):
     def eval(self, interp, xq, yq):
         import jax
 
-        from ... import config
-        from ...ops.pallas_eval import _plan, fused_lower_index
+        from ...ops.searchsorted import lower_index_fast
 
         x, y, data = interp.x, interp.y, interp.data
-
-        def idx_of(knots, qv):
-            # two-level Pallas bucketize on TPU (~4x the flat
-            # compare-and-count); exact same clamp semantics
-            if (
-                config.use_fused_kernel
-                and qv.dtype == jnp.float32
-                and knots.dtype == jnp.float32
-                and knots.shape[0] >= 4
-                and _plan(knots.shape[0]) is not None
-            ):
-                return jax.lax.platform_dependent(
-                    qv,
-                    tpu=lambda q: fused_lower_index(knots, q),
-                    default=lambda q: get_lower_index(knots, q),
-                )
-            return get_lower_index(knots, qv)
-
-        xi = idx_of(x, xq)
-        yi = idx_of(y, yq)
+        # two-level Pallas bucketize on TPU (~4x the flat compare-and-count)
+        xi = lower_index_fast(x, xq)
+        yi = lower_index_fast(y, yq)
 
         def tpu_corners(xi, yi):
             # One row gather for everything a query needs: XLA's scattered

@@ -518,8 +518,10 @@ class CubicSplineStrategy(Interp1DStrategy):
         return self._eval_xla(interp, xq)
 
     def _eval_xla(self, interp, xq):
+        from ...ops.searchsorted import lower_index_fast
+
         x = interp.x
-        idx = get_lower_index(x, xq)
+        idx = lower_index_fast(x, xq)
         # One stacked row-gather instead of six scalar gathers: the interval
         # table (n-1, *trailing, 4) costs O(n) to assemble (fused/hoisted by
         # XLA); gather_rows picks take vs one-hot-MXU by table shape.

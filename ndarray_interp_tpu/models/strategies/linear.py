@@ -69,8 +69,9 @@ class Linear(Interp1DStrategy, Interp1DStrategyBuilder):
 
     def _eval_xla(self, interp, xq):
         from ...ops.gather import gather_rows
+        from ...ops.searchsorted import lower_index_fast
 
-        idx = get_lower_index(interp.x, xq)
+        idx = lower_index_fast(interp.x, xq)
         # single stacked gather for both interval endpoints (see cubic.py)
         xg = jnp.stack([interp.x[:-1], interp.x[1:]], axis=-1)[idx]
         x1, x2 = xg[..., 0], xg[..., 1]

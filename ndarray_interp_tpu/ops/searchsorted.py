@@ -63,3 +63,29 @@ def get_lower_index(knots, xq):
 def is_in_range(knots, xq):
     """``knots[0] <= x <= knots[-1]`` elementwise (``src/interp1d/mod.rs:384-386``)."""
     return (knots[0] <= xq) & (xq <= knots[-1])
+
+
+def lower_index_fast(knots, xq):
+    """:func:`get_lower_index` with the two-level Pallas bucketize on TPU
+    (selected at lowering time) for eligible f32 axes; identical results.
+
+    ``xq`` must be flat (1-D)."""
+    import jax
+
+    from .. import config
+    from .pallas_eval import _plan, fused_lower_index
+
+    if (
+        config.use_fused_kernel
+        and xq.ndim == 1
+        and xq.dtype == jnp.float32
+        and knots.dtype == jnp.float32
+        and knots.shape[0] >= 4
+        and _plan(knots.shape[0]) is not None
+    ):
+        return jax.lax.platform_dependent(
+            xq,
+            tpu=lambda q: fused_lower_index(knots, q),
+            default=lambda q: get_lower_index(knots, q),
+        )
+    return get_lower_index(knots, xq)
