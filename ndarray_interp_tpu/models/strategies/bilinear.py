@@ -14,7 +14,6 @@ import jax.numpy as jnp
 from jax.tree_util import register_pytree_node_class
 
 from ...ops.lerp import calc_frac
-from ...ops.searchsorted import get_lower_index
 from .base2d import Interp2DStrategy, Interp2DStrategyBuilder
 
 

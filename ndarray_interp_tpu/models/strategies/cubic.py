@@ -43,8 +43,6 @@ from jax.tree_util import register_pytree_node_class
 
 from ...errors import BuilderValueError, ShapeError
 from ...ops.pallas_thomas import thomas_solve_fast
-from ...ops.searchsorted import get_lower_index
-from ...ops.thomas import thomas_solve
 from .base import Interp1DStrategy, Interp1DStrategyBuilder
 
 # specialized boundary kinds (SingleBoundary after `specialize`,

@@ -18,7 +18,6 @@ import bisect
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _default_buckets(max_size: int):
