@@ -231,3 +231,33 @@ def test_jit_vmap_2d():
     np.testing.assert_allclose(
         v, interp.interp_array(qx.reshape(4, 8), qy.reshape(4, 8)), atol=1e-15
     )
+
+
+def test_custom_2d_pointwise_strategy():
+    """2-D analogue of the custom-strategy extension point."""
+    from jax.tree_util import register_pytree_node_class
+
+    from ndarray_interp_tpu.interp2d import PointwiseStrategy2D
+
+    @register_pytree_node_class
+    class Nearest2D(PointwiseStrategy2D):
+        MINIMUM_DATA_LENGTH = 2
+        extrapolates = True
+
+        def eval_point(self, interp, x, y):
+            xi = jnp.round(
+                jnp.clip(x, 0, interp.data.shape[0] - 1)
+            ).astype(jnp.int32)
+            yi = jnp.round(
+                jnp.clip(y, 0, interp.data.shape[1] - 1)
+            ).astype(jnp.int32)
+            return interp.data[xi, yi]
+
+    data = jnp.arange(12.0).reshape(3, 4)
+    itp = Interp2D.builder(data).strategy(Nearest2D()).build()
+    qx = jnp.array([0.2, 1.6, 2.9])
+    qy = jnp.array([0.4, 2.5, 3.2])
+    np.testing.assert_array_equal(
+        np.asarray(itp.interp_array(qx, qy)),
+        [data[0, 0], data[2, 3], data[3 - 1, 3]],
+    )
