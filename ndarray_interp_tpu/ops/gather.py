@@ -76,6 +76,10 @@ def gather_rows(table, idx):
         r >= _MIN_BANK
         and n <= _MAX_ROWS
         and jnp.issubdtype(table.dtype, jnp.floating)
+        # the (Q, n) one-hot mask must stay single-chunk: for large query
+        # counts the chunked mask materialization costs more HBM traffic
+        # than the row gather it replaces
+        and idx.shape[0] * n <= _MAX_OH_ELEMS
     )
     if eligible:
         # MXU one-hot gather only when lowering for TPU
