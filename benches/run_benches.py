@@ -117,7 +117,8 @@ def main():
         data = jnp.asarray(data)
         x = jnp.arange(data.shape[0], dtype=data.dtype)
         y = jnp.arange(data.shape[1], dtype=data.dtype)
-        return Interp2D.new_unchecked(x, y, data, strategy or Bilinear())
+        strat = (strategy or Bilinear()).build(x, y, data)  # packed rows
+        return Interp2D.new_unchecked(x, y, data, strat)
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"

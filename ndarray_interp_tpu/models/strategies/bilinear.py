@@ -1,11 +1,14 @@
 """Bilinear interpolation strategy on a rectilinear grid.
 
 Reference: ``/root/reference/src/interp2d/strategies/bilinear.rs``.
-Stateless config; evaluation per point is: two range checks, two
-searchsorteds, four corner lookups, then two x-direction lerps followed by
-one y-direction lerp (``bilinear.rs:64-98``).  Here the whole query batch
-does this at once: two bucketizes + one 4-corner gather + three fused
-lerps.
+Stateless config in the reference; evaluation per point is: two range
+checks, two searchsorteds, four corner lookups, then two x-direction
+lerps followed by one y-direction lerp (``bilinear.rs:64-98``).  Here the
+whole query batch does this at once: two bucketizes + one 4-corner gather
++ three fused lerps.  When built through the builder on floating data,
+the finished strategy precomputes the packed corner-row table (all four
+corners + the interval endpoints per cell) so evaluation is exactly one
+row gather per query — :class:`BilinearPacked`.
 """
 
 from __future__ import annotations
@@ -15,6 +18,40 @@ from jax.tree_util import register_pytree_node_class
 
 from ...ops.lerp import calc_frac
 from .base2d import Interp2DStrategy, Interp2DStrategyBuilder
+
+
+def pack_corner_rows(x, y, data):
+    """Packed per-cell rows: 4 corner blocks (contiguous — a corner-minor
+    layout would force strided relayouts) + the 4 interval endpoints.
+    Everything a query needs is then ONE contiguous row gather; even the
+    four scalar endpoint gathers measured ~20 ms/1M queries as separate
+    XLA ops."""
+    nx, ny = data.shape[0], data.shape[1]
+    trailing = data.shape[2:]
+    r = 1
+    for s_ in trailing:
+        r *= s_
+    quad = jnp.stack(
+        [data[:-1, :-1], data[:-1, 1:], data[1:, :-1], data[1:, 1:]],
+        axis=2,
+    ).reshape(nx - 1, ny - 1, 4 * r)
+    ends = jnp.stack(
+        [
+            jnp.broadcast_to(x[:-1, None], (nx - 1, ny - 1)),
+            jnp.broadcast_to(x[1:, None], (nx - 1, ny - 1)),
+            jnp.broadcast_to(y[None, :-1], (nx - 1, ny - 1)),
+            jnp.broadcast_to(y[None, 1:], (nx - 1, ny - 1)),
+        ],
+        axis=-1,
+    ).astype(data.dtype)
+    return jnp.concatenate([quad, ends], axis=-1).reshape(
+        (nx - 1) * (ny - 1), 4 * r + 4
+    )
+
+
+# precompute the packed table at build only below this data size (the
+# table quadruples the grid's memory)
+_PACK_MAX_ELEMS = 64 * 1024 * 1024
 
 
 @register_pytree_node_class
@@ -28,7 +65,15 @@ class Bilinear(Interp2DStrategy, Interp2DStrategyBuilder):
         """Chainable config (``bilinear.rs:20-23``)."""
         return Bilinear(extrapolate=yes)
 
-    def build(self, x, y, data) -> "Bilinear":
+    def build(self, x, y, data):
+        if (
+            jnp.issubdtype(data.dtype, jnp.floating)
+            and x.dtype == data.dtype
+            and data.size <= _PACK_MAX_ELEMS
+        ):
+            return BilinearPacked(
+                pack_corner_rows(x, y, data), self.extrapolates
+            )
         return self
 
     def eval(self, interp, xq, yq):
@@ -42,38 +87,17 @@ class Bilinear(Interp2DStrategy, Interp2DStrategyBuilder):
         yi = lower_index_fast(y, yq)
 
         def tpu_corners(xi, yi):
-            # One row gather for everything a query needs: XLA's scattered
-            # per-element gather is the 2-D bottleneck on TPU, so the quad
-            # table packs all 4 corners (contiguous blocks — a corner-minor
-            # layout would force strided relayouts) AND the interval
-            # endpoints into one row; even the four scalar x/y-endpoint
-            # gathers measured ~20 ms/1M queries as separate ops.
-            nx, ny = data.shape[0], data.shape[1]
+            # one packed-row gather per query (see pack_corner_rows);
+            # packed at build when possible, else assembled here (fused
+            # into the surrounding program by XLA)
+            ny = data.shape[1]
             trailing = data.shape[2:]
             r = 1
             for s in trailing:
                 r *= s
-            quad = jnp.stack(
-                [
-                    data[:-1, :-1],
-                    data[:-1, 1:],
-                    data[1:, :-1],
-                    data[1:, 1:],
-                ],
-                axis=2,
-            ).reshape(nx - 1, ny - 1, 4 * r)
-            ends = jnp.stack(
-                [
-                    jnp.broadcast_to(x[:-1, None], (nx - 1, ny - 1)),
-                    jnp.broadcast_to(x[1:, None], (nx - 1, ny - 1)),
-                    jnp.broadcast_to(y[None, :-1], (nx - 1, ny - 1)),
-                    jnp.broadcast_to(y[None, 1:], (nx - 1, ny - 1)),
-                ],
-                axis=-1,
-            ).astype(data.dtype)
-            rows = jnp.concatenate([quad, ends], axis=-1).reshape(
-                (nx - 1) * (ny - 1), 4 * r + 4
-            )
+            rows = self._rows()
+            if rows is None:
+                rows = pack_corner_rows(x, y, data)
             flat = xi * (ny - 1) + yi
             g2 = jnp.take(rows, flat, axis=0)
             out_shape = flat.shape + trailing
@@ -118,6 +142,9 @@ class Bilinear(Interp2DStrategy, Interp2DStrategyBuilder):
         z2 = calc_frac(e(x1), z12, e(x2), z22, e(xq))
         return calc_frac(e(y1), z1, e(y2), z2, e(yq))
 
+    def _rows(self):
+        return None
+
     def tree_flatten(self):
         return (), (self.extrapolates,)
 
@@ -128,3 +155,29 @@ class Bilinear(Interp2DStrategy, Interp2DStrategyBuilder):
 
     def __repr__(self):
         return f"Bilinear(extrapolate={self.extrapolates})"
+
+
+@register_pytree_node_class
+class BilinearPacked(Bilinear):
+    """Finished bilinear strategy with the corner-row table precomputed at
+    build time (one row gather per query, no per-call table assembly)."""
+
+    def __init__(self, rows, extrapolate: bool = False):
+        super().__init__(extrapolate)
+        self.rows = rows
+
+    def _rows(self):
+        return self.rows
+
+    def tree_flatten(self):
+        return (self.rows,), (self.extrapolates,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], extrapolate=aux[0])
+
+    def __repr__(self):
+        return (
+            f"BilinearPacked(rows={getattr(self.rows, 'shape', None)}, "
+            f"extrapolate={self.extrapolates})"
+        )

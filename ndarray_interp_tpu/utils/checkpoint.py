@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..models.interp1d import Interp1D
 from ..models.interp2d import Interp2D
-from ..models.strategies.bilinear import Bilinear
+from ..models.strategies.bilinear import Bilinear, BilinearPacked
 from ..models.strategies.cubic import CubicSplineStrategy
 from ..models.strategies.linear import Linear
 
@@ -41,6 +41,13 @@ _STRATEGY_CODECS = {
     ),
     "bilinear": (
         Bilinear,
+        lambda s: ({"extrapolate": s.extrapolates}, {}),
+        lambda meta, arrs: Bilinear(extrapolate=meta["extrapolate"]),
+    ),
+    # packed variant: rows are derived state — persist only the config and
+    # re-pack from (x, y, data) on load
+    "bilinear_packed": (
+        BilinearPacked,
         lambda s: ({"extrapolate": s.extrapolates}, {}),
         lambda meta, arrs: Bilinear(extrapolate=meta["extrapolate"]),
     ),
@@ -104,9 +111,10 @@ def load(path):
             return Interp1D.new_unchecked(
                 jnp.asarray(z["x"]), jnp.asarray(z["data"]), strategy
             )
-        return Interp2D.new_unchecked(
-            jnp.asarray(z["x"]),
-            jnp.asarray(z["y"]),
-            jnp.asarray(z["data"]),
-            strategy,
-        )
+        x2 = jnp.asarray(z["x"])
+        y2 = jnp.asarray(z["y"])
+        d2 = jnp.asarray(z["data"])
+        if isinstance(strategy, Bilinear):
+            # re-derive the packed corner-row table where eligible
+            strategy = Bilinear(strategy.extrapolates).build(x2, y2, d2)
+        return Interp2D.new_unchecked(x2, y2, d2, strategy)
