@@ -289,13 +289,38 @@ def _solve_for_k(x, y, left_kind, left_val, right_kind, right_val):
     rhs = jnp.concatenate([rhs0[None], rhs_interior, rhsn[None]], axis=0)
 
     if batched:
-        bshape = (n,) + trailing
-        a_up = jnp.broadcast_to(ex(a_up_1d), bshape).at[0].set(au0)
-        a_mid = jnp.broadcast_to(ex(a_mid_1d), bshape).at[0].set(am0)
-        a_low = jnp.broadcast_to(ex(a_low_1d), bshape)
-        a_up = a_up.at[n - 1].set(jnp.zeros(trailing, dtype))
-        a_mid = a_mid.at[n - 1].set(amn)
-        a_low = a_low.at[n - 1].set(aln)
+        # Assemble by concatenation, NOT broadcast_to + .at[].set: an
+        # indexed-update on a broadcast view miscompiles under jit on the
+        # CPU backend (wrong lane selected in the scan that consumes it —
+        # observed with jax 0.9.0), and concatenation is what we mean
+        # anyway: fixed interior rows with per-bank boundary rows.
+        def brow(v):  # (trailing,) boundary row
+            return jnp.broadcast_to(
+                jnp.asarray(v, dtype), trailing
+            )[None]
+
+        interior_shape = (n - 2,) + trailing
+        a_up = jnp.concatenate(
+            [
+                brow(au0),
+                jnp.broadcast_to(ex(a_up_1d[1:-1]), interior_shape),
+                brow(jnp.zeros((), dtype)),
+            ]
+        )
+        a_mid = jnp.concatenate(
+            [
+                brow(am0),
+                jnp.broadcast_to(ex(a_mid_1d[1:-1]), interior_shape),
+                brow(amn),
+            ]
+        )
+        a_low = jnp.concatenate(
+            [
+                brow(jnp.zeros((), dtype)),
+                jnp.broadcast_to(ex(a_low_1d[1:-1]), interior_shape),
+                brow(aln),
+            ]
+        )
     else:
         a_up = a_up_1d.at[0].set(au0)
         a_mid = a_mid_1d.at[0].set(am0).at[n - 1].set(amn)

@@ -178,3 +178,66 @@ def test_native_batch_agrees_with_jax_random(seed):
     np.testing.assert_allclose(
         native_out, np.asarray(jax_out), rtol=1e-13, atol=1e-13
     )
+
+
+@pytest.mark.parametrize("seed", [13, 21, 99])
+def test_individual_boundaries_random_vs_scipy(seed):
+    """Random per-row boundary assignments vs per-column SciPy splines."""
+    from ndarray_interp_tpu.interp1d.cubic_spline import (
+        RowBoundary,
+        SingleBoundary,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(4, 24))
+    bank = int(rng.integers(2, 5))
+    x = axis(rng, n, "random")
+    y = rng.normal(size=(n, bank))
+
+    kinds = ["not-a-knot", "natural", "clamped", (1, 0.7), (2, -1.3)]
+
+    def to_single(k):
+        if k == "not-a-knot":
+            return SingleBoundary.NotAKnot
+        if k == "natural":
+            return SingleBoundary.Natural
+        if k == "clamped":
+            return SingleBoundary.Clamped
+        d, v = k
+        return (
+            SingleBoundary.FirstDeriv(v)
+            if d == 1
+            else SingleBoundary.SecondDeriv(v)
+        )
+
+    def to_scipy(k):
+        return k if isinstance(k, (str, tuple)) else k
+
+    picks = [
+        (kinds[rng.integers(0, 5)], kinds[rng.integers(0, 5)])
+        for _ in range(bank)
+    ]
+    rows = np.array(
+        [[RowBoundary.Mixed(to_single(l), to_single(r)) for l, r in picks]],
+        dtype=object,
+    )
+    itp = (
+        Interp1D.builder(jnp.asarray(y))
+        .x(jnp.asarray(x))
+        .strategy(
+            CubicSpline()
+            .extrapolate(True)
+            .boundary(BoundaryCondition.Individual(rows))
+        )
+        .build()
+    )
+    q = rng.uniform(x[0] - 1, x[-1] + 1, 151)
+    got = np.asarray(itp.interp_array(jnp.asarray(q)))
+    for col, (l, r) in enumerate(picks):
+        oracle = si.CubicSpline(
+            x, y[:, col], bc_type=(to_scipy(l), to_scipy(r))
+        )
+        np.testing.assert_allclose(
+            got[:, col], oracle(q), rtol=1e-7, atol=1e-7,
+            err_msg=f"col {col} bounds {l}/{r}",
+        )
