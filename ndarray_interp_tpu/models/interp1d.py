@@ -267,17 +267,30 @@ class Interp1D:
             a_np = _host_view(self.strategy.a)
             b_np = _host_view(self.strategy.b)
             if (a_np is None or b_np is None) and strat_builder is not None:
-                # coefficients live on an accelerator; recompute them on the
-                # CPU backend from the host inputs rather than transferring
-                import jax
+                # coefficients live on an accelerator; rebuild them on the
+                # host rather than transferring — natively for uniform
+                # cubic boundaries, via the CPU backend otherwise
+                from .strategies.cubic import CubicSpline as _CS
 
-                cpu = jax.devices("cpu")[0]
-                with jax.default_device(cpu):
-                    s2 = strat_builder.build(
-                        jnp.asarray(x_np), jnp.asarray(d_np)
-                    )
-                a_np = np.asarray(s2.a)
-                b_np = np.asarray(s2.b)
+                kind_codes = {"not_a_knot": 0, "clamped": 1, "natural": 2}
+                if (
+                    isinstance(strat_builder, _CS)
+                    and strat_builder._boundary.kind in kind_codes
+                ):
+                    from ..native import cubic_build
+
+                    code = kind_codes[strat_builder._boundary.kind]
+                    a_np, b_np = cubic_build(x_np, d_np, code, 0.0, code, 0.0)
+                else:
+                    import jax
+
+                    cpu = jax.devices("cpu")[0]
+                    with jax.default_device(cpu):
+                        s2 = strat_builder.build(
+                            jnp.asarray(x_np), jnp.asarray(d_np)
+                        )
+                    a_np = np.asarray(s2.a)
+                    b_np = np.asarray(s2.b)
             if a_np is None or b_np is None:
                 return None
             return ("hermite", x_np, d_np, a_np, b_np, mode)

@@ -55,6 +55,16 @@ def _load():
         pd, pd, pd, c_i64, c_i64, ctypes.c_double, ctypes.c_double,
         c_int, pint,
     ]
+    _lib.ndi_cubic_build_f64.restype = c_int
+    _lib.ndi_cubic_build_f64.argtypes = [
+        pd, pd, c_i64, c_i64, c_int, ctypes.c_double, c_int,
+        ctypes.c_double, pd, pd,
+    ]
+    _lib.ndi_cubic_build_f32.restype = c_int
+    _lib.ndi_cubic_build_f32.argtypes = [
+        pf, pf, c_i64, c_i64, c_int, ctypes.c_float, c_int,
+        ctypes.c_float, pf, pf,
+    ]
     _lib.ndi_lower_index_f64.restype = c_i64
     _lib.ndi_lower_index_f64.argtypes = [pd, c_i64, ctypes.c_double]
     _lib.ndi_lower_index_f32.restype = c_i64
@@ -166,6 +176,30 @@ def eval_bilinear(x, y, z, qx, qy, extrapolate: bool):
         _ptr(qxc), _ptr(qyc), qxc.shape[0], _ptr(out), int(extrapolate),
     )
     return out.reshape(np.shape(qx) + z.shape[2:]), int(rc)
+
+
+def cubic_build(x, y, left_kind, left_val, right_kind, right_val):
+    """Uniform-boundary cubic coefficient build on the host.
+
+    Returns ``(a, b)`` with shape ``(n-1, *y.shape[1:])``; kind codes:
+    0 not-a-knot, 1 first-deriv, 2 second-deriv.
+    """
+    lib = _load()
+    dt = np.float64 if np.result_type(x, y) == np.float64 else np.float32
+    xc = _prep(x, dt)
+    yc = _prep(y, dt).reshape(y.shape[0], -1)
+    n, m = yc.shape
+    a = np.empty((n - 1, m), dt)
+    b = np.empty((n - 1, m), dt)
+    fn = lib.ndi_cubic_build_f64 if dt == np.float64 else lib.ndi_cubic_build_f32
+    rc = fn(
+        _ptr(xc), _ptr(yc), n, m, int(left_kind), float(left_val),
+        int(right_kind), float(right_val), _ptr(a), _ptr(b),
+    )
+    if rc != 0:
+        raise ValueError("cubic_build failed (need at least 3 points)")
+    tail = y.shape[1:]
+    return a.reshape((n - 1,) + tail), b.reshape((n - 1,) + tail)
 
 
 class ScalarEval1D:

@@ -188,9 +188,166 @@ int monotonic(const T* x, int64_t n) {
   return 4;
 }
 
+// Cubic-spline coefficient construction with a uniform boundary condition
+// on both ends — the host-side analogue of the batched solve in
+// models/strategies/cubic.py (role of calc_coefficients + solve_for_k +
+// thomas, cubic_spline.rs:310-721, with the SciPy-correct right-NAK
+// diagonal).  kind codes: 0 not-a-knot, 1 first-deriv, 2 second-deriv.
+// a_out/b_out: (n-1) x trailing.  Returns 0 on success.
+template <typename T>
+int cubic_build(const T* x, const T* y, int64_t n, int64_t trailing,
+                int left_kind, T left_val, int right_kind, T right_val,
+                T* a_out, T* b_out) {
+  if (n < 3) return 1;
+  const int64_t m = trailing;
+  T* dx = new T[n - 1];
+  for (int64_t i = 0; i + 1 < n; ++i) dx[i] = x[i + 1] - x[i];
+  const T dx0 = dx[0], dx1 = dx[1];
+  const T dx_1 = dx[n - 2], dx_2 = dx[n - 3];
+
+  T* au = new T[n];
+  T* am = new T[n];
+  T* al = new T[n];
+  T* rhs = new T[n * m];
+  T* k = new T[n * m];
+
+  // interior rows
+  for (int64_t i = 1; i + 1 < n; ++i) {
+    au[i] = dx[i - 1];
+    am[i] = T(2) * (dx[i] + dx[i - 1]);
+    al[i] = dx[i];
+    const T* yl = y + (i - 1) * m;
+    const T* ym = y + i * m;
+    const T* yr = y + (i + 1) * m;
+    T* r = rhs + i * m;
+    for (int64_t t = 0; t < m; ++t)
+      r[t] = T(3) * (dx[i] * (ym[t] - yl[t]) / dx[i - 1] +
+                     dx[i - 1] * (yr[t] - ym[t]) / dx[i]);
+  }
+
+  const bool both_nak3 = (n == 3 && left_kind == 0 && right_kind == 0);
+  const T* y0 = y;
+  const T* y1 = y + m;
+  const T* y2 = y + 2 * m;
+  const T* yn1 = y + (n - 1) * m;
+  const T* yn2 = y + (n - 2) * m;
+  const T* yn3 = y + (n - 3) * m;
+
+  // left boundary row
+  if (both_nak3) {
+    am[0] = T(1);
+    au[0] = T(1);
+    for (int64_t t = 0; t < m; ++t)
+      rhs[t] = T(2) * (y1[t] - y0[t]) / dx0;
+  } else if (left_kind == 0) {
+    const T d = x[2] - x[0];
+    am[0] = dx1;
+    au[0] = d;
+    const T tmp1 = (dx0 + T(2) * d) * dx1;
+    for (int64_t t = 0; t < m; ++t)
+      rhs[t] = (tmp1 * (y1[t] - y0[t]) / dx0 +
+                dx0 * dx0 * (y2[t] - y1[t]) / dx1) /
+               d;
+  } else if (left_kind == 1) {
+    am[0] = T(1);
+    au[0] = T(0);
+    for (int64_t t = 0; t < m; ++t) rhs[t] = left_val;
+  } else {
+    au[0] = dx0;
+    am[0] = T(2) * dx0;
+    for (int64_t t = 0; t < m; ++t)
+      rhs[t] = T(3) * (y1[t] - y0[t]) - left_val * dx0 * dx0 / T(2);
+  }
+
+  // right boundary row
+  T* rn = rhs + (n - 1) * m;
+  if (both_nak3) {
+    am[n - 1] = T(1);
+    al[n - 1] = T(1);
+    for (int64_t t = 0; t < m; ++t)
+      rn[t] = T(2) * (yn1[t] - yn2[t]) / dx_1;
+  } else if (right_kind == 0) {
+    const T d = x[n - 1] - x[n - 3];
+    am[n - 1] = dx_2;  // SciPy's formulation (see cubic.py)
+    al[n - 1] = d;
+    const T tmp1 = (T(2) * d + dx_1) * dx_2;
+    for (int64_t t = 0; t < m; ++t)
+      rn[t] = (dx_1 * dx_1 * (yn2[t] - yn3[t]) / dx_2 +
+               tmp1 * (yn1[t] - yn2[t]) / dx_1) /
+              d;
+  } else if (right_kind == 1) {
+    am[n - 1] = T(1);
+    al[n - 1] = T(0);
+    for (int64_t t = 0; t < m; ++t) rn[t] = right_val;
+  } else {
+    am[n - 1] = T(2) * dx_1;
+    al[n - 1] = dx_1;
+    for (int64_t t = 0; t < m; ++t)
+      rn[t] = T(3) * (yn1[t] - yn2[t]) + right_val * dx_1 * dx_1 / T(2);
+  }
+  au[n - 1] = T(0);
+  al[0] = T(0);
+
+  // Thomas: forward sweep then back substitution (same op order as
+  // ops/thomas.py)
+  for (int64_t i = 1; i < n; ++i) {
+    const T w = al[i] / am[i - 1];
+    am[i] -= w * au[i - 1];
+    T* ri = rhs + i * m;
+    const T* rp = rhs + (i - 1) * m;
+    for (int64_t t = 0; t < m; ++t) ri[t] = ri[t] - w * rp[t];
+  }
+  {
+    T* kl = k + (n - 1) * m;
+    const T* rl = rhs + (n - 1) * m;
+    for (int64_t t = 0; t < m; ++t) kl[t] = rl[t] / am[n - 1];
+  }
+  for (int64_t i = n - 2; i >= 0; --i) {
+    T* ki = k + i * m;
+    const T* kn = k + (i + 1) * m;
+    const T* ri = rhs + i * m;
+    for (int64_t t = 0; t < m; ++t)
+      ki[t] = (ri[t] - au[i] * kn[t]) / am[i];
+  }
+
+  // a[i] = k[i]·dx[i] - Δy;  b[i] = Δy - k[i+1]·dx[i]
+  for (int64_t i = 0; i + 1 < n; ++i) {
+    const T* yi = y + i * m;
+    const T* yr = y + (i + 1) * m;
+    const T* ki = k + i * m;
+    const T* kr = k + (i + 1) * m;
+    T* ai = a_out + i * m;
+    T* bi = b_out + i * m;
+    for (int64_t t = 0; t < m; ++t) {
+      const T dyv = yr[t] - yi[t];
+      ai[t] = ki[t] * dx[i] - dyv;
+      bi[t] = dyv - kr[t] * dx[i];
+    }
+  }
+
+  delete[] dx;
+  delete[] au;
+  delete[] am;
+  delete[] al;
+  delete[] rhs;
+  delete[] k;
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
+
+int ndi_cubic_build_f64(const double* x, const double* y, int64_t n,
+                        int64_t trailing, int lk, double lv, int rk,
+                        double rv, double* a_out, double* b_out) {
+  return cubic_build(x, y, n, trailing, lk, lv, rk, rv, a_out, b_out);
+}
+int ndi_cubic_build_f32(const float* x, const float* y, int64_t n,
+                        int64_t trailing, int lk, float lv, int rk, float rv,
+                        float* a_out, float* b_out) {
+  return cubic_build(x, y, n, trailing, lk, lv, rk, rv, a_out, b_out);
+}
 
 // ---- scalar fast path (interp_scalar: 1-D data / 2-D data) ----------------
 // err: 0 ok, 1 out-of-bounds, 2 NaN query

@@ -145,3 +145,43 @@ def test_native_periodic_wrap():
         nat = float(itp.interp_scalar(q))
         jax_val = float(itp.interp(jnp.asarray(q)))
         assert abs(nat - jax_val) < 1e-12
+
+
+def test_native_cubic_build_matches_jax():
+    import jax.numpy as jnp2
+
+    from ndarray_interp_tpu.models.strategies.cubic import (
+        _ab_from_k,
+        _solve_for_k,
+    )
+
+    rng = np.random.default_rng(3)
+    for kinds in [(0, 0.0, 0, 0.0), (2, 0.0, 2, 0.0), (1, -0.1, 2, -0.5)]:
+        n, bank = 14, 3
+        x = np.sort(rng.uniform(0, 10, n))
+        y = rng.normal(size=(n, bank))
+        a, b = native.cubic_build(x, y, *kinds)
+        k = _solve_for_k(
+            jnp2.asarray(x), jnp2.asarray(y), kinds[0], kinds[1],
+            kinds[2], kinds[3],
+        )
+        aj, bj = _ab_from_k(jnp2.asarray(x), jnp2.asarray(y), k)
+        np.testing.assert_allclose(a, np.asarray(aj), rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(b, np.asarray(bj), rtol=1e-12, atol=1e-12)
+
+
+def test_scalar_fast_path_cubic_exact():
+    import scipy.interpolate as si
+
+    rng = np.random.default_rng(4)
+    x = np.sort(rng.uniform(0, 10, 15))
+    y = rng.normal(size=15)
+    itp = (
+        Interp1D.builder(y)  # numpy inputs → host copies
+        .x(x)
+        .strategy(CubicSpline().extrapolate(True))
+        .build()
+    )
+    ref = si.CubicSpline(x, y, bc_type="not-a-knot")
+    for q in np.linspace(x[0] - 1, x[-1] + 1, 23):
+        assert abs(float(itp.interp_scalar(float(q))) - float(ref(q))) < 1e-10
