@@ -7,6 +7,12 @@ and 64-bit mode enabled so the f64 value tables ported from the reference
 
 import os
 import sys
+from pathlib import Path
+
+# make the package importable regardless of the pytest invocation cwd
+_ROOT = str(Path(__file__).resolve().parent.parent)
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 # Force CPU: the ambient environment sets JAX_PLATFORMS=axon (a tunneled
 # TPU); running the f64 oracle tests there would be slow (every eager op
