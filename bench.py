@@ -17,6 +17,13 @@ import sys
 import time
 from pathlib import Path
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_ROOT = str(_Path(__file__).resolve().parent)
+if _ROOT not in _sys.path:
+    _sys.path.insert(0, _ROOT)
+
 import numpy as np
 
 
