@@ -67,6 +67,20 @@ def test_kernel_inf_clamps():
     np.testing.assert_allclose(rk, rx, rtol=1e-5)
 
 
+def test_linear_table_inf_extrapolates_like_reference():
+    # Linear tables (a = b = 0): ±inf queries must extrapolate to ±inf
+    # (calc_frac semantics, /root/reference/src/interp1d/strategies/
+    # linear.rs:29-37), not the NaN the symmetric lerp's inf-inf produces.
+    knots = jnp.asarray(np.linspace(0.0, 10.0, 16), jnp.float32)
+    data = jnp.asarray(np.linspace(0.0, 30.0, 16), jnp.float32)  # slope +3
+    tbl = make_interval_table(knots, data)
+    q = jnp.asarray(np.array([np.inf, -np.inf, 5.0], np.float32))
+    rk = np.asarray(_fused_eval_impl(knots, tbl, q, interpret=True))
+    rx = np.asarray(_eval_xla(knots, tbl, q))
+    assert rk[0] == np.inf and rk[1] == -np.inf
+    np.testing.assert_array_equal(rk, rx)
+
+
 def test_grad_falls_back_to_xla_vjp():
     from ndarray_interp_tpu.ops.pallas_eval import fused_eval_1d
 
