@@ -31,7 +31,14 @@ _MAX_OH_ELEMS = 32 * 1024 * 1024
 
 
 def _onehot_gather(table2, idx):
-    """table2 (n, r), idx (Q,) → (Q, r) via one-hot matmul."""
+    """table2 (n, r), idx (Q,) → (Q, r) via one-hot matmul.
+
+    HIGHEST precision keeps selection exact for f32 tables.  (An exact
+    3-way bf16 split — see ``pallas_eval._split3`` — halves the MXU passes
+    inside the fused Pallas kernel, but measured 2.4× *slower* here: in
+    XLA the split terms either materialize (Q, r)-sized partial products
+    in HBM or widen the one-hot to 3n lanes, both of which cost more than
+    the extra MXU passes on wide banks.)"""
     n = table2.shape[0]
 
     def chunk(ic):

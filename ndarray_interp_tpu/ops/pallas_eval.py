@@ -15,13 +15,15 @@ strictly-rising axis:
 
 1. coarse: compare q against the C-1 block-leader knots → block index c
    (O(C) compares);
-2. fetch block c's W knots *and* its W interval rows with a one-hot
-   matmul on the MXU — the one-hot (C, B) times the blocked table
-   (ch·W, C) — turning the gather into systolic-array work;
+2. fetch block c's knot and data windows (W+1 overlapping rows each, so
+   both interval endpoints select from one fetch) plus its W [a, b]
+   interval rows with a one-hot matmul on the MXU — the one-hot (C, B)
+   times the blocked tables — turning the gather into systolic-array work;
 3. fine: compare q against the W in-window knots → position within the
-   block (O(W) compares), then select the one interval row by mask+reduce.
+   block (O(W) compares), then select the interval endpoints and
+   coefficients by mask+reduce.
 
-Total per-query cost is O(C + W + ch·W) VPU ops + O(n·ch) MACs instead of
+Total per-query cost is O(C + W) VPU ops + O(n·4) MACs instead of
 O(n) comparisons, with ``C·W = n_padded``.  The clamp-to-``[0, n-2]``
 out-of-range semantics of ``get_lower_index`` are preserved exactly
 (including ±inf; NaN queries produce NaN output).
@@ -105,8 +107,8 @@ def _dot3(hi, mid, lo, oh):
     return acc + jnp.dot(lo, oh, preferred_element_type=f32)
 
 
-def _kernel(lead_ref, kh_ref, km_ref, kl_ref, th_ref, tm_ref, tl_ref, q_ref,
-            out_ref, *, n, w, c, ch):
+def _kernel(lead_ref, kh_ref, km_ref, kl_ref, dh_ref, dm_ref, dl_ref,
+            ah_ref, am_ref, al_ref, q_ref, out_ref, *, n, w, c, wp):
     f32 = jnp.float32
     q = q_ref[:]  # (1, B)
 
@@ -120,25 +122,32 @@ def _kernel(lead_ref, kh_ref, km_ref, kl_ref, th_ref, tm_ref, tl_ref, q_ref,
     # 2. one-hot over blocks → window fetch on the MXU.  The one-hot is
     #    exactly bf16-representable, and the split tables reconstruct the
     #    f32 values bit-exactly (selection must be exact — the x endpoints
-    #    especially feed a catastrophic cancellation in t).
+    #    especially feed a catastrophic cancellation in t).  The knot and
+    #    data windows carry W+1 overlapping rows so both interval endpoints
+    #    come from the same fetch; only [a, b] need per-interval channels.
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, q.shape[1]), 0)
     oh1 = (iota_c == cidx.astype(jnp.int32)).astype(jnp.bfloat16)  # (C, B)
-    win_x = _dot3(kh_ref[:], km_ref[:], kl_ref[:], oh1)  # (W, B)
-    win_t = _dot3(th_ref[:], tm_ref[:], tl_ref[:], oh1)  # (ch*W, B)
+    win_x = _dot3(kh_ref[:], km_ref[:], kl_ref[:], oh1)  # (Wp, B)
+    win_d = _dot3(dh_ref[:], dm_ref[:], dl_ref[:], oh1)  # (Wp, B)
+    win_ab = _dot3(ah_ref[:], am_ref[:], al_ref[:], oh1)  # (2W, B)
 
-    # 3. fine: position within the window, with the reference's clamp
-    fine = jnp.sum((win_x <= q).astype(f32), axis=0, keepdims=True)
+    # 3. fine: position within the window (first W rows are this block's
+    #    knots; row W duplicates the next block's leader), reference clamp
+    fine = jnp.sum((win_x[:w] <= q).astype(f32), axis=0, keepdims=True)
     pred = cidx * float(w) + fine - 1.0
     pos = jnp.clip(pred, 0.0, float(n - 2)) - cidx * float(w)  # in [0, W)
 
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, q.shape[1]), 0)
-    oh_w = (iota_w == pos.astype(jnp.int32)).astype(f32)  # (W, B)
-    rows = [
-        jnp.sum(win_t[i * w : (i + 1) * w, :] * oh_w, axis=0, keepdims=True)
-        for i in range(ch)
-    ]  # ch × (1, B) — per-channel masked reduce (no (ch·W, B) concat)
+    iota_wp = jax.lax.broadcasted_iota(jnp.int32, (wp, q.shape[1]), 0)
+    posi = pos.astype(jnp.int32)
+    oh_l = (iota_wp == posi).astype(f32)  # (Wp, B): interval left row
+    oh_r = (iota_wp == posi + 1).astype(f32)  # (Wp, B): right row
+    x_l = jnp.sum(win_x * oh_l, axis=0, keepdims=True)
+    x_r = jnp.sum(win_x * oh_r, axis=0, keepdims=True)
+    y_l = jnp.sum(win_d * oh_l, axis=0, keepdims=True)
+    y_r = jnp.sum(win_d * oh_r, axis=0, keepdims=True)
+    a = jnp.sum(win_ab[:w] * oh_l[:w], axis=0, keepdims=True)
+    b = jnp.sum(win_ab[w:] * oh_l[:w], axis=0, keepdims=True)
 
-    x_l, x_r, y_l, y_r, a, b = rows[:6]
     t = (q - x_l) / (x_r - x_l)
     one = f32(1.0)
     # same op order as cubic_spline.rs:818-828 (linear is encoded with
@@ -152,7 +161,7 @@ def _kernel(lead_ref, kh_ref, km_ref, kl_ref, th_ref, tm_ref, tl_ref, q_ref,
 
 
 def _pack_tables(knots, tbl, w, c):
-    """Blocked, transposed operands for the kernel (host/trace-time)."""
+    """Blocked, transposed operands for the index kernel (trace-time)."""
     n = knots.shape[0]
     ch = tbl.shape[1]
     # Pad with the largest *finite* value: +inf would turn into NaN in the
@@ -169,6 +178,32 @@ def _pack_tables(knots, tbl, w, c):
     # (C, W, ch) → (ch, W, C) → (ch*W, C), row s = c_i*W + w_i
     tblk = tp.reshape(c, w, ch).transpose(2, 1, 0).reshape(ch * w, c)
     return lead, kblk, tblk
+
+
+def _pack_windows(knots, data, a, b, w, c, wp):
+    """Overlapping-window operands for the eval kernel (trace-time).
+
+    Column j of kwin/dwin holds values ``[j*w : j*w + w + 1]`` padded to
+    ``wp`` rows (bf16 sublane alignment), so the W+1-th row is the next
+    block's leader and both interval endpoints select from one window.
+    ``abblk`` stacks the per-interval [a; b] channels as (2W, C)."""
+    n = knots.shape[0]
+    big = jnp.asarray(jnp.finfo(knots.dtype).max, knots.dtype)
+    kp = jnp.concatenate(
+        [knots, jnp.full((w * c + 1 - n,), big, knots.dtype)]
+    )
+    dp = jnp.concatenate([data, jnp.zeros((w * c + 1 - n,), data.dtype)])
+    lead = kp[w::w][: c - 1].reshape(c - 1, 1)
+    idx = jnp.arange(wp)[:, None] + w * jnp.arange(c)[None, :]
+    idx = jnp.minimum(idx, w * c)  # rows beyond W+1 replicate the edge
+    kwin = kp[idx]  # (Wp, C)
+    dwin = dp[idx]
+    ap = jnp.concatenate([a, jnp.zeros((w * c - (n - 1),), a.dtype)])
+    bp = jnp.concatenate([b, jnp.zeros((w * c - (n - 1),), b.dtype)])
+    abblk = jnp.concatenate(
+        [ap.reshape(c, w).T, bp.reshape(c, w).T], axis=0
+    )  # (2W, C)
+    return lead, kwin, dwin, abblk
 
 
 def _eval_xla(knots, tbl, q):
@@ -207,37 +242,44 @@ def fused_eval_1d(knots, tbl, q):
 def _fused_eval_impl(knots, tbl, q, interpret=False):
     n = knots.shape[0]
     nq = q.shape[0]
-    ch = 6
     w, c, B = _plan(n)
-    if tbl.shape[1] != ch:
-        tbl = tbl[:, :ch]
+    # The interval table's endpoint channels are redundant with the knot /
+    # data vectors; recover them so the kernel fetches the small windows
+    # plus only the [a, b] channels (XLA dead-code-eliminates the stack).
+    data = jnp.concatenate([tbl[:, 2], tbl[-1:, 3]])
+    a, b = tbl[:, 4], tbl[:, 5]
 
-    lead, kblk, tblk = _pack_tables(knots, tbl, w, c)
-    kh, km, kl = _split3(kblk)
-    th, tm, tl = _split3(tblk)
+    wp = -(-(w + 1) // 16) * 16  # bf16 sublane alignment
+    lead, kwin, dwin, abblk = _pack_windows(knots, data, a, b, w, c, wp)
+    kh, km, kl = _split3(kwin)
+    dh, dm, dl = _split3(dwin)
+    ah, am, al = _split3(abblk)
 
     nb = (nq + B - 1) // B
     qpad = jnp.pad(q, (0, nb * B - nq)).reshape(1, nb * B)
 
-    kern = functools.partial(_kernel, n=n, w=w, c=c, ch=ch)
+    kern = functools.partial(_kernel, n=n, w=w, c=c, wp=wp)
     fix = lambda i: (0, 0)
     out = pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((c - 1, 1), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, c), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, c), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, c), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ch * w, c), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ch * w, c), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ch * w, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * w, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * w, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * w, c), fix, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, nb * B), jnp.float32),
         interpret=interpret,
-    )(lead, kh, km, kl, th, tm, tl, qpad)
+    )(lead, kh, km, kl, dh, dm, dl, ah, am, al, qpad)
     return out.reshape(nb * B)[:nq]
 
 

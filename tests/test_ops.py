@@ -151,3 +151,51 @@ class TestMonotonic:
     def test_non_1d_rejected(self):
         with pytest.raises(ValueError):
             monotonic_prop(np.zeros((2, 2)))
+
+
+class TestOnehotGather:
+    """The MXU one-hot row gather must reproduce ``table[idx]`` exactly
+    (it is selection by exact 0/1 weights; the f32 path additionally rides
+    a 3-way bf16 truncation split that reconstructs rows bit-for-bit)."""
+
+    def test_f32_split_path_bit_exact(self):
+        from ndarray_interp_tpu.ops.gather import _onehot_gather
+
+        rng = np.random.default_rng(0)
+        table = jnp.asarray(
+            (rng.normal(size=(257, 33)) * 10.0 ** rng.integers(-20, 20, (257, 33)))
+            .astype(np.float32)
+        )
+        idx = jnp.asarray(rng.integers(0, 257, 4096).astype(np.int32))
+        got = np.asarray(_onehot_gather(table, idx))
+        want = np.asarray(table)[np.asarray(idx)]
+        np.testing.assert_array_equal(got, want)
+
+    def test_f64_highest_path(self):
+        from ndarray_interp_tpu.ops.gather import _onehot_gather
+
+        rng = np.random.default_rng(1)
+        table = jnp.asarray(rng.normal(size=(64, 9)))
+        idx = jnp.asarray(rng.integers(0, 64, 333).astype(np.int32))
+        got = np.asarray(_onehot_gather(table, idx))
+        np.testing.assert_array_equal(got, np.asarray(table)[np.asarray(idx)])
+
+    def test_chunked_large_query(self):
+        from ndarray_interp_tpu.ops.gather import _onehot_gather, _MAX_OH_ELEMS
+
+        rng = np.random.default_rng(2)
+        n = 8192
+        table = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+        q = _MAX_OH_ELEMS // n + 1000  # force the lax.map chunk path
+        idx = jnp.asarray(rng.integers(0, n, q).astype(np.int32))
+        got = np.asarray(_onehot_gather(table, idx))
+        np.testing.assert_array_equal(got, np.asarray(table)[np.asarray(idx)])
+
+    def test_gather_rows_nd_trailing(self):
+        from ndarray_interp_tpu.ops.gather import gather_rows
+
+        rng = np.random.default_rng(3)
+        table = jnp.asarray(rng.normal(size=(31, 3, 5)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 31, 17).astype(np.int32))
+        got = np.asarray(gather_rows(table, idx))
+        np.testing.assert_array_equal(got, np.asarray(table)[np.asarray(idx)])
