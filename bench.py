@@ -37,6 +37,11 @@ def measure(fn, *args, reps=10, warmup=2):
     is the only honest clock; draining once per batch keeps the tunnel's
     ~25 ms round-trip latency out of the per-call number, which is the
     right accounting for a throughput metric.)
+
+    For device-side workloads prefer :func:`measure_chained`: even one
+    drain per ``reps`` dispatches leaves ~RTT/reps of tunnel latency in
+    each number (~2.5 ms at reps=10), which dwarfs sub-millisecond
+    kernels.
     """
     for _ in range(warmup):
         r = fn(*args)
@@ -49,6 +54,21 @@ def measure(fn, *args, reps=10, warmup=2):
         _drain(r)
         best = min(best, (time.perf_counter() - t0) / reps)
     return float(best)
+
+
+def measure_chained(make_chain, links, *args, reps=6, warmup=1):
+    """Sustained on-device time per workload iteration.
+
+    ``make_chain(links)`` must return a jitted function running ``links``
+    data-dependent iterations of the workload inside ONE device program
+    and reducing to a scalar.  This is how a production serving/training
+    loop runs — back-to-back batches with no host round-trip per batch —
+    and it keeps the relay tunnel's per-dispatch latency (~25 ms RTT,
+    not present on directly-attached TPUs) out of the per-iteration
+    number.  Returns seconds per iteration.
+    """
+    fn = make_chain(links)
+    return measure(fn, *args, reps=reps, warmup=warmup) / links
 
 
 def _drain(x):
@@ -148,15 +168,43 @@ def main():
     interp = Interp1D.new_unchecked(
         x_d, v_d, CubicSplineStrategy(a, b, "yes")
     )
-    fast = jax.jit(lambda t, q: t(q).sum())
-    t_ours = measure(fast, interp, q_d, reps=10, warmup=2)
+
+    def eval_chain(links):
+        @jax.jit
+        def run(t, q):
+            acc = jnp.float32(0.0)
+            x = q
+            for _ in range(links):
+                r = t(x)
+                acc = acc + jnp.sum(r)
+                # data dependence defeats CSE; the perturbation is far
+                # below a knot spacing, so every link does identical work
+                x = q + jnp.float32(1e-6) * r
+            return acc
+
+        return run
+
+    t_ours = measure_chained(eval_chain, 16, interp, q_d)
     our_qps = n_q / t_ours
 
     # secondary: build time for a 10k-knot bank of 64 splines
     bank = jnp.asarray(rng.normal(size=(10_000, 64)).astype(np.float32))
     xb = jnp.asarray(np.linspace(0, 1, 10_000), dtype)
-    build_bank = jax.jit(lambda x, d: strat.build(x, d).a.sum())
-    t_build = measure(build_bank, xb, bank, reps=3, warmup=1)
+
+    def build_chain(links):
+        @jax.jit
+        def run(x, d):
+            acc = jnp.float32(0.0)
+            dd = d
+            for _ in range(links):
+                s = strat.build(x, dd)
+                acc = acc + jnp.sum(s.a)
+                dd = d + jnp.float32(1e-6) * s.a[:1]
+            return acc
+
+        return run
+
+    t_build = measure_chained(build_chain, 8, xb, bank)
 
     result = {
         "metric": "queries/sec/chip (1D cubic, 1M pts)",
