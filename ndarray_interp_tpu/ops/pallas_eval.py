@@ -137,16 +137,17 @@ def _kernel(lead_ref, kh_ref, km_ref, kl_ref, dh_ref, dm_ref, dl_ref,
     pred = cidx * float(w) + fine - 1.0
     pos = jnp.clip(pred, 0.0, float(n - 2)) - cidx * float(w)  # in [0, W)
 
-    iota_wp = jax.lax.broadcasted_iota(jnp.int32, (wp, q.shape[1]), 0)
-    posi = pos.astype(jnp.int32)
-    oh_l = (iota_wp == posi).astype(f32)  # (Wp, B): interval left row
-    oh_r = (iota_wp == posi + 1).astype(f32)  # (Wp, B): right row
-    x_l = jnp.sum(win_x * oh_l, axis=0, keepdims=True)
-    x_r = jnp.sum(win_x * oh_r, axis=0, keepdims=True)
-    y_l = jnp.sum(win_d * oh_l, axis=0, keepdims=True)
-    y_r = jnp.sum(win_d * oh_r, axis=0, keepdims=True)
-    a = jnp.sum(win_ab[:w] * oh_l[:w], axis=0, keepdims=True)
-    b = jnp.sum(win_ab[w:] * oh_l[:w], axis=0, keepdims=True)
+    # One W-row mask selects everything: pos < W always, and the right
+    # endpoint is the shifted window against the SAME mask
+    # (win[pos+1] == shift(win)[pos]) — no second mask, W-row reduces.
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, q.shape[1]), 0)
+    oh_l = (iota_w == pos.astype(jnp.int32)).astype(f32)  # (W, B)
+    x_l = jnp.sum(win_x[:w] * oh_l, axis=0, keepdims=True)
+    x_r = jnp.sum(win_x[1 : w + 1] * oh_l, axis=0, keepdims=True)
+    y_l = jnp.sum(win_d[:w] * oh_l, axis=0, keepdims=True)
+    y_r = jnp.sum(win_d[1 : w + 1] * oh_l, axis=0, keepdims=True)
+    a = jnp.sum(win_ab[:w] * oh_l, axis=0, keepdims=True)
+    b = jnp.sum(win_ab[w:] * oh_l, axis=0, keepdims=True)
 
     t = (q - x_l) / (x_r - x_l)
     one = f32(1.0)
@@ -342,6 +343,117 @@ def fused_lower_index(knots, q, interpret=False):
         interpret=interpret,
     )(lead, kh, km, kl, qpad)
     return out.reshape(nb * B)[:nq]
+
+
+def _axis_search(lead, kh, km, kl, q, *, n, w, c, wp):
+    """Shared in-kernel two-level search: returns the clamped interval
+    index (f32), and the interval endpoints selected from the window."""
+    f32 = jnp.float32
+    cmp1 = (lead <= q).astype(f32)
+    coarse = jnp.sum(cmp1, axis=0, keepdims=True)
+    cmax = float((n - 2) // w)
+    cidx = jnp.minimum(coarse, cmax)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, q.shape[1]), 0)
+    oh1 = (iota_c == cidx.astype(jnp.int32)).astype(jnp.bfloat16)
+    win = _dot3(kh, km, kl, oh1)  # (Wp, B)
+    fine = jnp.sum((win[:w] <= q).astype(f32), axis=0, keepdims=True)
+    pred = cidx * float(w) + fine - 1.0
+    idx = jnp.clip(pred, 0.0, float(n - 2))
+    pos = idx - cidx * float(w)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, q.shape[1]), 0)
+    oh_l = (iota_w == pos.astype(jnp.int32)).astype(f32)
+    x_l = jnp.sum(win[:w] * oh_l, axis=0, keepdims=True)
+    x_r = jnp.sum(win[1 : w + 1] * oh_l, axis=0, keepdims=True)
+    return idx, x_l, x_r
+
+
+def _cell_kernel(xl_ref, xh_ref, xm_ref, xlo_ref, yl_ref, yh_ref, ym_ref,
+                 ylo_ref, qx_ref, qy_ref, cell_ref, tx_ref, ty_ref, *,
+                 nx, wx, cx, wpx, ny, wy, cy, wpy):
+    """Both bilinear axis searches in one pass: emits the flat cell index
+    ``xi * (ny - 1) + yi`` plus the interpolation fractions tx, ty."""
+    qx = qx_ref[:]
+    qy = qy_ref[:]
+    xi, x_l, x_r = _axis_search(
+        xl_ref[:], xh_ref[:], xm_ref[:], xlo_ref[:], qx,
+        n=nx, w=wx, c=cx, wp=wpx,
+    )
+    yi, y_l, y_r = _axis_search(
+        yl_ref[:], yh_ref[:], ym_ref[:], ylo_ref[:], qy,
+        n=ny, w=wy, c=cy, wp=wpy,
+    )
+    # xi, yi < 2^23: the f32 product is exact for every real grid size
+    cell_ref[:] = (xi * float(ny - 1) + yi).astype(jnp.int32)
+    tx_ref[:] = (qx - x_l) / (x_r - x_l)
+    ty_ref[:] = (qy - y_l) / (y_r - y_l)
+
+
+def fused_cell_index(x, y, qx, qy, interpret=False):
+    """Fused bilinear bucketize for f32 axes: one Pallas pass computing the
+    flat cell index and both interpolation fractions
+    (``/root/reference/src/interp2d/strategies/bilinear.rs:71-97``
+    semantics; clamps match ``get_lower_index`` exactly, incl. ±inf).
+
+    Not wired into the bilinear hot path yet: measured on v5e it is
+    slightly slower end-to-end than two :func:`fused_lower_index` calls
+    (the endpoint selects cost more than the XLA tail they replace, and
+    the packed-row gather dominates either way at ~6 ns/row).  It is the
+    building block for the planned sort-and-bin bilinear kernel — the
+    flat cell id is the bin/sort key (see docs/ROADMAP.md).
+    """
+    nx, ny = x.shape[0], y.shape[0]
+    nq = qx.shape[0]
+    wx, cx, bx = _plan(nx)
+    wy, cy, by = _plan(ny)
+    B = min(bx, by)
+    wpx = -(-(wx + 1) // 16) * 16
+    wpy = -(-(wy + 1) // 16) * 16
+    zx = jnp.zeros((nx - 1,), x.dtype)
+    zy = jnp.zeros((ny - 1,), y.dtype)
+    lead_x, kwin_x, _, _ = _pack_windows(x, x, zx, zx, wx, cx, wpx)
+    lead_y, kwin_y, _, _ = _pack_windows(y, y, zy, zy, wy, cy, wpy)
+    xh, xm, xlo = _split3(kwin_x)
+    yh, ym, ylo = _split3(kwin_y)
+
+    nb = (nq + B - 1) // B
+    qxp = jnp.pad(qx, (0, nb * B - nq)).reshape(1, nb * B)
+    qyp = jnp.pad(qy, (0, nb * B - nq)).reshape(1, nb * B)
+
+    kern = functools.partial(
+        _cell_kernel,
+        nx=nx, wx=wx, cx=cx, wpx=wpx, ny=ny, wy=wy, cy=cy, wpy=wpy,
+    )
+    fix = lambda i: (0, 0)
+    mov = lambda i: (0, i)
+    cell, tx, ty = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((cx - 1, 1), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpx, cx), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpx, cx), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpx, cx), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((cy - 1, 1), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpy, cy), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpy, cy), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpy, cy), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), mov, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), mov, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B), mov, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), mov, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), mov, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, nb * B), jnp.int32),
+            jax.ShapeDtypeStruct((1, nb * B), jnp.float32),
+            jax.ShapeDtypeStruct((1, nb * B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lead_x, xh, xm, xlo, lead_y, yh, ym, ylo, qxp, qyp)
+    flat = lambda v: v.reshape(nb * B)[:nq]
+    return flat(cell), flat(tx), flat(ty)
 
 
 def make_interval_table(x, data, a=None, b=None):

@@ -124,3 +124,36 @@ def test_fused_lower_index_matches_reference_semantics(n):
     got = np.asarray(fused_lower_index(knots, q, interpret=True))
     want = np.asarray(get_lower_index(knots, q))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_cell_index_matches_reference_semantics():
+    from ndarray_interp_tpu.ops.pallas_eval import fused_cell_index
+    from ndarray_interp_tpu.ops.searchsorted import get_lower_index
+
+    rng = np.random.default_rng(5)
+    nx, ny = 37, 210
+    xk = np.sort(rng.uniform(0, 50, nx)); xk[0], xk[-1] = 0.0, 50.0
+    yk = np.sort(rng.uniform(0, 80, ny)); yk[0], yk[-1] = 0.0, 80.0
+    x = jnp.asarray(xk, jnp.float32)
+    y = jnp.asarray(yk, jnp.float32)
+    qx = jnp.asarray(
+        np.concatenate([rng.uniform(-5, 55, 3000), [np.inf, -np.inf], xk[:29]])
+        .astype(np.float32)
+    )
+    qy = jnp.asarray(
+        np.concatenate([rng.uniform(-5, 85, 3000), [-np.inf, np.inf], yk[:29]])
+        .astype(np.float32)
+    )
+    cell, tx, ty = fused_cell_index(x, y, qx, qy, interpret=True)
+    xi = np.asarray(get_lower_index(x, qx))
+    yi = np.asarray(get_lower_index(y, qy))
+    np.testing.assert_array_equal(np.asarray(cell), xi * (ny - 1) + yi)
+    # fractions use the exact window-fetched endpoints
+    tx_ref = (np.asarray(qx) - xk[xi].astype(np.float32)) / (
+        xk[xi + 1].astype(np.float32) - xk[xi].astype(np.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(tx), tx_ref.astype(np.float32))
+    ty_ref = (np.asarray(qy) - yk[yi].astype(np.float32)) / (
+        yk[yi + 1].astype(np.float32) - yk[yi].astype(np.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(ty), ty_ref.astype(np.float32))
