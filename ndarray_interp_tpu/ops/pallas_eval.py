@@ -58,8 +58,13 @@ def _plan(n: int):
     buffers cost ~``6C + 36W`` bytes per lane (the (C, B) compare/one-hot
     tensors and the (ch·W, B) fetched window dominate), and fewer, larger
     grid steps amortize per-step overhead (measured +7% going 2048→8192 at
-    2k knots on v5e)."""
-    if n <= 8192:
+    2k knots on v5e).  W trades the fine/select row count and MXU
+    K-utilization (K = C; 128 is a full pass) against the coarse compare
+    count (C-1 rows): W=16 at 2k knots measured 16% faster than W=32,
+    W=8 markedly slower."""
+    if n <= 2048:
+        w = 16
+    elif n <= 8192:
         w = 32
     elif n <= 16384:
         w = 64
