@@ -555,37 +555,68 @@ class CubicSplineStrategy(Interp1DStrategy):
         return self._eval_xla(interp, xq)
 
     def _eval_xla(self, interp, xq):
+        from ... import config
         from ...ops.searchsorted import lower_index_fast
 
         x = interp.x
+        data = interp.data
         idx = lower_index_fast(x, xq)
-        # One stacked row-gather instead of six scalar gathers: the interval
-        # table (n-1, *trailing, 4) costs O(n) to assemble (fused/hoisted by
-        # XLA); gather_rows picks take vs one-hot-MXU by table shape.
-        from ...ops.gather import gather_rows
-
         xpair = jnp.stack([x[:-1], x[1:]], axis=-1)  # (n-1, 2)
         xg = xpair[idx]
         x_left = xg[..., 0]
         x_right = xg[..., 1]
-        tbl = jnp.stack(
-            [interp.data[:-1], interp.data[1:], self.a, self.b], axis=-1
-        )  # (n-1, *trailing, 4)
-        g = gather_rows(tbl, idx)
-        y_left = g[..., 0]
-        y_right = g[..., 1]
-        a = g[..., 2]
-        b = g[..., 3]
+        tq = (xq - x_left) / (x_right - x_left)
 
-        expand = xq.shape + (1,) * (interp.data.ndim - 1)
-        t = ((xq - x_left) / (x_right - x_left)).reshape(expand)
-        one = jnp.ones((), interp.data.dtype)
-        # symmetric Hermite form, exact op order of cubic_spline.rs:818-828
-        return (
-            (one - t) * y_left
-            + t * y_right
-            + t * (one - t) * (a * (one - t) + b * t)
-        )
+        def gather_form(idx, tq):
+            # One stacked row-gather instead of six scalar gathers: the
+            # interval table (n-1, *trailing, 4) costs O(n) to assemble
+            # (fused/hoisted by XLA); gather_rows picks take vs one-hot-MXU
+            # by table shape.
+            from ...ops.gather import gather_rows
+
+            tbl = jnp.stack(
+                [data[:-1], data[1:], self.a, self.b], axis=-1
+            )  # (n-1, *trailing, 4)
+            g = gather_rows(tbl, idx)
+            y_left = g[..., 0]
+            y_right = g[..., 1]
+            a = g[..., 2]
+            b = g[..., 3]
+            expand = xq.shape + (1,) * (data.ndim - 1)
+            t = tq.reshape(expand)
+            one = jnp.ones((), data.dtype)
+            # symmetric Hermite, exact op order of cubic_spline.rs:818-828
+            return (
+                (one - t) * y_left
+                + t * y_right
+                + t * (one - t) * (a * (one - t) + b * t)
+            )
+
+        from ...ops.pallas_bank import banked_eval, can_use_banked
+
+        if (
+            getattr(config, "use_fused_kernel", True)
+            and can_use_banked(x, data)
+            and jnp.issubdtype(xq.dtype, jnp.floating)
+        ):
+            import jax
+
+            def banked_form(idx, tq):
+                # fused select+Hermite kernel: bit-identical to gather_form
+                # without materializing the 4-channel gathered intermediate
+                out = banked_eval(
+                    data,
+                    self.a,
+                    self.b,
+                    idx.reshape(-1),
+                    tq.reshape(-1).astype(data.dtype),
+                )
+                return out.reshape(xq.shape + data.shape[1:])
+
+            return jax.lax.platform_dependent(
+                idx, tq, tpu=banked_form, default=gather_form
+            )
+        return gather_form(idx, tq)
 
     # -- pytree --------------------------------------------------------------
     def tree_flatten(self):
