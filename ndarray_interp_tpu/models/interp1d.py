@@ -524,6 +524,17 @@ class Interp1DBuilder:
         data = data.astype(ct)
 
         finished = strat.build(x, data)
+        # Non-finite data values must not ride the one-hot MXU selection
+        # paths (NaN·0 = NaN poisons unrelated queries, docs/PARITY.md D5).
+        # The check needs values, so it runs on the host copy when one
+        # exists; device-built data skips it (documented: assume finite).
+        if self._data_host is not None and np.issubdtype(
+            self._data_host.dtype, np.floating
+        ):
+            if not np.isfinite(self._data_host).all():
+                mark = getattr(finished, "with_data_finite", None)
+                if mark is not None:
+                    finished = mark(False)
         interp = Interp1D(x, data, finished)
         # capture host copies for the native scalar path and range checks —
         # the eager API must never depend on a device→host array transfer

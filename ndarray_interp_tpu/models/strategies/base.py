@@ -60,6 +60,19 @@ class Interp1DStrategy:
         """
         raise NotImplementedError
 
+    def with_data_finite(self, finite: bool) -> "Interp1DStrategy":
+        """Return a strategy marked with whether the data values are all
+        finite (a *static* routing hint, part of pytree aux).
+
+        The eager builder calls this after checking the host copy of the
+        data: non-finite data values must not ride the TPU one-hot MXU
+        selection paths, where ``NaN * 0 == NaN`` poisons unrelated queries
+        (see docs/PARITY.md D5).  The default keeps the strategy unchanged —
+        strategies that never use one-hot selection can ignore the hint.
+        """
+        del finite
+        return self
+
 
 class PointwiseStrategy(Interp1DStrategy, Interp1DStrategyBuilder):
     """Adapter for user strategies written one query point at a time.

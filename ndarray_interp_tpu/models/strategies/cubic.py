@@ -331,14 +331,19 @@ def _solve_for_k(x, y, left_kind, left_val, right_kind, right_val):
 
 def _solve_periodic(x, y):
     """Periodic boundary: validation + condensed solve
-    (``cubic_spline.rs:480-565``)."""
-    y0_host = np.asarray(y[0])
-    ylast_host = np.asarray(y[y.shape[0] - 1])
-    if not np.array_equal(y0_host, ylast_host):
-        raise BuilderValueError(
-            "for periodic boundary condition the first and last value must "
-            f"be equal. First: {y0_host}, last: {ylast_host}"
-        )
+    (``cubic_spline.rs:480-565``).
+
+    The first==last value check is data-dependent, so it only runs eagerly;
+    building under ``jit``/``pjit`` skips it (like ``new_unchecked``, the
+    caller vouches for the data)."""
+    if not isinstance(y, jax.core.Tracer):
+        y0_host = np.asarray(y[0])
+        ylast_host = np.asarray(y[y.shape[0] - 1])
+        if not np.array_equal(y0_host, ylast_host):
+            raise BuilderValueError(
+                "for periodic boundary condition the first and last value "
+                f"must be equal. First: {y0_host}, last: {ylast_host}"
+            )
     return _solve_periodic_core(x, y)
 
 
@@ -509,17 +514,24 @@ class CubicSplineStrategy(Interp1DStrategy):
     """Finished cubic-spline strategy (``cubic_spline.rs:90-102``).
 
     Leaves: per-interval coefficient banks ``a``/``b`` with shape
-    ``(n-1, *data.shape[1:])``.  Static: extrapolation mode.
+    ``(n-1, *data.shape[1:])``.  Static: extrapolation mode + the
+    data-finiteness routing hint (docs/PARITY.md D5).
     """
 
-    def __init__(self, a, b, mode: str = "no"):
+    def __init__(self, a, b, mode: str = "no", finite: bool = True):
         self.a = a
         self.b = b
         self.mode = mode  # "no" | "yes" | "periodic"
+        self.finite = bool(finite)
 
     @property
     def extrapolates(self) -> bool:
         return self.mode != "no"
+
+    def with_data_finite(self, finite: bool) -> "CubicSplineStrategy":
+        if bool(finite) == self.finite:
+            return self
+        return CubicSplineStrategy(self.a, self.b, self.mode, finite)
 
     def eval(self, interp, xq):
         x = interp.x
@@ -539,6 +551,7 @@ class CubicSplineStrategy(Interp1DStrategy):
 
         if (
             config.use_fused_kernel
+            and self.finite
             and xq.dtype == jnp.float32
             and can_use_fused(x, interp.data, (self.a, self.b))
         ):
@@ -577,7 +590,7 @@ class CubicSplineStrategy(Interp1DStrategy):
             tbl = jnp.stack(
                 [data[:-1], data[1:], self.a, self.b], axis=-1
             )  # (n-1, *trailing, 4)
-            g = gather_rows(tbl, idx)
+            g = gather_rows(tbl, idx, assume_finite=self.finite)
             y_left = g[..., 0]
             y_right = g[..., 1]
             a = g[..., 2]
@@ -596,6 +609,7 @@ class CubicSplineStrategy(Interp1DStrategy):
 
         if (
             getattr(config, "use_fused_kernel", True)
+            and self.finite
             and can_use_banked(x, data)
             and jnp.issubdtype(xq.dtype, jnp.floating)
         ):
@@ -620,11 +634,16 @@ class CubicSplineStrategy(Interp1DStrategy):
 
     # -- pytree --------------------------------------------------------------
     def tree_flatten(self):
-        return (self.a, self.b), (self.mode,)
+        return (self.a, self.b), (self.mode, self.finite)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0])
+        # aux was (mode,) before the finite hint existed; accept both so
+        # checkpoints round-trip
+        return cls(
+            children[0], children[1], aux[0],
+            aux[1] if len(aux) > 1 else True,
+        )
 
     def __repr__(self):
         return f"CubicSplineStrategy(a={self.a.shape}, mode={self.mode})"

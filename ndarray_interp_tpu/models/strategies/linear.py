@@ -29,12 +29,19 @@ class Linear(Interp1DStrategy, Interp1DStrategyBuilder):
 
     MINIMUM_DATA_LENGTH = 2  # linear.rs:52
 
-    def __init__(self, extrapolate: bool = False):
+    def __init__(self, extrapolate: bool = False, finite: bool = True):
         self.extrapolates = bool(extrapolate)
+        # static hint: data values all finite (safe for one-hot selection)
+        self.finite = bool(finite)
 
     def extrapolate(self, yes: bool = True) -> "Linear":
         """Return a copy with extrapolation enabled/disabled (chainable)."""
-        return Linear(extrapolate=yes)
+        return Linear(extrapolate=yes, finite=self.finite)
+
+    def with_data_finite(self, finite: bool) -> "Linear":
+        if bool(finite) == self.finite:
+            return self
+        return Linear(extrapolate=self.extrapolates, finite=finite)
 
     # -- strategy protocol -------------------------------------------------
     def build(self, x, data) -> "Linear":
@@ -52,6 +59,7 @@ class Linear(Interp1DStrategy, Interp1DStrategyBuilder):
 
         if (
             config.use_fused_kernel
+            and self.finite
             and xq.dtype == jnp.float32
             and can_use_fused(interp.x, interp.data)
         ):
@@ -75,7 +83,9 @@ class Linear(Interp1DStrategy, Interp1DStrategyBuilder):
         xg = jnp.stack([interp.x[:-1], interp.x[1:]], axis=-1)[idx]
         x1, x2 = xg[..., 0], xg[..., 1]
         yg = gather_rows(
-            jnp.stack([interp.data[:-1], interp.data[1:]], axis=-1), idx
+            jnp.stack([interp.data[:-1], interp.data[1:]], axis=-1),
+            idx,
+            assume_finite=self.finite,
         )
         y1, y2 = yg[..., 0], yg[..., 1]
         expand = xq.shape + (1,) * (interp.data.ndim - 1)
@@ -85,12 +95,14 @@ class Linear(Interp1DStrategy, Interp1DStrategyBuilder):
 
     # -- pytree -------------------------------------------------------------
     def tree_flatten(self):
-        return (), (self.extrapolates,)
+        return (), (self.extrapolates, self.finite)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         del children
-        return cls(extrapolate=aux[0])
+        # aux was (extrapolates,) before the finite hint existed; accept both
+        # so checkpoints round-trip
+        return cls(extrapolate=aux[0], finite=aux[1] if len(aux) > 1 else True)
 
     def __repr__(self):
         return f"Linear(extrapolate={self.extrapolates})"

@@ -65,8 +65,14 @@ def _onehot_gather(table2, idx):
     return out.reshape(nchunk * max_chunk, -1)[:q]
 
 
-def gather_rows(table, idx):
-    """``table[idx]`` along axis 0; table (n, *trailing), idx (Q,)."""
+def gather_rows(table, idx, assume_finite=True):
+    """``table[idx]`` along axis 0; table (n, *trailing), idx (Q,).
+
+    ``assume_finite=False`` forces the ``take`` formulation: the one-hot
+    matmul computes ``sum(onehot * row)`` over ALL rows, so a non-finite
+    value anywhere in the table would poison every query (``NaN * 0 ==
+    NaN`` on the MXU) — see docs/PARITY.md D5.
+    """
     n = table.shape[0]
     trailing = table.shape[1:]
     r = 1
@@ -80,7 +86,8 @@ def gather_rows(table, idx):
         return jnp.take(table2, idx, axis=0)
 
     eligible = (
-        r >= _MIN_BANK
+        assume_finite
+        and r >= _MIN_BANK
         and n <= _MAX_ROWS
         and jnp.issubdtype(table.dtype, jnp.floating)
         # the (Q, n) one-hot mask must stay single-chunk: for large query

@@ -18,7 +18,10 @@ The per-query interval index and fraction t are computed in XLA first
 (they are shared across the whole bank row and cost O(Q)); the one-hot
 matrix is exactly representable in bf16, so channel selection — and
 therefore the whole result — is bit-identical to the gather formulation
-in ``CubicSplineStrategy._eval_xla``.
+in ``CubicSplineStrategy._eval_xla`` **for finite table values**.  A
+NaN/inf datum poisons its entire bank lane for all queries (``NaN * 0 ==
+NaN`` on the MXU); non-finite banks are routed to the gather path via
+the strategy's ``finite`` hint (docs/PARITY.md D5).
 
 Gradients: ``custom_vjp`` whose backward pass is the VJP of the gather
 formulation, like ``fused_eval_1d``.

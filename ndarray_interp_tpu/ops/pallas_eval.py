@@ -33,7 +33,11 @@ so row selection is bit-exact — the tables ride the MXU as an exact
 3-way bf16 truncation split (see ``_split3``), which reproduces the f32
 values bit-for-bit in half the passes of a ``Precision.HIGHEST`` f32
 matmul — and the polynomial uses the same operation order as the XLA
-path.
+path.  **Requires finite table values**: a NaN/inf datum anywhere in the
+table poisons every query's selection (``NaN * 0 == NaN`` on the MXU),
+unlike the gather formulation which localizes it to adjacent intervals.
+The strategies route non-finite banks to the gather path via the
+``finite`` hint set by the eager builder (docs/PARITY.md D5).
 
 Gradients: the kernel defines a ``custom_vjp`` whose backward pass is the
 VJP of the equivalent XLA formulation, so ``jax.grad`` through an

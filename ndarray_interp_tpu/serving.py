@@ -1,15 +1,18 @@
 """Serving helpers: fixed-shape evaluation for variable-length queries.
 
 Under ``jit`` every new query-batch shape triggers a recompile — fatal for
-a serving path fed requests of arbitrary size.  :class:`Evaluator` pads
-each batch up to a size bucket (powers of two by default), evaluates with
-a single compiled program per bucket, and slices the padding off.  Padding
-uses the first knot, so it never produces out-of-range work regardless of
-the extrapolation mode.
+a serving path fed requests of arbitrary size.  :class:`Evaluator` (1-D)
+and :class:`Evaluator2D` pad each batch up to a size bucket (powers of two
+by default), evaluate with a single compiled program per bucket, and slice
+the padding off.  Padding uses the first knot(s), so it never produces
+out-of-range work regardless of the extrapolation mode.
 
     ev = Evaluator(interp)
     ev.warmup()              # optional: precompile every bucket
     values = ev(queries)     # any length, no recompiles after warmup
+
+    ev2 = Evaluator2D(interp2d)
+    values = ev2(xs, ys)
 """
 
 from __future__ import annotations
@@ -29,7 +32,27 @@ def _default_buckets(max_size: int):
     return out
 
 
-class Evaluator:
+class _BucketedEvaluator:
+    """Shared bucketing/padding logic; subclasses bind the jitted program
+    and the padding values."""
+
+    def __init__(self, interp, max_batch: int = 1 << 20, buckets=None,
+                 donate: bool = False):
+        self._interp = interp
+        self._buckets = sorted(buckets or _default_buckets(max_batch))
+        self._max = self._buckets[-1]
+        self._donate = bool(donate)
+
+    def _bucket(self, n: int) -> int:
+        i = bisect.bisect_left(self._buckets, n)
+        return self._buckets[min(i, len(self._buckets) - 1)]
+
+    @property
+    def buckets(self):
+        return tuple(self._buckets)
+
+
+class Evaluator(_BucketedEvaluator):
     """Bucketed fixed-shape evaluator over an :class:`Interp1D`.
 
     Args:
@@ -38,18 +61,18 @@ class Evaluator:
       max_batch: largest supported query count per call (larger inputs are
         evaluated in ``max_batch`` chunks).
       buckets: optional ascending list of batch buckets.
-      donate: unused placeholder for future device-buffer donation.
+      donate: donate the padded query buffer to the compiled program
+        (``jax.jit(..., donate_argnums)``), letting XLA reuse its device
+        memory for the result.  Off by default because XLA warns when a
+        donated buffer is unusable (e.g. dtype/shape mismatch with the
+        output).
     """
 
-    def __init__(self, interp, max_batch: int = 1 << 20, buckets=None):
-        self._interp = interp
-        self._buckets = sorted(buckets or _default_buckets(max_batch))
-        self._max = self._buckets[-1]
-        self._fn = jax.jit(lambda t, q: t(q))
-
-    def _bucket(self, n: int) -> int:
-        i = bisect.bisect_left(self._buckets, n)
-        return self._buckets[min(i, len(self._buckets) - 1)]
+    def __init__(self, interp, max_batch: int = 1 << 20, buckets=None,
+                 donate: bool = False):
+        super().__init__(interp, max_batch, buckets, donate)
+        fn = lambda t, q: t(q)
+        self._fn = jax.jit(fn, donate_argnums=1) if self._donate else jax.jit(fn)
 
     def warmup(self):
         """Precompile every bucket (one trace + compile each)."""
@@ -64,6 +87,9 @@ class Evaluator:
         shape = q.shape
         flat = q.reshape(-1)
         n = flat.shape[0]
+        trailing = tuple(self._interp.data.shape[1:])
+        if n == 0:
+            return jnp.zeros(shape + trailing, self._interp.data.dtype)
         pad_val = self._interp.x[0]
 
         outs = []
@@ -76,8 +102,60 @@ class Evaluator:
             outs.append(self._fn(self._interp, padded)[:m])
             start += m
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-        return out.reshape(shape + tuple(self._interp.data.shape[1:]))
+        return out.reshape(shape + trailing)
 
-    @property
-    def buckets(self):
-        return tuple(self._buckets)
+
+class Evaluator2D(_BucketedEvaluator):
+    """Bucketed fixed-shape evaluator over an :class:`Interp2D`.
+
+    Same bucketing contract as :class:`Evaluator`; queries are the paired
+    ``(xs, ys)`` arrays of the 2-D API (``xs.shape == ys.shape``,
+    ``/root/reference/src/interp2d/mod.rs:175-196``).
+    """
+
+    def __init__(self, interp, max_batch: int = 1 << 20, buckets=None,
+                 donate: bool = False):
+        super().__init__(interp, max_batch, buckets, donate)
+        fn = lambda t, qx, qy: t(qx, qy)
+        self._fn = (
+            jax.jit(fn, donate_argnums=(1, 2)) if self._donate else jax.jit(fn)
+        )
+
+    def warmup(self):
+        for b in self._buckets:
+            qx = jnp.full((b,), self._interp.x[0], self._interp.x.dtype)
+            qy = jnp.full((b,), self._interp.y[0], self._interp.y.dtype)
+            self._fn(self._interp, qx, qy)
+        return self
+
+    def __call__(self, xs, ys):
+        qx = jnp.asarray(xs)
+        qy = jnp.asarray(ys)
+        if qx.shape != qy.shape:
+            raise ValueError(
+                f"xs and ys need to have the same shape. "
+                f"Got xs: {list(qx.shape)}, ys: {list(qy.shape)}"
+            )
+        shape = qx.shape
+        fx = qx.reshape(-1)
+        fy = qy.reshape(-1)
+        n = fx.shape[0]
+        trailing = tuple(self._interp.data.shape[2:])
+        if n == 0:
+            return jnp.zeros(shape + trailing, self._interp.data.dtype)
+        px = self._interp.x[0]
+        py = self._interp.y[0]
+
+        outs = []
+        start = 0
+        while start < n:
+            cx = fx[start : start + self._max]
+            cy = fy[start : start + self._max]
+            m = cx.shape[0]
+            b = self._bucket(m)
+            padx = jnp.full((b,), px, fx.dtype).at[:m].set(cx)
+            pady = jnp.full((b,), py, fy.dtype).at[:m].set(cy)
+            outs.append(self._fn(self._interp, padx, pady)[:m])
+            start += m
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        return out.reshape(shape + trailing)

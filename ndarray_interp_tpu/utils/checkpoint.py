@@ -29,14 +29,19 @@ from ..models.strategies.linear import Linear
 _STRATEGY_CODECS = {
     "linear": (
         Linear,
-        lambda s: ({"extrapolate": s.extrapolates}, {}),
-        lambda meta, arrs: Linear(extrapolate=meta["extrapolate"]),
+        lambda s: ({"extrapolate": s.extrapolates, "finite": s.finite}, {}),
+        lambda meta, arrs: Linear(
+            extrapolate=meta["extrapolate"], finite=meta.get("finite", True)
+        ),
     ),
     "cubic": (
         CubicSplineStrategy,
-        lambda s: ({"mode": s.mode}, {"a": s.a, "b": s.b}),
+        lambda s: ({"mode": s.mode, "finite": s.finite}, {"a": s.a, "b": s.b}),
         lambda meta, arrs: CubicSplineStrategy(
-            jnp.asarray(arrs["a"]), jnp.asarray(arrs["b"]), meta["mode"]
+            jnp.asarray(arrs["a"]),
+            jnp.asarray(arrs["b"]),
+            meta["mode"],
+            meta.get("finite", True),
         ),
     ),
     "bilinear": (

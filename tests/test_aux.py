@@ -142,3 +142,51 @@ class TestServing:
         np.testing.assert_allclose(
             np.asarray(ev(q)), np.asarray(itp.interp_array(q)), atol=1e-12
         )
+
+    def test_empty_batch(self):
+        from ndarray_interp_tpu.serving import Evaluator
+
+        itp = Interp1D.builder(jnp.asarray(np.ones((8, 3)))).build()
+        out = Evaluator(itp, max_batch=1024)(jnp.zeros((0,)))
+        assert out.shape == (0, 3)
+        assert out.dtype == itp.data.dtype
+
+    def test_donate_smoke(self):
+        from ndarray_interp_tpu.serving import Evaluator
+
+        itp = Interp1D.builder(jnp.arange(16.0)).build()
+        ev = Evaluator(itp, max_batch=512, donate=True)
+        q = jnp.linspace(0.0, 15.0, 100)
+        np.testing.assert_allclose(
+            np.asarray(ev(q)), np.asarray(itp.interp_array(q)), atol=1e-12
+        )
+
+    def test_2d_bucketed_eval_matches_direct(self):
+        from ndarray_interp_tpu.serving import Evaluator2D
+
+        rng = np.random.default_rng(3)
+        itp = Interp2D.builder(
+            jnp.asarray(rng.normal(size=(12, 9, 2)))
+        ).build()
+        ev = Evaluator2D(itp, max_batch=2048).warmup()
+        traces_before = ev._fn._cache_size()
+        for n in rng.integers(1, 5000, size=50):
+            qx = jnp.asarray(rng.uniform(0, 11, int(n)))
+            qy = jnp.asarray(rng.uniform(0, 8, int(n)))
+            np.testing.assert_allclose(
+                np.asarray(ev(qx, qy)),
+                np.asarray(itp.interp_array(qx, qy)),
+                atol=1e-12,
+            )
+        # no new compilations across 50 random batch sizes
+        assert ev._fn._cache_size() == traces_before
+
+    def test_2d_empty_and_shape_mismatch(self):
+        from ndarray_interp_tpu.serving import Evaluator2D
+
+        itp = Interp2D.builder(jnp.asarray(np.ones((4, 4)))).build()
+        ev = Evaluator2D(itp, max_batch=256)
+        out = ev(jnp.zeros((0,)), jnp.zeros((0,)))
+        assert out.shape == (0,)
+        with pytest.raises(ValueError, match="same shape"):
+            ev(jnp.zeros((3,)), jnp.zeros((4,)))

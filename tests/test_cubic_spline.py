@@ -399,6 +399,39 @@ def test_build_under_jit():
     np.testing.assert_allclose(got, eager.interp_array(q), atol=1e-14)
 
 
+def test_periodic_build_under_jit():
+    """Periodic construction is jittable too: the first==last value check
+    is data-dependent, so under jit it is skipped (caller vouches, like
+    new_unchecked) rather than raising TracerArrayConversionError."""
+    import jax
+
+    x = jnp.linspace(0.0, 1.0, 12)
+    rng = np.random.default_rng(7)
+    data = np.asarray(rng.normal(size=(12, 3)))
+    data[-1] = data[0]
+    data = jnp.asarray(data)
+
+    @jax.jit
+    def make_and_eval(data, q):
+        strat = (
+            CubicSpline()
+            .extrapolate(True)
+            .boundary(BoundaryCondition.Periodic)
+            .build(x, data)
+        )
+        itp = Interp1D.new_unchecked(x, data, strat)
+        return itp(q)
+
+    q = jnp.linspace(-0.3, 1.3, 9)
+    got = np.asarray(make_and_eval(data, q))
+    eager = build(
+        data,
+        CubicSpline().extrapolate(True).boundary(BoundaryCondition.Periodic),
+        x=x,
+    )
+    np.testing.assert_allclose(got, eager.interp_array(q), atol=1e-14)
+
+
 def test_grad_through_build_and_eval():
     import jax
 

@@ -94,6 +94,62 @@ class TestDtypes:
         assert itp.x.dtype == itp.data.dtype
 
 
+class TestNonFiniteData:
+    """Non-finite DATA values (not queries) must never ride the one-hot
+    MXU selection paths (docs/PARITY.md D5): NaN*0 == NaN poisons
+    unrelated queries there.  The eager builder detects them and routes
+    to the gather/take formulation."""
+
+    def test_builder_flags_nan_data(self):
+        d = np.array([0.0, 1.0, np.nan, 3.0, 4.0])
+        itp = Interp1D.builder(d).strategy(Linear().extrapolate(True)).build()
+        assert itp.strategy.finite is False
+
+    def test_builder_flags_inf_data_cubic(self):
+        d = np.array([0.0, 1.0, np.inf, 3.0, 4.0])
+        itp = (
+            Interp1D.builder(d)
+            .strategy(CubicSpline().extrapolate(True))
+            .build()
+        )
+        assert itp.strategy.finite is False
+
+    def test_builder_keeps_finite_flag_true(self):
+        itp = Interp1D.builder(np.arange(8.0)).build()
+        assert itp.strategy.finite is True
+
+    def test_nan_datum_localizes_on_gather_path(self):
+        # linear: a NaN datum must only affect its two adjacent intervals
+        d = np.array([0.0, 1.0, np.nan, 3.0, 4.0])
+        itp = Interp1D.builder(d).strategy(Linear().extrapolate(True)).build()
+        out = np.asarray(itp.interp_array(np.array([0.5, 3.5, 1.5, 2.5])))
+        assert np.isfinite(out[:2]).all()
+        assert np.isnan(out[2:]).all()
+
+    def test_onehot_gather_requires_finite(self):
+        # documents WHY the routing exists: the one-hot matmul formulation
+        # poisons every query when any table value is non-finite, while
+        # gather_rows with assume_finite=False stays exact
+        from ndarray_interp_tpu.ops.gather import _onehot_gather, gather_rows
+
+        tbl = jnp.asarray(np.arange(64.0, dtype=np.float32).reshape(8, 8))
+        tbl = tbl.at[5, 3].set(jnp.nan)
+        idx = jnp.array([0, 1, 2], dtype=jnp.int32)  # never selects row 5
+        poisoned = np.asarray(_onehot_gather(tbl, idx))
+        assert np.isnan(poisoned[:, 3]).all()
+        clean = np.asarray(gather_rows(tbl, idx, assume_finite=False))
+        np.testing.assert_array_equal(clean, np.asarray(tbl)[:3])
+
+    def test_finite_flag_survives_pytree_roundtrip(self):
+        import jax
+
+        d = np.array([0.0, np.nan, 2.0, 3.0])
+        itp = Interp1D.builder(d).strategy(Linear().extrapolate(True)).build()
+        leaves, treedef = jax.tree_util.tree_flatten(itp)
+        back = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert back.strategy.finite is False
+
+
 class TestAbortSemantics:
     def test_any_oob_aborts_whole_call(self, lin):
         # mod.rs:321 — one bad point fails the entire interp_array
