@@ -117,14 +117,39 @@ class BoundaryCondition:
     axis 0 of length 1 (``cubic_spline.rs:332-340``).
     """
 
-    def __init__(self, kind: str, rows=None):
+    def __init__(self, kind: str, rows=None, arrays=None):
         self.kind = kind
         self.rows = rows
+        self.arrays = arrays
 
     @staticmethod
     def Individual(rows) -> "BoundaryCondition":
         rows = np.asarray(rows, dtype=object)
         return BoundaryCondition("individual", rows)
+
+    @staticmethod
+    def IndividualArrays(
+        left_kind, left_value, right_kind, right_value
+    ) -> "BoundaryCondition":
+        """Per-row boundaries as precompiled kind/value arrays.
+
+        The jit/pjit-compatible form of :meth:`Individual`: the object-array
+        lowering (``_compile_rows``) needs host-side Python objects, but the
+        numeric encoding it produces is plain arrays — this constructor
+        accepts them directly, so per-row-boundary banks can be built inside
+        ``jit`` with traced values (e.g. learned clamp derivatives).
+
+        Kind codes (the specialized ``SingleBoundary`` encoding,
+        ``cubic_spline.rs:287-296``): ``0`` = not-a-knot, ``1`` =
+        first-derivative (Clamped ≡ ``FirstDeriv(0)``), ``2`` =
+        second-derivative (Natural ≡ ``SecondDeriv(0)``).  All four arrays
+        must have shape ``data.shape[1:]``; kind arrays are integers, value
+        arrays are the derivative payloads.
+        """
+        return BoundaryCondition(
+            "individual_arrays",
+            arrays=(left_kind, left_value, right_kind, right_value),
+        )
 
     def __repr__(self):
         return f"BoundaryCondition({self.kind})"
@@ -491,6 +516,19 @@ class CubicSpline(Interp1DStrategyBuilder):
                     f"Expected: {list(expected)}, got: {list(bc.rows.shape)}"
                 )
             lk, lv, rk, rv = _compile_rows(bc.rows.reshape(trailing))
+            if flat:
+                lk, lv, rk, rv = (v.reshape(-1) for v in (lk, lv, rk, rv))
+            k = _solve_for_k(x, y, lk, lv, rk, rv)
+        elif bc.kind == "individual_arrays":
+            lk, lv, rk, rv = (jnp.asarray(v) for v in bc.arrays)
+            for name, v in (("left_kind", lk), ("left_value", lv),
+                            ("right_kind", rk), ("right_value", rv)):
+                if tuple(v.shape) != trailing:
+                    raise ShapeError(
+                        "Boundary conditions array has wrong shape. "
+                        f"Expected: {list(trailing)}, got: {list(v.shape)} "
+                        f"({name})"
+                    )
             if flat:
                 lk, lv, rk, rv = (v.reshape(-1) for v in (lk, lv, rk, rv))
             k = _solve_for_k(x, y, lk, lv, rk, rv)

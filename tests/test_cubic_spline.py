@@ -432,6 +432,66 @@ def test_periodic_build_under_jit():
     np.testing.assert_allclose(got, eager.interp_array(q), atol=1e-14)
 
 
+def test_individual_boundaries_build_under_jit():
+    """Per-row boundaries build inside jit via the precompiled kind/value
+    array form (BoundaryCondition.IndividualArrays) and match the eager
+    object-array Individual path exactly."""
+    import jax
+
+    x = jnp.linspace(0.0, 2.0, 10)
+    rng = np.random.default_rng(11)
+    data = jnp.asarray(rng.normal(size=(10, 4)))
+
+    rows = np.empty((1, 4), dtype=object)
+    rows[0, 0] = RowBoundary.NotAKnot
+    rows[0, 1] = RowBoundary.Natural
+    rows[0, 2] = RowBoundary.Mixed(
+        SingleBoundary.FirstDeriv(0.5), SingleBoundary.SecondDeriv(-1.0)
+    )
+    rows[0, 3] = RowBoundary.Clamped
+    eager = build(
+        data,
+        CubicSpline()
+        .extrapolate(True)
+        .boundary(BoundaryCondition.Individual(rows)),
+        x=x,
+    )
+
+    # same encoding as arrays: 0=NAK, 1=first-deriv, 2=second-deriv
+    lk = jnp.array([0, 2, 1, 1], jnp.int32)
+    lv = jnp.array([0.0, 0.0, 0.5, 0.0])
+    rk = jnp.array([0, 2, 2, 1], jnp.int32)
+    rv = jnp.array([0.0, 0.0, -1.0, 0.0])
+
+    @jax.jit
+    def make_and_eval(data, lv, rv, q):
+        strat = (
+            CubicSpline()
+            .extrapolate(True)
+            .boundary(BoundaryCondition.IndividualArrays(lk, lv, rk, rv))
+            .build(x, data)
+        )
+        itp = Interp1D.new_unchecked(x, data, strat)
+        return itp(q)
+
+    q = jnp.linspace(-0.2, 2.2, 13)
+    got = np.asarray(make_and_eval(data, lv, rv, q))
+    np.testing.assert_allclose(got, eager.interp_array(q), atol=1e-14)
+
+
+def test_individual_arrays_shape_error():
+    x = jnp.linspace(0.0, 1.0, 5)
+    data = jnp.ones((5, 3))
+    bc = BoundaryCondition.IndividualArrays(
+        jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2,)),
+        jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2,)),
+    )
+    with pytest.raises(ShapeError, match="wrong shape"):
+        CubicSpline().boundary(bc).build(x, data)
+
+
 def test_grad_through_build_and_eval():
     import jax
 
