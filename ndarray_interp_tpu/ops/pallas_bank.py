@@ -67,15 +67,29 @@ def _kernel(t_ref, oh_ref, ylh, ylm, yll, yrh, yrm, yrl, ah, am, al,
 
 
 def _banked_eval_impl(data, a, b, idx, t, interpret=False):
+    """Canonicalize to 2-D operands and run the sharding-aware core."""
+    from .partition import sharded_banked_eval
+
     n = data.shape[0]
     bank_shape = data.shape[1:]
-    d2 = data.reshape(n, -1)
+    out = sharded_banked_eval(bool(interpret))(
+        data.reshape(n, -1),
+        a.reshape(n - 1, -1),
+        b.reshape(n - 1, -1),
+        idx,
+        t,
+    )
+    return out.reshape((idx.shape[0],) + bank_shape)
+
+
+def _banked_core(d2, a2, b2, idx, t, interpret=False):
+    n = d2.shape[0]
     bank = d2.shape[1]
     nq = idx.shape[0]
     n_pad = -(-(n - 1) // 128) * 128  # one-hot lane dim
 
     splits = []
-    for tblv in (d2[:-1], d2[1:], a.reshape(n - 1, -1), b.reshape(n - 1, -1)):
+    for tblv in (d2[:-1], d2[1:], a2, b2):
         if n - 1 < n_pad:
             tblv = jnp.concatenate(
                 [tblv, jnp.zeros((n_pad - (n - 1), bank), tblv.dtype)]
@@ -120,7 +134,7 @@ def _banked_eval_impl(data, a, b, idx, t, interpret=False):
         out_shape=jax.ShapeDtypeStruct((nqb * Bq, nbb * Br), jnp.float32),
         interpret=interpret,
     )(t_p, oh, *splits)
-    return out[:nq, :bank].reshape((nq,) + bank_shape)
+    return out[:nq, :bank]
 
 
 @jax.custom_vjp

@@ -1,0 +1,255 @@
+"""Partitioning rules that make the Pallas kernels sharding-real.
+
+The reference is single-process (SURVEY.md §2: no distributed anything);
+scale-out here is mesh sharding (SURVEY.md §5/§7): queries shard over a
+``query`` axis, spline banks over a ``bank`` axis, knot vectors replicate.
+XLA can partition the *XLA formulations* of the hot ops automatically, but
+a ``pallas_call`` is an opaque custom call — under a mesh GSPMD would have
+to replicate it (gathering every shard's queries onto every device).
+
+This module wraps each kernel entry in :func:`custom_partitioning` with the
+zero-communication rule the math permits:
+
+* ``fused_eval_1d`` / ``fused_lower_index``: queries and outputs shard over
+  the flat query axis; knots and interval tables replicate (they're the
+  small per-model state).  Each device runs the unmodified kernel on its
+  query shard.
+* ``banked_eval``: queries/output-rows shard over the query axis AND the
+  bank (trailing) axis of the coefficient tables shards over the bank
+  axis; each device evaluates its (query-shard × bank-shard) output block.
+
+``custom_partitioning`` has no batching rule, so each wrapper also carries
+a :func:`jax.custom_batching.custom_vmap` rule: a ``vmap`` over queries
+flattens into the kernel's query axis (the op is elementwise in queries);
+a ``vmap`` that batches the tables falls back to the (vmappable) XLA
+formulation, which is bit-identical for the finite tables the kernels are
+routed (docs/PARITY.md D5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _spec(shaped):
+    sharding = getattr(shaped, "sharding", None)
+    spec = getattr(sharding, "spec", None)
+    if spec is None:
+        return P()
+    return spec
+
+
+# -- fused_eval_1d ------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_eval_cp(interpret: bool):
+    from .pallas_eval import _fused_eval_impl
+
+    @custom_partitioning
+    def cp(knots, tbl, q):
+        return _fused_eval_impl(knots, tbl, q, interpret=interpret)
+
+    def partition(mesh, arg_shapes, result_shape):
+        del result_shape
+        q_spec = _spec(arg_shapes[2])
+        repl = NamedSharding(mesh, P())
+        arg_sh = (repl, NamedSharding(mesh, P(None, None)),
+                  NamedSharding(mesh, q_spec))
+
+        def lower(knots, tbl, q):
+            return _fused_eval_impl(knots, tbl, q, interpret=interpret)
+
+        return mesh, lower, NamedSharding(mesh, q_spec), arg_sh
+
+    def infer(mesh, arg_shapes, result_shape):
+        del result_shape
+        return NamedSharding(mesh, _spec(arg_shapes[2]))
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="n, m c, q -> q",
+        need_replication_factors=("n", "m", "c"),
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_fused_eval(interpret: bool = False):
+    """Sharding- and vmap-compatible wrapper of the fused eval kernel."""
+    from .pallas_eval import _eval_xla
+
+    cp = _fused_eval_cp(interpret)
+
+    @jax.custom_batching.custom_vmap
+    def f(knots, tbl, q):
+        return cp(knots, tbl, q)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, knots, tbl, q):
+        kb, tb, qb = in_batched
+        if kb or tb:
+            out = jax.vmap(
+                _eval_xla,
+                in_axes=(0 if kb else None, 0 if tb else None,
+                         0 if qb else None),
+                axis_size=axis_size,
+            )(knots, tbl, q)
+            return out, True
+        flat = f(knots, tbl, q.reshape(-1))
+        return flat.reshape(axis_size, -1), True
+
+    return f
+
+
+# -- fused_lower_index --------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _lower_index_cp(interpret: bool):
+    from .pallas_eval import fused_lower_index
+
+    @custom_partitioning
+    def cp(knots, q):
+        return fused_lower_index(knots, q, interpret=interpret)
+
+    def partition(mesh, arg_shapes, result_shape):
+        del result_shape
+        q_spec = _spec(arg_shapes[1])
+        arg_sh = (NamedSharding(mesh, P()), NamedSharding(mesh, q_spec))
+
+        def lower(knots, q):
+            return fused_lower_index(knots, q, interpret=interpret)
+
+        return mesh, lower, NamedSharding(mesh, q_spec), arg_sh
+
+    def infer(mesh, arg_shapes, result_shape):
+        del result_shape
+        return NamedSharding(mesh, _spec(arg_shapes[1]))
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="n, q -> q",
+        need_replication_factors=("n",),
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_lower_index(interpret: bool = False):
+    from .searchsorted import get_lower_index
+
+    cp = _lower_index_cp(interpret)
+
+    @jax.custom_batching.custom_vmap
+    def f(knots, q):
+        return cp(knots, q)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, knots, q):
+        kb, qb = in_batched
+        if kb:
+            out = jax.vmap(
+                get_lower_index,
+                in_axes=(0, 0 if qb else None),
+                axis_size=axis_size,
+            )(knots, q)
+            return out, True
+        flat = f(knots, q.reshape(-1))
+        return flat.reshape(axis_size, -1), True
+
+    return f
+
+
+# -- banked_eval --------------------------------------------------------------
+
+
+def _gather_form_2d(d2, a2, b2, idx, t):
+    """XLA gather formulation on 2-D canonical operands (vmap fallback)."""
+    y_l = d2[:-1][idx]
+    y_r = d2[1:][idx]
+    ga = a2[idx]
+    gb = b2[idx]
+    te = t[:, None]
+    one = jnp.ones((), d2.dtype)
+    return (
+        (one - te) * y_l
+        + te * y_r
+        + te * (one - te) * (ga * (one - te) + gb * te)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _banked_cp(interpret: bool):
+    from .pallas_bank import _banked_core
+
+    @custom_partitioning
+    def cp(d2, a2, b2, idx, t):
+        return _banked_core(d2, a2, b2, idx, t, interpret=interpret)
+
+    def partition(mesh, arg_shapes, result_shape):
+        del result_shape
+        d_spec = _spec(arg_shapes[0])
+        bank_axes = d_spec[1] if len(d_spec) >= 2 else None
+        q_spec = _spec(arg_shapes[3])
+        q_axes = q_spec[0] if len(q_spec) >= 1 else None
+        tbl_sh = NamedSharding(mesh, P(None, bank_axes))
+        q_sh = NamedSharding(mesh, P(q_axes))
+        arg_sh = (tbl_sh, tbl_sh, tbl_sh, q_sh, q_sh)
+        out_sh = NamedSharding(mesh, P(q_axes, bank_axes))
+
+        def lower(d2, a2, b2, idx, t):
+            return _banked_core(d2, a2, b2, idx, t, interpret=interpret)
+
+        return mesh, lower, out_sh, arg_sh
+
+    def infer(mesh, arg_shapes, result_shape):
+        del result_shape
+        d_spec = _spec(arg_shapes[0])
+        bank_axes = d_spec[1] if len(d_spec) >= 2 else None
+        q_spec = _spec(arg_shapes[3])
+        q_axes = q_spec[0] if len(q_spec) >= 1 else None
+        return NamedSharding(mesh, P(q_axes, bank_axes))
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="n b, m b, m b, q, q -> q b",
+        need_replication_factors=("n", "m"),
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_banked_eval(interpret: bool = False):
+    """Sharding- and vmap-compatible banked select+Hermite on 2-D
+    canonical operands ``d2 (n, bank), a2/b2 (n-1, bank), idx/t (q,)``."""
+    cp = _banked_cp(interpret)
+
+    @jax.custom_batching.custom_vmap
+    def f(d2, a2, b2, idx, t):
+        return cp(d2, a2, b2, idx, t)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, d2, a2, b2, idx, t):
+        db, ab, bb, ib, tb = in_batched
+        if db or ab or bb:
+            out = jax.vmap(
+                _gather_form_2d,
+                in_axes=tuple(0 if b else None for b in in_batched),
+                axis_size=axis_size,
+            )(d2, a2, b2, idx, t)
+            return out, True
+        # only queries batched: flatten into the query axis
+        nq = idx.shape[-1]
+        flat = f(d2, a2, b2, idx.reshape(-1), t.reshape(-1))
+        return flat.reshape((axis_size, nq) + flat.shape[1:]), True
+
+    return f

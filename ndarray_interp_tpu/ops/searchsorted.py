@@ -83,9 +83,11 @@ def lower_index_fast(knots, xq):
         and knots.shape[0] >= 4
         and _plan(knots.shape[0]) is not None
     ):
+        from .partition import sharded_lower_index
+
         return jax.lax.platform_dependent(
             xq,
-            tpu=lambda q: fused_lower_index(knots, q),
+            tpu=lambda q: sharded_lower_index()(knots, q),
             default=lambda q: get_lower_index(knots, q),
         )
     return get_lower_index(knots, xq)

@@ -94,9 +94,153 @@ def test_shard_queries_roundtrip(mesh):
 
 
 def test_dryrun_multichip():
+    # reduced sizes: the driver invokes the full-size default (2k knots,
+    # 4k bank, 64k queries, ~2 min on the virtual CPU mesh) separately
     import __graft_entry__
 
-    __graft_entry__.dryrun_multichip(8)
+    __graft_entry__.dryrun_multichip(8, n_knots=256, bank=512, n_q=8192)
+
+
+# -- Pallas kernels under a mesh (interpret mode) -----------------------------
+#
+# ``lax.platform_dependent`` routes CPU meshes to the XLA formulations, so
+# these tests call the sharded kernel wrappers (ops/partition.py) directly
+# in interpret mode: same partitioning path as a real TPU mesh, kernel body
+# executed by the interpreter.
+
+
+def _fused_fixture(nq=4096, n=256, seed=3):
+    from ndarray_interp_tpu.ops.pallas_eval import make_interval_table
+
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(
+        np.cumsum(rng.uniform(0.1, 1.0, n)).astype(np.float32)
+    )
+    d = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=n - 1).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=n - 1).astype(np.float32))
+    tbl = make_interval_table(x, d, a, b)
+    lo, hi = float(x[0]), float(x[-1])
+    q = jnp.asarray(
+        rng.uniform(lo - 1.0, hi + 1.0, nq).astype(np.float32)
+    )
+    return x, tbl, q
+
+
+def test_fused_eval_kernel_under_mesh():
+    """The fused eval kernel partitions over the query axis: sharded
+    result equals the XLA oracle, output keeps the query sharding."""
+    from ndarray_interp_tpu.ops.partition import sharded_fused_eval
+    from ndarray_interp_tpu.ops.pallas_eval import _eval_xla
+
+    x, tbl, q = _fused_fixture()
+    mesh1 = make_mesh(8, axis_names=("query",))
+    qs = jax.device_put(q, NamedSharding(mesh1, P("query")))
+    out = jax.jit(sharded_fused_eval(True))(x, tbl, qs)
+    assert out.sharding.spec == P("query")
+    ref = _eval_xla(x, tbl, q)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_fused_lower_index_under_mesh():
+    from ndarray_interp_tpu.ops.partition import sharded_lower_index
+    from ndarray_interp_tpu.ops.searchsorted import get_lower_index
+
+    x, _, q = _fused_fixture()
+    mesh1 = make_mesh(8, axis_names=("query",))
+    qs = jax.device_put(q, NamedSharding(mesh1, P("query")))
+    out = jax.jit(sharded_lower_index(True))(x, qs)
+    assert out.sharding.spec == P("query")
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(get_lower_index(x, q))
+    )
+
+
+def test_banked_kernel_under_mesh(mesh):
+    """banked_eval partitions (query x bank) with zero communication."""
+    from ndarray_interp_tpu.ops.partition import (
+        _gather_form_2d,
+        sharded_banked_eval,
+    )
+
+    rng = np.random.default_rng(4)
+    n, bank, nq = 32, 64, 256
+    d2 = jnp.asarray(rng.normal(size=(n, bank)).astype(np.float32))
+    a2 = jnp.asarray(rng.normal(size=(n - 1, bank)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(size=(n - 1, bank)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n - 1, nq), jnp.int32)
+    t = jnp.asarray(rng.uniform(0, 1, nq).astype(np.float32))
+
+    tbl_sh = NamedSharding(mesh, P(None, "bank"))
+    q_sh = NamedSharding(mesh, P("query"))
+    args = (
+        jax.device_put(d2, tbl_sh),
+        jax.device_put(a2, tbl_sh),
+        jax.device_put(b2, tbl_sh),
+        jax.device_put(idx, q_sh),
+        jax.device_put(t, q_sh),
+    )
+    out = jax.jit(sharded_banked_eval(True))(*args)
+    assert out.sharding.spec == P("query", "bank")
+    ref = _gather_form_2d(d2, a2, b2, idx, t)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_fused_eval_vmap_flattens_queries():
+    """vmap over the query axis routes through the kernel (flatten rule)."""
+    from ndarray_interp_tpu.ops.partition import sharded_fused_eval
+    from ndarray_interp_tpu.ops.pallas_eval import _eval_xla
+
+    x, tbl, q = _fused_fixture(nq=1024)
+    fe = sharded_fused_eval(True)
+    out = jax.vmap(lambda qq: fe(x, tbl, qq))(q.reshape(4, 256))
+    ref = _eval_xla(x, tbl, q).reshape(4, 256)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_fused_eval_vmap_batched_tables_falls_back():
+    """vmap that batches the interpolator tables uses the XLA oracle."""
+    from ndarray_interp_tpu.ops.partition import sharded_fused_eval
+    from ndarray_interp_tpu.ops.pallas_eval import _eval_xla
+
+    x, tbl, q = _fused_fixture(nq=512)
+    tbl_b = jnp.stack([tbl, tbl * 2.0])
+    fe = sharded_fused_eval(True)
+    out = jax.vmap(fe, in_axes=(None, 0, None))(x, tbl_b, q)
+    ref = jax.vmap(_eval_xla, in_axes=(None, 0, None))(x, tbl_b, q)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_banked_vmap_flattens_queries(mesh):
+    from ndarray_interp_tpu.ops.partition import (
+        _gather_form_2d,
+        sharded_banked_eval,
+    )
+
+    rng = np.random.default_rng(5)
+    n, bank, nq = 16, 8, 64
+    d2 = jnp.asarray(rng.normal(size=(n, bank)).astype(np.float32))
+    a2 = jnp.asarray(rng.normal(size=(n - 1, bank)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(size=(n - 1, bank)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n - 1, nq), jnp.int32)
+    t = jnp.asarray(rng.uniform(0, 1, nq).astype(np.float32))
+
+    f = sharded_banked_eval(True)
+    out = jax.vmap(
+        lambda i_, t_: f(d2, a2, b2, i_, t_)
+    )(idx.reshape(4, 16), t.reshape(4, 16))
+    ref = _gather_form_2d(d2, a2, b2, idx, t).reshape(4, 16, bank)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
+    )
 
 
 def test_graft_entry_compiles():
