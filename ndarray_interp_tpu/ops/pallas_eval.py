@@ -190,15 +190,19 @@ def _pack_tables(knots, tbl, w, c):
     return lead, kblk, tblk
 
 
-def _pack_windows(knots, data, a, b, w, c, wp):
+def _pack_windows(knots, data, a, b, w, c, wp, pad=None):
     """Overlapping-window operands for the eval kernel (trace-time).
 
     Column j of kwin/dwin holds values ``[j*w : j*w + w + 1]`` padded to
     ``wp`` rows (bf16 sublane alignment), so the W+1-th row is the next
     block's leader and both interval endpoints select from one window.
-    ``abblk`` stacks the per-interval [a; b] channels as (2W, C)."""
+    ``abblk`` stacks the per-interval [a; b] channels as (2W, C).
+    ``pad`` overrides the out-of-range knot sentinel (default: largest
+    finite value; the double-float kernel pads its *lo* halves with 0)."""
     n = knots.shape[0]
-    big = jnp.asarray(jnp.finfo(knots.dtype).max, knots.dtype)
+    big = jnp.asarray(
+        jnp.finfo(knots.dtype).max if pad is None else pad, knots.dtype
+    )
     kp = jnp.concatenate(
         [knots, jnp.full((w * c + 1 - n,), big, knots.dtype)]
     )
@@ -244,9 +248,17 @@ def fused_eval_1d(knots, tbl, q):
     ``tbl[:, :6] = [x_l, x_r, y_l, y_r, a, b]`` at flat queries ``q``.
 
     f32 only, scalar trailing dims.  ``tbl`` may have >=6 channels (extra
-    channels are padding for lane alignment).
+    channels are padding for lane alignment).  Under a mesh the query axis
+    partitions with zero communication (``ops/partition.py``); under
+    ``vmap`` batched queries flatten into the query axis.
     """
-    return _fused_eval_impl(knots, tbl, q)
+    return _fused_eval_sharded(knots, tbl, q)
+
+
+def _fused_eval_sharded(knots, tbl, q, interpret=False):
+    from .partition import sharded_fused_eval
+
+    return sharded_fused_eval(bool(interpret))(knots, tbl, q)
 
 
 def _fused_eval_impl(knots, tbl, q, interpret=False):
@@ -294,7 +306,7 @@ def _fused_eval_impl(knots, tbl, q, interpret=False):
 
 
 def _fused_fwd(knots, tbl, q):
-    return _fused_eval_impl(knots, tbl, q), (knots, tbl, q)
+    return _fused_eval_sharded(knots, tbl, q), (knots, tbl, q)
 
 
 def _fused_bwd(res, g):

@@ -1,0 +1,271 @@
+"""Double-float fused evaluation kernel: f64-grade accuracy on f32 TPUs.
+
+Same two-level windowed search + select + Hermite structure as
+``pallas_eval._kernel`` (reference semantics
+``cubic_spline.rs:791-830`` / ``vector_extensions.rs:55-111``), but every
+value — knots, data, [a, b] coefficients, queries, output — is a
+double-float ``(hi, lo)`` f32 pair (``ops/df.py``), giving ~49 mantissa
+bits end-to-end (~1e-13 max relative error vs the f64 oracle, measured)
+on hardware whose native wide type stops at f32.
+
+Cost vs the f32 kernel: the one-hot window fetch doubles (hi+lo tables,
+18 bf16 MXU passes instead of 9), the select stage doubles (12 mask
+reductions), and the polynomial tail goes from ~10 VPU ops to ~180
+(error-free transforms).  Accuracy work therefore costs ~2-3x the f32
+kernel (measured: see BASELINE.md).
+
+Interval selection compares DF pairs lexicographically, so knots that are
+*equal in f32 but distinct in f64* still select the correct interval —
+bucketize decisions match the f64 oracle's, not f32-rounded ones.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .df import df_add, df_div, df_mul, df_sub
+from .pallas_eval import _dot3, _pack_windows, _plan, _split3
+
+
+def _select(win, oh_l, w):
+    """Mask-reduce row select of both interval endpoints (exact: one-hot
+    weights are 0/1)."""
+    left = jnp.sum(win[:w] * oh_l, axis=0, keepdims=True)
+    right = jnp.sum(win[1 : w + 1] * oh_l, axis=0, keepdims=True)
+    return left, right
+
+
+def _select_ab(win, oh_l, w):
+    a = jnp.sum(win[:w] * oh_l, axis=0, keepdims=True)
+    b = jnp.sum(win[w:] * oh_l, axis=0, keepdims=True)
+    return a, b
+
+
+def _df_kernel(
+    leadh_ref, leadl_ref,
+    kh1, kh2, kh3, kl1, kl2, kl3,
+    dh1, dh2, dh3, dl1, dl2, dl3,
+    ah1, ah2, ah3, al1, al2, al3,
+    qh_ref, ql_ref, outh_ref, outl_ref, *, n, w, c, wp,
+):
+    from .df import no_guard
+
+    with no_guard():  # Mosaic neither needs nor lowers the barriers
+        _df_kernel_body(
+            leadh_ref, leadl_ref,
+            kh1, kh2, kh3, kl1, kl2, kl3,
+            dh1, dh2, dh3, dl1, dl2, dl3,
+            ah1, ah2, ah3, al1, al2, al3,
+            qh_ref, ql_ref, outh_ref, outl_ref, n=n, w=w, c=c, wp=wp,
+        )
+
+
+def _df_kernel_body(
+    leadh_ref, leadl_ref,
+    kh1, kh2, kh3, kl1, kl2, kl3,
+    dh1, dh2, dh3, dl1, dl2, dl3,
+    ah1, ah2, ah3, al1, al2, al3,
+    qh_ref, ql_ref, outh_ref, outl_ref, *, n, w, c, wp,
+):
+    f32 = jnp.float32
+    qh = qh_ref[:]  # (1, B)
+    ql = ql_ref[:]
+
+    # 1. coarse: count block leaders <= q, DF lexicographic compare
+    leadh = leadh_ref[:]
+    leadl = leadl_ref[:]
+    le1 = (leadh < qh) | ((leadh == qh) & (leadl <= ql))
+    coarse = jnp.sum(le1.astype(f32), axis=0, keepdims=True)
+    cmax = float((n - 2) // w)
+    cidx = jnp.minimum(coarse, cmax)
+
+    # 2. one-hot window fetch (hi and lo tables, both exact via _split3)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, qh.shape[1]), 0)
+    oh1 = (iota_c == cidx.astype(jnp.int32)).astype(jnp.bfloat16)
+    win_xh = _dot3(kh1[:], kh2[:], kh3[:], oh1)  # (Wp, B)
+    win_xl = _dot3(kl1[:], kl2[:], kl3[:], oh1)
+    win_dh = _dot3(dh1[:], dh2[:], dh3[:], oh1)
+    win_dl = _dot3(dl1[:], dl2[:], dl3[:], oh1)
+    win_abh = _dot3(ah1[:], ah2[:], ah3[:], oh1)  # (2W, B)
+    win_abl = _dot3(al1[:], al2[:], al3[:], oh1)
+
+    # 3. fine position within the window (DF compare), reference clamp
+    le2 = (win_xh[:w] < qh) | ((win_xh[:w] == qh) & (win_xl[:w] <= ql))
+    fine = jnp.sum(le2.astype(f32), axis=0, keepdims=True)
+    pred = cidx * float(w) + fine - 1.0
+    pos = jnp.clip(pred, 0.0, float(n - 2)) - cidx * float(w)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, qh.shape[1]), 0)
+    oh_l = (iota_w == pos.astype(jnp.int32)).astype(f32)
+
+    x_lh, x_rh = _select(win_xh, oh_l, w)
+    x_ll, x_rl = _select(win_xl, oh_l, w)
+    y_lh, y_rh = _select(win_dh, oh_l, w)
+    y_ll, y_rl = _select(win_dl, oh_l, w)
+    a_h, b_h = _select_ab(win_abh, oh_l, w)
+    a_l, b_l = _select_ab(win_abl, oh_l, w)
+
+    q = (qh, ql)
+    x_l = (x_lh, x_ll)
+    x_r = (x_rh, x_rl)
+    y_l = (y_lh, y_ll)
+    y_r = (y_rh, y_rl)
+    a = (a_h, a_l)
+    b = (b_h, b_l)
+
+    # 4. t = (q - x_l) / (x_r - x_l) in double-float
+    t = df_div(df_sub(q, x_l), df_sub(x_r, x_l))
+    one = (jnp.ones_like(qh), jnp.zeros_like(qh))
+    omt = df_sub(one, t)
+    # (1-t) y_l + t y_r + t (1-t) (a (1-t) + b t)   [cubic_spline.rs:818-828]
+    base = df_add(
+        df_add(df_mul(omt, y_l), df_mul(t, y_r)),
+        df_mul(df_mul(t, omt), df_add(df_mul(a, omt), df_mul(b, t))),
+    )
+
+    # ±inf queries on linear tables (a = b = 0) extrapolate to ±inf like
+    # calc_frac (linear.rs:29-37).  The *exact* DF chain turns inf into
+    # NaN already at q - x_l (two_sum computes inf - inf in its error
+    # term), so the guard uses a naive hi-only t.
+    tn = (qh - x_lh) / (x_rh - x_lh)
+    lin_inf = (
+        jnp.isinf(tn)
+        & (a_h == 0.0) & (a_l == 0.0) & (b_h == 0.0) & (b_l == 0.0)
+    )
+    alt = y_lh + tn * (y_rh - y_lh)
+    outh_ref[:] = jnp.where(lin_inf, alt, base[0])
+    outl_ref[:] = jnp.where(lin_inf, jnp.zeros_like(alt), base[1])
+
+
+def fused_eval_1d_df(
+    x_hi, x_lo, d_hi, d_lo, a_hi, a_lo, b_hi, b_lo, q_hi, q_lo,
+    interpret=False,
+):
+    """Double-float fused evaluation: all arrays are f32 (hi, lo) pairs.
+
+    ``x``: (n,) knots; ``d``: (n,) data; ``a``/``b``: (n-1,) Hermite
+    coefficients (zeros for linear); ``q``: (nq,) flat queries.  Returns
+    the (hi, lo) pair of the result — combine with
+    :func:`ndarray_interp_tpu.ops.df.df_to_f64` for an f64 view.
+
+    Semantics identical to :func:`pallas_eval.fused_eval_1d` (clamp to
+    ``[0, n-2]`` incl. ±inf; NaN queries -> NaN); the interval *selection*
+    additionally resolves knots that collide in f32.
+    """
+    n = x_hi.shape[0]
+    nq = q_hi.shape[0]
+    w, c, B = _plan(n)
+    B = max(512, B // 2)  # hi+lo query-side buffers double the VMEM/lane
+
+    wp = -(-(w + 1) // 16) * 16
+    lead_h, kwin_h, dwin_h, ab_h = _pack_windows(
+        x_hi, d_hi, a_hi, b_hi, w, c, wp
+    )
+    lead_l, kwin_l, dwin_l, ab_l = _pack_windows(
+        x_lo, d_lo, a_lo, b_lo, w, c, wp, pad=0.0
+    )
+    splits = []
+    for t in (kwin_h, kwin_l, dwin_h, dwin_l, ab_h, ab_l):
+        splits.extend(_split3(t))
+
+    nb = (nq + B - 1) // B
+    qh = jnp.pad(q_hi, (0, nb * B - nq)).reshape(1, nb * B)
+    ql = jnp.pad(q_lo, (0, nb * B - nq)).reshape(1, nb * B)
+
+    kern = functools.partial(_df_kernel, n=n, w=w, c=c, wp=wp)
+    fix = lambda i: (0, 0)
+    mov = lambda i: (0, i)
+    win_spec = [pl.BlockSpec((wp, c), fix, memory_space=pltpu.VMEM)] * 12
+    ab_spec = [pl.BlockSpec((2 * w, c), fix, memory_space=pltpu.VMEM)] * 6
+    outh, outl = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((c - 1, 1), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c - 1, 1), fix, memory_space=pltpu.VMEM),
+        ]
+        + win_spec
+        + ab_spec
+        + [
+            pl.BlockSpec((1, B), mov, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), mov, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B), mov, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), mov, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, nb * B), jnp.float32),
+            jax.ShapeDtypeStruct((1, nb * B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lead_h, lead_l, *splits, qh, ql)
+    return outh.reshape(nb * B)[:nq], outl.reshape(nb * B)[:nq]
+
+
+def eval_xla_df(x_hi, x_lo, d_hi, d_lo, a_hi, a_lo, b_hi, b_lo, q_hi, q_lo):
+    """Plain-XLA double-float formulation (same semantics as the kernel).
+
+    Serves as (a) the correctness oracle on backends where plain jit
+    preserves the error-free transforms (CPU — pinned by tests/test_df.py;
+    Pallas *interpret* mode does not, see ops/df.py), and (b) the
+    non-TPU fallback for the DF evaluation path.
+    """
+    n = x_hi.shape[0]
+    # DF-lexicographic searchsorted(side="right") - 1, clamped — matches
+    # the kernel's two-level search and get_lower_index's clamp contract
+    le = (x_hi[None, :] < q_hi[:, None]) | (
+        (x_hi[None, :] == q_hi[:, None]) & (x_lo[None, :] <= q_lo[:, None])
+    )
+    idx = jnp.clip(
+        jnp.sum(le, axis=1).astype(jnp.int32) - 1, 0, n - 2
+    )
+    pick = lambda v: (v[0][idx], v[1][idx])
+    pick1 = lambda v: (v[0][idx + 1], v[1][idx + 1])
+    x_l = pick((x_hi, x_lo))
+    x_r = pick1((x_hi, x_lo))
+    y_l = pick((d_hi, d_lo))
+    y_r = pick1((d_hi, d_lo))
+    a = pick((a_hi, a_lo))
+    b = pick((b_hi, b_lo))
+    q = (q_hi, q_lo)
+
+    t = df_div(df_sub(q, x_l), df_sub(x_r, x_l))
+    one = (jnp.ones_like(q_hi), jnp.zeros_like(q_hi))
+    omt = df_sub(one, t)
+    base = df_add(
+        df_add(df_mul(omt, y_l), df_mul(t, y_r)),
+        df_mul(df_mul(t, omt), df_add(df_mul(a, omt), df_mul(b, t))),
+    )
+    tn = (q_hi - x_l[0]) / (x_r[0] - x_l[0])  # naive t: inf survives here
+    lin_inf = (
+        jnp.isinf(tn)
+        & (a[0] == 0.0) & (a[1] == 0.0) & (b[0] == 0.0) & (b[1] == 0.0)
+    )
+    alt = y_l[0] + tn * (y_r[0] - y_l[0])
+    return (
+        jnp.where(lin_inf, alt, base[0]),
+        jnp.where(lin_inf, jnp.zeros_like(alt), base[1]),
+    )
+
+
+def eval_df_from_f64(x64, d64, a64, b64, q64, interpret=False, path="kernel"):
+    """Convenience wrapper: split f64 host arrays, run the DF evaluation,
+    recombine to f64 on the host.  ``path``: "kernel" (Pallas; pass
+    ``interpret=True`` off-TPU) or "xla" (plain-jit formulation)."""
+    import jax
+
+    from .df import df_from_f64, df_to_f64
+
+    args = []
+    for v in (x64, d64, a64, b64, q64):
+        args.extend(df_from_f64(v))
+    if path == "xla":
+        hi, lo = jax.jit(eval_xla_df)(*args)
+    else:
+        hi, lo = fused_eval_1d_df(*args, interpret=interpret)
+    return df_to_f64(hi, lo)

@@ -14,18 +14,34 @@ _ROOT = str(Path(__file__).resolve().parent.parent)
 if _ROOT not in sys.path:
     sys.path.insert(0, _ROOT)
 
+def _is_tpu_run():
+    """True when the invocation selects the on-TPU parity gate
+    (``pytest -m tpu``): those tests need the real device, so the CPU
+    forcing below must not apply."""
+    return os.environ.get("NDI_TPU_TESTS", "") == "1"
+
+
 # Force CPU: the ambient environment sets JAX_PLATFORMS=axon (a tunneled
 # TPU); running the f64 oracle tests there would be slow (every eager op
-# becomes an RPC) and f64 is unsupported on TPU anyway.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# becomes an RPC) and f64 is unsupported on TPU anyway.  The on-TPU
+# parity gate (NDI_TPU_TESTS=1 pytest -m tpu) keeps the real device.
+if not _is_tpu_run():
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 
 def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: on-hardware parity tests (run via NDI_TPU_TESTS=1 pytest -m tpu)",
+    )
+    if _is_tpu_run():
+        # real-device run: no CPU re-exec, no x64 (unsupported on TPU)
+        return
     # The axon PJRT plugin registers itself in *every* interpreter via
     # sitecustomize (gated on PALLAS_AXON_POOL_IPS) and its relay session
     # adds ~30-50 ms of stall to every host transfer — a >100x slowdown
