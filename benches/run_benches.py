@@ -357,6 +357,27 @@ def main():
         "BASELINE.json config 2",
     )
 
+    # NS2b: 10k-knot x 64-bank EVAL (the wide-bank/long-axis regime the
+    # in-VMEM banked kernel can't reach: gather-route = fused (idx, t)
+    # kernel + ONE packed-row gather + streaming Pallas Hermite tail)
+    n10k, bank10k = (1024, 16) if args.quick else (10240, 64)
+    data10 = jnp.asarray(
+        rng.normal(size=(n10k, bank10k)).astype(np.float32), dtype
+    )
+    x10 = jnp.asarray(np.linspace(0, 1, n10k), dtype)
+    a10, b10 = build_jit(x10, data10)
+    itp10 = Interp1D.new_unchecked(
+        x10, data10, CubicSplineStrategy(a10, b10, "yes")
+    )
+    q10 = jnp.asarray(rng.uniform(0, 1, nq), dtype)
+    t = device_timer(f, (itp10, q10), links=8)
+    record(
+        f"NS2b: {n10k}-knot x{bank10k} bank EVAL, {nq//1000}k queries (device)",
+        t,
+        nq * bank10k,
+        "BASELINE.json config 2 / VERDICT r1 item 4",
+    )
+
     # NS3: 512x512x16 bilinear, 1M scattered 2-D queries
     g_shape = (128, 128, 4) if args.quick else (512, 512, 16)
     grid3 = jnp.asarray(rng.normal(size=g_shape).astype(np.float32), dtype)

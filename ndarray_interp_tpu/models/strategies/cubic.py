@@ -611,12 +611,38 @@ class CubicSplineStrategy(Interp1DStrategy):
 
         x = interp.x
         data = interp.data
-        idx = lower_index_fast(x, xq)
-        xpair = jnp.stack([x[:-1], x[1:]], axis=-1)  # (n-1, 2)
-        xg = xpair[idx]
-        x_left = xg[..., 0]
-        x_right = xg[..., 1]
-        tq = (xq - x_left) / (x_right - x_left)
+
+        def frac_default(xq):
+            idx = lower_index_fast(x, xq)
+            xpair = jnp.stack([x[:-1], x[1:]], axis=-1)  # (n-1, 2)
+            xg = xpair[idx]
+            tq = (xq - xg[..., 0]) / (xg[..., 1] - xg[..., 0])
+            return idx, tq
+
+        from ...ops.pallas_eval import _plan
+
+        if (
+            getattr(config, "use_fused_kernel", True)
+            and xq.dtype == jnp.float32
+            and x.dtype == jnp.float32
+            and xq.ndim == 1
+            and x.shape[0] >= 4
+            and _plan(x.shape[0]) is not None
+        ):
+            import jax
+
+            from ...ops.pallas_eval import fused_index_frac
+
+            # one windowed-search pass emits idx AND t: the default path's
+            # xpair[idx] gather costs ~6 ns/query-row on the TPU gather
+            # engine (~6 ms per 1M queries)
+            idx, tq = jax.lax.platform_dependent(
+                xq,
+                tpu=lambda q: fused_index_frac(x, q),
+                default=frac_default,
+            )
+        else:
+            idx, tq = frac_default(xq)
 
         def gather_form(idx, tq):
             # One stacked row-gather instead of six scalar gathers: the
@@ -644,13 +670,37 @@ class CubicSplineStrategy(Interp1DStrategy):
             )
 
         from ...ops.pallas_bank import banked_eval, can_use_banked
+        from ...ops.pallas_eval import _plan
 
-        if (
-            getattr(config, "use_fused_kernel", True)
+        kernels_on = getattr(config, "use_fused_kernel", True)
+        bank = 1
+        for s in data.shape[1:]:
+            bank *= s
+        n_pad = -(-(x.shape[0] - 1) // 128) * 128
+        # per-query cost model (v5e): the in-VMEM one-hot select burns
+        # n_pad*bank*12 MACs (12 bf16 passes at ~197 MACs/ns); the gather
+        # route pays the engine's ~6 ns/row floor or the row bytes at its
+        # ~300 GB/s effective rate, whichever binds — the banked kernel
+        # only wins while the knot axis is short
+        kernel_ns = n_pad * bank * 12 / 197_000.0
+        gather_ns = max(6.0, 4 * bank * 4 / 300.0)
+        banked_ok = (
+            kernels_on
             and self.finite
             and can_use_banked(x, data)
             and jnp.issubdtype(xq.dtype, jnp.floating)
-        ):
+        )
+        gather_ok = (
+            kernels_on
+            and data.ndim >= 2
+            and data.dtype == jnp.float32
+            and xq.dtype == jnp.float32
+            and x.dtype == jnp.float32
+            and xq.ndim == 1
+            and x.shape[0] >= 4
+            and _plan(x.shape[0]) is not None
+        )
+        if banked_ok and (not gather_ok or kernel_ns <= gather_ns):
             import jax
 
             def banked_form(idx, tq):
@@ -667,6 +717,28 @@ class CubicSplineStrategy(Interp1DStrategy):
 
             return jax.lax.platform_dependent(
                 idx, tq, tpu=banked_form, default=gather_form
+            )
+        if gather_ok:
+            import jax
+
+            from ...ops.pallas_tail import gathered_bank_eval
+
+            def gathered_form(idx, tq):
+                # one packed-row gather + streaming Hermite tail (covers
+                # the wide-bank/long-knot-axis regimes the MXU kernel
+                # can't: 10k-knot x 64-bank x 1M queries 26 ms -> ~8 ms)
+                n = data.shape[0]
+                out = gathered_bank_eval(
+                    data.reshape(n, -1),
+                    self.a.reshape(n - 1, -1),
+                    self.b.reshape(n - 1, -1),
+                    idx.reshape(-1),
+                    tq.reshape(-1),
+                )
+                return out.reshape(xq.shape + data.shape[1:])
+
+            return jax.lax.platform_dependent(
+                idx, tq, tpu=gathered_form, default=gather_form
             )
         return gather_form(idx, tq)
 

@@ -366,6 +366,60 @@ def fused_lower_index(knots, q, interpret=False):
     return out.reshape(nb * B)[:nq]
 
 
+def _frac_kernel(lead_ref, kh_ref, km_ref, kl_ref, q_ref, idx_ref, t_ref,
+                 *, n, w, c, wp):
+    """Bucketize + interpolation fraction in one pass: the windowed
+    search already selects both interval endpoints, so emitting
+    ``t = (q - x_l) / (x_r - x_l)`` is free — saving the XLA paths two
+    1-row-per-query ``x[idx]`` gathers (~6 ns/row each on v5e)."""
+    q = q_ref[:]
+    idx, x_l, x_r = _axis_search(
+        lead_ref[:], kh_ref[:], km_ref[:], kl_ref[:], q,
+        n=n, w=w, c=c, wp=wp,
+    )
+    idx_ref[:] = idx.astype(jnp.int32)
+    t_ref[:] = (q - x_l) / (x_r - x_l)
+
+
+def fused_index_frac(knots, q, interpret=False):
+    """Pallas ``(get_lower_index(q), t)`` for f32 axes; the fraction uses
+    the same operand order as the reference eval paths
+    (``cubic_spline.rs:818`` / ``linear.rs:29-37`` via calc_frac)."""
+    n = knots.shape[0]
+    nq = q.shape[0]
+    w, c, B = _plan(n)
+    wp = -(-(w + 1) // 16) * 16
+    zeros = jnp.zeros((n - 1,), knots.dtype)
+    lead, kwin, _, _ = _pack_windows(knots, knots, zeros, zeros, w, c, wp)
+    kh, km, kl = _split3(kwin)
+    nb = (nq + B - 1) // B
+    qpad = jnp.pad(q, (0, nb * B - nq)).reshape(1, nb * B)
+    kern = functools.partial(_frac_kernel, n=n, w=w, c=c, wp=wp)
+    fix = lambda i: (0, 0)
+    mov = lambda i: (0, i)
+    idx, t = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((c - 1, 1), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), mov, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B), mov, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), mov, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, nb * B), jnp.int32),
+            jax.ShapeDtypeStruct((1, nb * B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lead, kh, km, kl, qpad)
+    return idx.reshape(nb * B)[:nq], t.reshape(nb * B)[:nq]
+
+
 def _axis_search(lead, kh, km, kl, q, *, n, w, c, wp):
     """Shared in-kernel two-level search: returns the clamped interval
     index (f32), and the interval endpoints selected from the window."""

@@ -1,0 +1,160 @@
+"""Streaming Hermite tail: consume gathered interval rows in VMEM.
+
+The wide-bank evaluation regimes (large knot count x many queries x
+moderate bank) cannot avoid XLA's gather engine for the row fetch
+(~6 ns/query-row on v5e regardless of formulation — measured dead ends:
+one-hot MXU select is O(n x bank) MACs/query, per-row DMA is ~51 ns/row,
+sort-and-bin pays the same gather again to restore query order).  What
+CAN be fixed is everything around the gather: the reference-shaped XLA
+formulation (``cubic_spline.rs:791-830`` vectorized) spends ~20 ms/1M
+queries on two extra ``x[idx]`` gathers and an unfused (Q, bank)
+polynomial tail; this module replaces that with
+
+1. one fused Pallas bucketize emitting ``(idx, t)`` in a single pass
+   (``pallas_eval.fused_index_frac``),
+2. ONE gather of packed ``[y_l | y_r | a | b]`` rows, and
+3. this kernel: stream the gathered rows through VMEM and evaluate the
+   Hermite form tile by tile, writing only the (Q, bank) result.
+
+Measured on the 10k-knot x 64-bank x 1M-query workload: 26 ms (three
+gathers + XLA tail) -> ~8 ms (one gather + this kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(rows_ref, t_ref, out_ref, *, bank):
+    f32 = jnp.float32
+    rows = rows_ref[:]  # (Bq, 4*bank_pad)
+    t = t_ref[:]  # (Bq, 1) -> broadcasts over bank lanes
+    bp = rows.shape[1] // 4
+    y_l = rows[:, 0 * bp : 0 * bp + bank]
+    y_r = rows[:, 1 * bp : 1 * bp + bank]
+    a = rows[:, 2 * bp : 2 * bp + bank]
+    b = rows[:, 3 * bp : 3 * bp + bank]
+    one = f32(1.0)
+    # same op order as cubic_spline.rs:818-828 / the gather formulation
+    out_ref[:] = (
+        (one - t) * y_l + t * y_r + t * (one - t) * (a * (one - t) + b * t)
+    )
+
+
+def pack_bank_rows(data2, a2, b2):
+    """Build the packed per-interval row table ``(n-1, 4*bank_pad)``.
+
+    Channels are packed TIGHTLY (bank padded only to a multiple of 8):
+    the gather engine's cost grows with row bytes beyond ~1 KB (measured
+    ~300 GB/s effective), so padding each channel to 128 lanes would
+    double the fetch for a 64-wide bank; Mosaic lane-slices at the
+    resulting non-tile offsets fine.  data2 (n, bank), a2/b2 (n-1, bank)."""
+    bank = data2.shape[1]
+    bp = -(-bank // 8) * 8
+    pad = ((0, 0), (0, bp - bank))
+    return jnp.concatenate(
+        [
+            jnp.pad(data2[:-1], pad),
+            jnp.pad(data2[1:], pad),
+            jnp.pad(a2, pad),
+            jnp.pad(b2, pad),
+        ],
+        axis=1,
+    )
+
+
+def banked_hermite_tail(rows, t, bank, interpret=False):
+    """Evaluate the Hermite form on gathered rows.
+
+    rows: (Q, 4*bank_pad) — output of ``jnp.take(pack_bank_rows(...), idx)``
+    with Q already a multiple of 512 (pad ``idx``/``t`` BEFORE the gather:
+    padding the gathered array itself would copy gigabytes);
+    t: (Q,) fractions.  Returns (Q, bank) f32.
+    """
+    nq = rows.shape[0]
+    ch = rows.shape[1]
+    bq = 512
+    assert nq % bq == 0, "pad idx/t to a 512 multiple before the gather"
+    nb = nq // bq
+    t2 = t.reshape(nq, 1)
+    bp = ch // 4
+    out = pl.pallas_call(
+        functools.partial(_kernel, bank=bp),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+        interpret=interpret,
+    )(rows, t2)
+    return out[:, :bank]
+
+
+@jax.custom_vjp
+def gathered_bank_eval(data2, a2, b2, idx, t):
+    """Gather-route banked evaluation: ONE packed row gather -> streaming
+    Hermite tail.  f32; ``idx``/``t`` flat (from ``fused_index_frac``).
+
+    Same interval values and op order as the gather formulation (the
+    packed row is exact f32); the single gather replaces its separate
+    ``tbl[idx]`` + 2x ``x[idx]`` engine passes.  Backward pass is the
+    VJP of the gather formulation (like ``banked_eval``).
+    """
+    return _gathered_impl(data2, a2, b2, idx, t)
+
+
+def _gathered_impl(data2, a2, b2, idx, t, interpret=False):
+    nq = idx.shape[0]
+    npad = -(-nq // 512) * 512 - nq
+    if npad:
+        # pad the cheap (Q,) inputs so the gathered array is born block-
+        # aligned (padding it afterwards would copy the whole thing)
+        idx = jnp.pad(idx, (0, npad))
+        t = jnp.pad(t, (0, npad))
+    packed = pack_bank_rows(data2, a2, b2)
+    rows = jnp.take(packed, idx, axis=0)
+    out = banked_hermite_tail(rows, t, data2.shape[1], interpret=interpret)
+    return out[:nq]
+
+
+def _gather_form_2d(d2, a2, b2, idx, t):
+    y_l = d2[:-1][idx]
+    y_r = d2[1:][idx]
+    ga = a2[idx]
+    gb = b2[idx]
+    te = t[:, None]
+    one = jnp.ones((), d2.dtype)
+    return (
+        (one - te) * y_l
+        + te * y_r
+        + te * (one - te) * (ga * (one - te) + gb * te)
+    )
+
+
+def _fwd(data2, a2, b2, idx, t):
+    return _gathered_impl(data2, a2, b2, idx, t), (data2, a2, b2, idx, t)
+
+
+def _bwd(res, g):
+    import numpy as np
+
+    data2, a2, b2, idx, t = res
+    _, vjp = jax.vjp(
+        lambda d_, a_, b_, t_: _gather_form_2d(d_, a_, b_, idx, t_),
+        data2, a2, b2, t,
+    )
+    gd, ga, gb, gt = vjp(g)
+    gidx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return gd, ga, gb, gidx, gt
+
+
+gathered_bank_eval.defvjp(_fwd, _bwd)

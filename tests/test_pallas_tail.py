@@ -1,0 +1,133 @@
+"""Gather-route banked evaluation (fused index+frac -> one packed-row
+gather -> streaming Hermite tail) — interpret-mode tests vs the gather
+formulation oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ndarray_interp_tpu.ops.pallas_eval import fused_index_frac
+from ndarray_interp_tpu.ops.pallas_tail import (
+    _gather_form_2d,
+    _gathered_impl,
+    banked_hermite_tail,
+    pack_bank_rows,
+)
+from ndarray_interp_tpu.ops.searchsorted import get_lower_index
+
+
+def fixture(n=512, bank=48, nq=1024, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(np.cumsum(rng.uniform(0.1, 1.0, n)).astype(np.float32))
+    d2 = jnp.asarray(rng.normal(size=(n, bank)).astype(np.float32))
+    a2 = jnp.asarray(rng.normal(size=(n - 1, bank)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(size=(n - 1, bank)).astype(np.float32))
+    lo, hi = float(x[0]), float(x[-1])
+    q = jnp.asarray(
+        np.r_[
+            rng.uniform(lo - 1, hi + 1, nq - 4),
+            [lo, hi, np.inf, -np.inf],
+        ].astype(np.float32)
+    )
+    return x, d2, a2, b2, q
+
+
+def test_fused_index_frac_matches_oracle():
+    x, _, _, _, q = fixture()
+    idx, t = fused_index_frac(x, q, interpret=True)
+    want_idx = np.asarray(get_lower_index(x, q))
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+    x_np = np.asarray(x)
+    want_t = (np.asarray(q) - x_np[want_idx]) / (
+        x_np[want_idx + 1] - x_np[want_idx]
+    )
+    np.testing.assert_array_equal(np.asarray(t), want_t)
+
+
+def test_fused_index_frac_nan_query():
+    x, _, _, _, _ = fixture()
+    idx, t = fused_index_frac(
+        x, jnp.asarray([np.nan, float(x[3])], jnp.float32), interpret=True
+    )
+    assert np.isnan(np.asarray(t)[0])
+    assert np.asarray(idx)[1] == 3
+
+
+def test_gathered_route_matches_gather_form():
+    x, d2, a2, b2, q = fixture()
+    idx, t = fused_index_frac(x, q, interpret=True)
+    got = _gathered_impl(d2, a2, b2, idx, t, interpret=True)
+    want = _gather_form_2d(d2, a2, b2, idx, t)
+    # 1-ulp FMA-contraction differences between the interpret-mode
+    # compile and the eager oracle; bit-exactness on real hardware is
+    # pinned in tests/test_tpu_parity.py
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("bank", [1, 7, 128, 130])
+def test_tail_bank_padding(bank):
+    """Channel padding to 128-lane boundaries must not leak into results."""
+    rng = np.random.default_rng(bank)
+    nq, nrow = 130, 16
+    d2 = jnp.asarray(rng.normal(size=(nrow, bank)).astype(np.float32))
+    a2 = jnp.asarray(rng.normal(size=(nrow - 1, bank)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(size=(nrow - 1, bank)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, nrow - 1, nq), jnp.int32)
+    t = jnp.asarray(rng.uniform(-0.5, 1.5, nq).astype(np.float32))
+    got = _gathered_impl(d2, a2, b2, idx, t, interpret=True)
+    want = _gather_form_2d(d2, a2, b2, idx, t)
+    assert got.shape == (nq, bank)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_packed_rows_layout():
+    x, d2, a2, b2, _ = fixture(n=8, bank=3)
+    packed = pack_bank_rows(d2, a2, b2)
+    assert packed.shape == (7, 4 * 8)  # tight: bank padded to 8 lanes
+    np.testing.assert_array_equal(np.asarray(packed[:, :3]), np.asarray(d2[:-1]))
+    np.testing.assert_array_equal(
+        np.asarray(packed[:, 8:11]), np.asarray(d2[1:])
+    )
+    np.testing.assert_array_equal(np.asarray(packed[:, 3:8]), 0.0)
+
+
+def test_gathered_route_nan_localization():
+    """A non-finite datum poisons only queries that touch its intervals
+    (reference/take semantics — unlike the one-hot MXU select)."""
+    x, d2, a2, b2, _ = fixture(n=64, bank=4)
+    d2 = d2.at[32, 2].set(jnp.nan)
+    q = jnp.asarray(
+        [float(x[5]) + 0.1, float(x[31]) + 1e-4, float(x[50])], jnp.float32
+    )
+    idx, t = fused_index_frac(x, q, interpret=True)
+    got = np.asarray(_gathered_impl(d2, a2, b2, idx, t, interpret=True))
+    assert np.isfinite(got[0]).all() and np.isfinite(got[2]).all()
+    assert np.isnan(got[1, 2]) and np.isfinite(got[1, [0, 1, 3]]).all()
+
+
+def test_gathered_route_bwd_matches_gather_form_grads():
+    """The custom_vjp backward (what jax.grad uses in production, where
+    the forward runs the compiled kernel) must equal autodiff through
+    the gather formulation."""
+    from ndarray_interp_tpu.ops.pallas_tail import _bwd
+
+    x, d2, a2, b2, q = fixture(n=64, bank=8, nq=64)
+    idx, t = fused_index_frac(x, q, interpret=True)
+    out = _gather_form_2d(d2, a2, b2, idx, t)
+    g = 2.0 * out  # cotangent of sum(out**2)
+
+    def loss_oracle(d2, a2, b2, t):
+        return jnp.sum(_gather_form_2d(d2, a2, b2, idx, t) ** 2)
+
+    want = jax.grad(loss_oracle, argnums=(0, 1, 2, 3))(d2, a2, b2, t)
+    gd, ga, gb, _, gt = _bwd((d2, a2, b2, idx, t), g)
+    for a_, b_ in zip(want, (gd, ga, gb, gt)):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-5
+        )

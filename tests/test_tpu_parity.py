@@ -95,6 +95,46 @@ def test_banked_eval_bit_exact():
     np.testing.assert_array_equal(got, want)
 
 
+def test_fused_index_frac_exact():
+    from ndarray_interp_tpu.ops.pallas_eval import fused_index_frac
+    from ndarray_interp_tpu.ops.searchsorted import get_lower_index
+
+    x, _, _, _, q = _table(2048, 8192, seed=5)
+
+    def oracle(q):
+        idx = get_lower_index(x, q)
+        xl = x[idx]
+        xr = x[idx + 1]
+        return idx, (q - xl) / (xr - xl)
+
+    gi, gt = jax.jit(lambda q: fused_index_frac(x, q))(q)
+    wi, wt = jax.jit(oracle)(q)
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+    np.testing.assert_array_equal(np.asarray(gt), np.asarray(wt))
+
+
+def test_gathered_bank_route_matches_gather_form():
+    from ndarray_interp_tpu.ops.pallas_eval import fused_index_frac
+    from ndarray_interp_tpu.ops.pallas_tail import (
+        _gather_form_2d,
+        gathered_bank_eval,
+    )
+
+    rng = np.random.default_rng(6)
+    n, bank, nq = 10240, 64, 65536
+    x = jnp.asarray(np.linspace(0, 1, n), jnp.float32)
+    d2 = jnp.asarray(rng.normal(size=(n, bank)).astype(np.float32))
+    a2 = jnp.asarray(rng.normal(size=(n - 1, bank)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(size=(n - 1, bank)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(-0.1, 1.1, nq).astype(np.float32))
+    idx, t = jax.jit(lambda q: fused_index_frac(x, q))(q)
+    got = np.asarray(jax.jit(gathered_bank_eval)(d2, a2, b2, idx, t))
+    want = np.asarray(jax.jit(_gather_form_2d)(d2, a2, b2, idx, t))
+    # same values, same op order; allow 1-ulp FMA-contraction skew
+    # between Mosaic and the XLA fusion of the oracle
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_mosaic_preserves_error_free_transforms():
     """two_sum inside a compiled Mosaic kernel returns the exact error
     term (the property interpret mode loses, ops/df.py)."""
