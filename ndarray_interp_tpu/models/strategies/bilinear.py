@@ -77,6 +77,16 @@ class Bilinear(Interp2DStrategy, Interp2DStrategyBuilder):
         return self
 
     def eval(self, interp, xq, yq):
+        # NOTE round-2 negative result (measured on v5e, NS3 workload):
+        # the "fully fused" gather route — fused_cell_index + one packed
+        # gather + a streaming Pallas lerp tail (ops/pallas_tail.py,
+        # kept with tests) — measured 18.2 ms vs 8.2 ms for this
+        # separated path.  Anatomy: the cell kernel costs 1.8 ms vs
+        # 0.6 ms for two fused_lower_index passes (confirming round 1's
+        # measurement), and the Pallas tail on 68-lane unaligned blocks
+        # runs at ~43 GB/s (7.9 ms) vs ~1.9 ms for XLA's fused lerps.
+        # The packed-row gather's ~6 ms is the hardware floor either way
+        # (docs/ROADMAP.md, gather-engine wall).
         import jax
 
         from ...ops.searchsorted import lower_index_fast

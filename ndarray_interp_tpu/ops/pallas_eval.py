@@ -381,10 +381,39 @@ def _frac_kernel(lead_ref, kh_ref, km_ref, kl_ref, q_ref, idx_ref, t_ref,
     t_ref[:] = (q - x_l) / (x_r - x_l)
 
 
-def fused_index_frac(knots, q, interpret=False):
+@jax.custom_vjp
+def fused_index_frac(knots, q):
     """Pallas ``(get_lower_index(q), t)`` for f32 axes; the fraction uses
     the same operand order as the reference eval paths
-    (``cubic_spline.rs:818`` / ``linear.rs:29-37`` via calc_frac)."""
+    (``cubic_spline.rs:818`` / ``linear.rs:29-37`` via calc_frac).
+
+    ``t`` is differentiable (the index is integer/non-diff); the backward
+    pass is the VJP of the XLA formulation with the interval fixed."""
+    return _index_frac_impl(knots, q)
+
+
+def _index_frac_fwd(knots, q):
+    idx, t = _index_frac_impl(knots, q)
+    return (idx, t), (knots, q, idx)
+
+
+def _index_frac_bwd(res, cts):
+    knots, q, idx = res
+    _, g_t = cts  # idx cotangent is symbolically zero (int output)
+
+    def frac(knots, q):
+        x_l = knots[idx]
+        x_r = knots[idx + 1]
+        return (q - x_l) / (x_r - x_l)
+
+    _, vjp = jax.vjp(frac, knots, q)
+    return vjp(g_t)
+
+
+fused_index_frac.defvjp(_index_frac_fwd, _index_frac_bwd)
+
+
+def _index_frac_impl(knots, q, interpret=False):
     n = knots.shape[0]
     nq = q.shape[0]
     w, c, B = _plan(n)
@@ -463,19 +492,46 @@ def _cell_kernel(xl_ref, xh_ref, xm_ref, xlo_ref, yl_ref, yh_ref, ym_ref,
     ty_ref[:] = (qy - y_l) / (y_r - y_l)
 
 
-def fused_cell_index(x, y, qx, qy, interpret=False):
+@jax.custom_vjp
+def fused_cell_index(x, y, qx, qy):
     """Fused bilinear bucketize for f32 axes: one Pallas pass computing the
     flat cell index and both interpolation fractions
     (``/root/reference/src/interp2d/strategies/bilinear.rs:71-97``
     semantics; clamps match ``get_lower_index`` exactly, incl. ±inf).
 
-    Not wired into the bilinear hot path yet: measured on v5e it is
-    slightly slower end-to-end than two :func:`fused_lower_index` calls
-    (the endpoint selects cost more than the XLA tail they replace, and
-    the packed-row gather dominates either way at ~6 ns/row).  It is the
-    building block for the planned sort-and-bin bilinear kernel — the
-    flat cell id is the bin/sort key (see docs/ROADMAP.md).
-    """
+    Feeds the bilinear gather route (``pallas_tail.bilinear_gathered_eval``)
+    with the flat cell id; the fractions are differentiable, the cell is
+    not (int), and the backward pass is the XLA formulation's VJP with
+    the cell fixed."""
+    return _cell_index_impl(x, y, qx, qy)
+
+
+def _cell_index_fwd(x, y, qx, qy):
+    cell, tx, ty = _cell_index_impl(x, y, qx, qy)
+    return (cell, tx, ty), (x, y, qx, qy, cell)
+
+
+def _cell_index_bwd(res, cts):
+    x, y, qx, qy, cell = res
+    _, g_tx, g_ty = cts
+
+    ny1 = res[1].shape[0] - 1
+
+    def fracs(x, y, qx, qy):
+        xi = cell // ny1
+        yi = cell - xi * ny1
+        tx = (qx - x[xi]) / (x[xi + 1] - x[xi])
+        ty = (qy - y[yi]) / (y[yi + 1] - y[yi])
+        return tx, ty
+
+    _, vjp = jax.vjp(fracs, x, y, qx, qy)
+    return vjp((g_tx, g_ty))
+
+
+fused_cell_index.defvjp(_cell_index_fwd, _cell_index_bwd)
+
+
+def _cell_index_impl(x, y, qx, qy, interpret=False):
     nx, ny = x.shape[0], y.shape[0]
     nq = qx.shape[0]
     wx, cx, bx = _plan(nx)

@@ -99,6 +99,115 @@ def banked_hermite_tail(rows, t, bank, interpret=False):
     return out[:, :bank]
 
 
+# -- bilinear: packed-corner-row gather + streaming lerp tail -----------------
+
+
+def _bilinear_kernel(rows_ref, qx_ref, qy_ref, out_ref, *, r):
+    from .lerp import calc_frac
+
+    rows = rows_ref[:]  # (Bq, 4r+4 padded)
+    qx = qx_ref[:]  # (Bq, 1)
+    qy = qy_ref[:]
+    z11 = rows[:, 0 * r : 1 * r]
+    z12 = rows[:, 1 * r : 2 * r]
+    z21 = rows[:, 2 * r : 3 * r]
+    z22 = rows[:, 3 * r : 4 * r]
+    x1 = rows[:, 4 * r : 4 * r + 1]
+    x2 = rows[:, 4 * r + 1 : 4 * r + 2]
+    y1 = rows[:, 4 * r + 2 : 4 * r + 3]
+    y2 = rows[:, 4 * r + 3 : 4 * r + 4]
+    # same lerp composition/order as bilinear.rs:88-97 (via calc_frac)
+    z1 = calc_frac(x1, z11, x2, z21, qx)
+    z2 = calc_frac(x1, z12, x2, z22, qx)
+    out_ref[:] = calc_frac(y1, z1, y2, z2, qy)
+
+
+def bilinear_tail(rows, qx, qy, r, interpret=False):
+    """Three calc_frac lerps on gathered corner rows, streamed through
+    VMEM (rows: (Q, ch) with Q a multiple of 512, ch >= 4r+4; see
+    ``bilinear.pack_corner_rows``).  Returns (Q, r) f32."""
+    nq, ch = rows.shape
+    bq = 512
+    assert nq % bq == 0
+    nb = nq // bq
+    out = pl.pallas_call(
+        functools.partial(_bilinear_kernel, r=r),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bq, r), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nq, r), jnp.float32),
+        interpret=interpret,
+    )(rows, qx.reshape(nq, 1), qy.reshape(nq, 1))
+    return out
+
+
+def _bilinear_xla_form(rows_tbl, cell, qx, qy, r):
+    """XLA slice+lerp oracle on the packed table (VJP + fallback)."""
+    from .lerp import calc_frac
+
+    g = jnp.take(rows_tbl, cell, axis=0)
+    z11 = g[:, 0 * r : 1 * r]
+    z12 = g[:, 1 * r : 2 * r]
+    z21 = g[:, 2 * r : 3 * r]
+    z22 = g[:, 3 * r : 4 * r]
+    x1 = g[:, 4 * r : 4 * r + 1]
+    x2 = g[:, 4 * r + 1 : 4 * r + 2]
+    y1 = g[:, 4 * r + 2 : 4 * r + 3]
+    y2 = g[:, 4 * r + 3 : 4 * r + 4]
+    qxe = qx[:, None]
+    qye = qy[:, None]
+    z1 = calc_frac(x1, z11, x2, z21, qxe)
+    z2 = calc_frac(x1, z12, x2, z22, qxe)
+    return calc_frac(y1, z1, y2, z2, qye)
+
+
+def _bilinear_gathered_impl(rows_tbl, cell, qx, qy, r, interpret=False):
+    nq = cell.shape[0]
+    npad = -(-nq // 512) * 512 - nq
+    if npad:
+        cell = jnp.pad(cell, (0, npad))
+        qx = jnp.pad(qx, (0, npad))
+        qy = jnp.pad(qy, (0, npad))
+    rows = jnp.take(rows_tbl, cell, axis=0)
+    return bilinear_tail(rows, qx, qy, r, interpret=interpret)[:nq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def bilinear_gathered_eval(rows_tbl, cell, qx, qy, r):
+    """Bilinear gather route: one packed corner-row gather + streaming
+    lerp tail (reference semantics ``bilinear.rs:64-98``).  rows_tbl:
+    ((nx-1)*(ny-1), >=4r+4); cell/qx/qy flat.  Backward = VJP of the
+    XLA formulation."""
+    return _bilinear_gathered_impl(rows_tbl, cell, qx, qy, r)
+
+
+def _bl_fwd(rows_tbl, cell, qx, qy, r):
+    out = _bilinear_gathered_impl(rows_tbl, cell, qx, qy, r)
+    return out, (rows_tbl, cell, qx, qy)
+
+
+def _bl_bwd(r, res, g):
+    import numpy as np
+
+    rows_tbl, cell, qx, qy = res
+    _, vjp = jax.vjp(
+        lambda rt, qx_, qy_: _bilinear_xla_form(rt, cell, qx_, qy_, r),
+        rows_tbl, qx, qy,
+    )
+    gr, gx, gy = vjp(g)
+    gcell = np.zeros(cell.shape, dtype=jax.dtypes.float0)
+    return gr, gcell, gx, gy
+
+
+bilinear_gathered_eval.defvjp(_bl_fwd, _bl_bwd)
+
+
 @jax.custom_vjp
 def gathered_bank_eval(data2, a2, b2, idx, t):
     """Gather-route banked evaluation: ONE packed row gather -> streaming
@@ -107,9 +216,13 @@ def gathered_bank_eval(data2, a2, b2, idx, t):
     Same interval values and op order as the gather formulation (the
     packed row is exact f32); the single gather replaces its separate
     ``tbl[idx]`` + 2x ``x[idx]`` engine passes.  Backward pass is the
-    VJP of the gather formulation (like ``banked_eval``).
+    VJP of the gather formulation (like ``banked_eval``); under a mesh
+    the query/bank axes partition with zero communication
+    (``ops/partition.py``).
     """
-    return _gathered_impl(data2, a2, b2, idx, t)
+    from .partition import sharded_gathered_eval
+
+    return sharded_gathered_eval(False)(data2, a2, b2, idx, t)
 
 
 def _gathered_impl(data2, a2, b2, idx, t, interpret=False):
@@ -141,7 +254,10 @@ def _gather_form_2d(d2, a2, b2, idx, t):
 
 
 def _fwd(data2, a2, b2, idx, t):
-    return _gathered_impl(data2, a2, b2, idx, t), (data2, a2, b2, idx, t)
+    from .partition import sharded_gathered_eval
+
+    out = sharded_gathered_eval(False)(data2, a2, b2, idx, t)
+    return out, (data2, a2, b2, idx, t)
 
 
 def _bwd(res, g):

@@ -228,6 +228,74 @@ def _banked_cp(interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
+def _gathered_cp(interpret: bool):
+    from .pallas_tail import _gathered_impl
+
+    @custom_partitioning
+    def cp(d2, a2, b2, idx, t):
+        return _gathered_impl(d2, a2, b2, idx, t, interpret=interpret)
+
+    def partition(mesh, arg_shapes, result_shape):
+        del result_shape
+        d_spec = _spec(arg_shapes[0])
+        bank_axes = d_spec[1] if len(d_spec) >= 2 else None
+        q_spec = _spec(arg_shapes[3])
+        q_axes = q_spec[0] if len(q_spec) >= 1 else None
+        tbl_sh = NamedSharding(mesh, P(None, bank_axes))
+        q_sh = NamedSharding(mesh, P(q_axes))
+        arg_sh = (tbl_sh, tbl_sh, tbl_sh, q_sh, q_sh)
+        out_sh = NamedSharding(mesh, P(q_axes, bank_axes))
+
+        def lower(d2, a2, b2, idx, t):
+            return _gathered_impl(d2, a2, b2, idx, t, interpret=interpret)
+
+        return mesh, lower, out_sh, arg_sh
+
+    def infer(mesh, arg_shapes, result_shape):
+        del result_shape
+        d_spec = _spec(arg_shapes[0])
+        bank_axes = d_spec[1] if len(d_spec) >= 2 else None
+        q_spec = _spec(arg_shapes[3])
+        q_axes = q_spec[0] if len(q_spec) >= 1 else None
+        return NamedSharding(mesh, P(q_axes, bank_axes))
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="n b, m b, m b, q, q -> q b",
+        need_replication_factors=("n", "m"),
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_gathered_eval(interpret: bool = False):
+    """Sharding- and vmap-compatible gather-route banked evaluation
+    (same zero-communication rule as the banked kernel)."""
+    cp = _gathered_cp(interpret)
+
+    @jax.custom_batching.custom_vmap
+    def f(d2, a2, b2, idx, t):
+        return cp(d2, a2, b2, idx, t)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, d2, a2, b2, idx, t):
+        db, ab, bb, ib, tb = in_batched
+        if db or ab or bb:
+            out = jax.vmap(
+                _gather_form_2d,
+                in_axes=tuple(0 if b else None for b in in_batched),
+                axis_size=axis_size,
+            )(d2, a2, b2, idx, t)
+            return out, True
+        nq = idx.shape[-1]
+        flat = f(d2, a2, b2, idx.reshape(-1), t.reshape(-1))
+        return flat.reshape((axis_size, nq) + flat.shape[1:]), True
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
 def sharded_banked_eval(interpret: bool = False):
     """Sharding- and vmap-compatible banked select+Hermite on 2-D
     canonical operands ``d2 (n, bank), a2/b2 (n-1, bank), idx/t (q,)``."""

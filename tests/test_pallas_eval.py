@@ -127,7 +127,7 @@ def test_fused_lower_index_matches_reference_semantics(n):
 
 
 def test_fused_cell_index_matches_reference_semantics():
-    from ndarray_interp_tpu.ops.pallas_eval import fused_cell_index
+    from ndarray_interp_tpu.ops.pallas_eval import _cell_index_impl as fused_cell_index
     from ndarray_interp_tpu.ops.searchsorted import get_lower_index
 
     rng = np.random.default_rng(5)

@@ -8,7 +8,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from ndarray_interp_tpu.ops.pallas_eval import fused_index_frac
+from ndarray_interp_tpu.ops.pallas_eval import _index_frac_impl as fused_index_frac
 from ndarray_interp_tpu.ops.pallas_tail import (
     _gather_form_2d,
     _gathered_impl,
@@ -131,3 +131,104 @@ def test_gathered_route_bwd_matches_gather_form_grads():
         np.testing.assert_allclose(
             np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-5
         )
+
+
+# -- bilinear gather route -----------------------------------------------
+
+
+def bl_fixture(nx=64, ny=48, r=5, nq=1024, seed=3):
+    from ndarray_interp_tpu.models.strategies.bilinear import pack_corner_rows
+
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(np.cumsum(rng.uniform(0.1, 1.0, nx)).astype(np.float32))
+    y = jnp.asarray(np.cumsum(rng.uniform(0.1, 1.0, ny)).astype(np.float32))
+    data = jnp.asarray(rng.normal(size=(nx, ny, r)).astype(np.float32))
+    rows = pack_corner_rows(x, y, data).reshape((nx - 1) * (ny - 1), -1)
+    qx = jnp.asarray(
+        rng.uniform(float(x[0]) - 1, float(x[-1]) + 1, nq).astype(np.float32)
+    )
+    qy = jnp.asarray(
+        rng.uniform(float(y[0]) - 1, float(y[-1]) + 1, nq).astype(np.float32)
+    )
+    return x, y, data, rows, qx, qy
+
+
+def test_bilinear_gathered_matches_xla_form():
+    from ndarray_interp_tpu.ops.pallas_eval import _cell_index_impl
+    from ndarray_interp_tpu.ops.pallas_tail import (
+        _bilinear_gathered_impl,
+        _bilinear_xla_form,
+    )
+
+    x, y, data, rows, qx, qy = bl_fixture()
+    r = data.shape[2]
+    cell, _, _ = _cell_index_impl(x, y, qx, qy, interpret=True)
+    got = _bilinear_gathered_impl(rows, cell, qx, qy, r, interpret=True)
+    want = _bilinear_xla_form(rows, cell, qx, qy, r)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_bilinear_gathered_matches_strategy_oracle():
+    """End-to-end: gather route equals the separated bilinear path."""
+    from ndarray_interp_tpu.interp2d import Interp2D
+    from ndarray_interp_tpu.ops.pallas_eval import _cell_index_impl
+    from ndarray_interp_tpu.ops.pallas_tail import _bilinear_gathered_impl
+
+    x, y, data, rows, qx, qy = bl_fixture()
+    r = data.shape[2]
+    itp = Interp2D.builder(data).x(x).y(y).build()
+    # in-range queries only (builder default: no extrapolation)
+    qx = jnp.clip(qx, float(x[0]), float(x[-1]))
+    qy = jnp.clip(qy, float(y[0]), float(y[-1]))
+    want = itp.interp_array(qx, qy)
+    cell, _, _ = _cell_index_impl(x, y, qx, qy, interpret=True)
+    got = _bilinear_gathered_impl(rows, cell, qx, qy, r, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want).reshape(got.shape),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_bilinear_bwd_matches_xla_grads():
+    from ndarray_interp_tpu.ops.pallas_eval import _cell_index_impl
+    from ndarray_interp_tpu.ops.pallas_tail import (
+        _bilinear_xla_form,
+        _bl_bwd,
+    )
+
+    x, y, data, rows, qx, qy = bl_fixture(nq=128)
+    r = data.shape[2]
+    cell, _, _ = _cell_index_impl(x, y, qx, qy, interpret=True)
+    out = _bilinear_xla_form(rows, cell, qx, qy, r)
+    g = 2.0 * out
+
+    def loss(rows, qx, qy):
+        return jnp.sum(_bilinear_xla_form(rows, cell, qx, qy, r) ** 2)
+
+    want = jax.grad(loss, argnums=(0, 1, 2))(rows, qx, qy)
+    gr, _, gx, gy = _bl_bwd(r, (rows, cell, qx, qy), g)
+    for a_, b_ in zip(want, (gr, gx, gy)):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_index_frac_bwd_matches_xla_grads():
+    from ndarray_interp_tpu.ops.pallas_eval import _index_frac_bwd
+
+    x, _, _, _, q = fixture(n=64, nq=128)
+    q = jnp.clip(q, float(x[0]), float(x[-1]))  # finite grads only
+    idx, t = fused_index_frac(x, q, interpret=True)
+
+    def frac_loss(x, q):
+        xl = x[np.asarray(idx)]
+        xr = x[np.asarray(idx) + 1]
+        return jnp.sum(((q - xl) / (xr - xl)) ** 2)
+
+    want = jax.grad(frac_loss, argnums=(0, 1))(x, q)
+    g_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    gx, gq = _index_frac_bwd((x, q, idx), (g_idx, 2.0 * t))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(want[0]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(want[1]), rtol=1e-5, atol=1e-5)

@@ -219,6 +219,38 @@ def test_fused_eval_vmap_batched_tables_falls_back():
     )
 
 
+def test_gathered_route_under_mesh(mesh):
+    """The gather-route banked eval partitions (query x bank) with zero
+    communication, like the banked kernel."""
+    from ndarray_interp_tpu.ops.partition import (
+        _gather_form_2d,
+        sharded_gathered_eval,
+    )
+
+    rng = np.random.default_rng(7)
+    n, bank, nq = 24, 32, 1024
+    d2 = jnp.asarray(rng.normal(size=(n, bank)).astype(np.float32))
+    a2 = jnp.asarray(rng.normal(size=(n - 1, bank)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(size=(n - 1, bank)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n - 1, nq), jnp.int32)
+    t = jnp.asarray(rng.uniform(0, 1, nq).astype(np.float32))
+
+    tbl_sh = NamedSharding(mesh, P(None, "bank"))
+    q_sh = NamedSharding(mesh, P("query"))
+    out = jax.jit(sharded_gathered_eval(True))(
+        jax.device_put(d2, tbl_sh),
+        jax.device_put(a2, tbl_sh),
+        jax.device_put(b2, tbl_sh),
+        jax.device_put(idx, q_sh),
+        jax.device_put(t, q_sh),
+    )
+    assert out.sharding.spec == P("query", "bank")
+    ref = _gather_form_2d(d2, a2, b2, idx, t)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_banked_vmap_flattens_queries(mesh):
     from ndarray_interp_tpu.ops.partition import (
         _gather_form_2d,
