@@ -378,6 +378,23 @@ def main():
         "BASELINE.json config 2 / VERDICT r1 item 4",
     )
 
+    # NS1b: large knot axis (256k) — hierarchical search + one gather
+    # (ops/bigknots.py); the in-VMEM windowed kernel stops at 64k
+    nbig = 66_000 if args.quick else 262_144
+    xbig = jnp.asarray(np.linspace(0, 100, nbig), dtype)
+    vbig = jnp.asarray(rng.normal(size=nbig), dtype)
+    abig, bbig = build_jit(xbig, vbig)
+    itp_big = Interp1D.new_unchecked(
+        xbig, vbig, CubicSplineStrategy(abig, bbig, "yes")
+    )
+    t = device_timer(f, (itp_big, qbig), links=8)
+    record(
+        f"NS1b: 1D cubic {nbig//1000}k knots, {nq//1000}k queries (device)",
+        t,
+        nq,
+        "VERDICT r1 item 5 (beyond-64k eval)",
+    )
+
     # NS3: 512x512x16 bilinear, 1M scattered 2-D queries
     g_shape = (128, 128, 4) if args.quick else (512, 512, 16)
     grid3 = jnp.asarray(rng.normal(size=g_shape).astype(np.float32), dtype)

@@ -603,6 +603,25 @@ class CubicSplineStrategy(Interp1DStrategy):
                 ),
                 default=lambda q: self._eval_xla(interp, q),
             )
+
+        from ...ops.bigknots import big_eval_1d, can_use_big
+
+        if (
+            config.use_fused_kernel
+            and xq.dtype == jnp.float32
+            and xq.ndim == 1
+            and can_use_big(x, interp.data)
+        ):
+            # n > 64k: hierarchical block search + one packed-row gather
+            # (ops/bigknots.py) — the windowed Pallas kernel's tables and
+            # per-query one-hot cost don't scale past 64k
+            return jax.lax.platform_dependent(
+                xq,
+                tpu=lambda q: big_eval_1d(
+                    x, interp.data, self.a, self.b, q
+                ),
+                default=lambda q: self._eval_xla(interp, q),
+            )
         return self._eval_xla(interp, xq)
 
     def _eval_xla(self, interp, xq):
@@ -619,27 +638,33 @@ class CubicSplineStrategy(Interp1DStrategy):
             tq = (xq - xg[..., 0]) / (xg[..., 1] - xg[..., 0])
             return idx, tq
 
+        from ...ops.bigknots import MAX_BIG_KNOTS, big_lower_index_frac
         from ...ops.pallas_eval import _plan
 
-        if (
+        frac_eligible = (
             getattr(config, "use_fused_kernel", True)
             and xq.dtype == jnp.float32
             and x.dtype == jnp.float32
             and xq.ndim == 1
             and x.shape[0] >= 4
-            and _plan(x.shape[0]) is not None
-        ):
+        )
+        small_n = _plan(x.shape[0]) is not None
+        big_n = 65536 < x.shape[0] <= MAX_BIG_KNOTS
+        if frac_eligible and (small_n or big_n):
             import jax
 
             from ...ops.pallas_eval import fused_index_frac
 
-            # one windowed-search pass emits idx AND t: the default path's
+            # one search pass emits idx AND t: the default path's
             # xpair[idx] gather costs ~6 ns/query-row on the TPU gather
             # engine (~6 ms per 1M queries)
+            tpu_frac = (
+                (lambda q: fused_index_frac(x, q))
+                if small_n
+                else (lambda q: big_lower_index_frac(x, q))
+            )
             idx, tq = jax.lax.platform_dependent(
-                xq,
-                tpu=lambda q: fused_index_frac(x, q),
-                default=frac_default,
+                xq, tpu=tpu_frac, default=frac_default
             )
         else:
             idx, tq = frac_default(xq)
@@ -698,7 +723,7 @@ class CubicSplineStrategy(Interp1DStrategy):
             and x.dtype == jnp.float32
             and xq.ndim == 1
             and x.shape[0] >= 4
-            and _plan(x.shape[0]) is not None
+            and (small_n or big_n)  # (idx, t) from a fused/big search pass
         )
         if banked_ok and (not gather_ok or kernel_ns <= gather_ns):
             import jax

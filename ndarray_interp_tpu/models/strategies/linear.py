@@ -72,6 +72,28 @@ class Linear(Interp1DStrategy, Interp1DStrategyBuilder):
                 ),
                 default=lambda q: self._eval_xla(interp, q),
             )
+
+        from ...ops.bigknots import big_eval_1d, can_use_big
+
+        if (
+            config.use_fused_kernel
+            and self.finite
+            and xq.dtype == jnp.float32
+            and xq.ndim == 1
+            and can_use_big(interp.x, interp.data)
+        ):
+            # n > 64k: hierarchical search + one gather (ops/bigknots.py);
+            # a = b = 0 reduces the Hermite form to the lerp
+            zeros = jnp.zeros(
+                (interp.x.shape[0] - 1,), interp.data.dtype
+            )
+            return jax.lax.platform_dependent(
+                xq,
+                tpu=lambda q: big_eval_1d(
+                    interp.x, interp.data, zeros, zeros, q
+                ),
+                default=lambda q: self._eval_xla(interp, q),
+            )
         return self._eval_xla(interp, xq)
 
     def _eval_xla(self, interp, xq):

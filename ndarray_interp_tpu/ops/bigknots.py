@@ -1,0 +1,240 @@
+"""Large-knot-axis evaluation (n > 64k): hierarchical search + one gather.
+
+The fused Pallas kernels stop at 64k knots: their per-query cost is
+O(C + C*K) with C = n/W blocks, so by 256k the one-hot fetch alone is
+megaMACs per query, and the knot/coefficient tables outgrow VMEM.  Past
+that scale the TPU's gather engine (~6 ns/query-row, flat in table size
+— docs/ROADMAP.md) becomes the *better* per-query fetch primitive; what
+must be avoided is XLA's default large-n searchsorted, whose ``scan``
+method issues log2(n) chained dynamic-gathers (measured 87 ms/1M queries
+already at n=2048).
+
+This module is pure XLA (no Pallas — CPU-testable, grad- and
+mesh-friendly) and costs a FLAT ~2 matmul-ms + one gather per million
+queries at any n up to ~8M knots:
+
+1. two-stage block search for the W-knot block containing q:
+   compare against C1 super-leaders (broadcast compares), fetch the
+   query's C2 sub-leaders with an exact one-hot matmul (3-way bf16
+   truncation split, ``pallas_eval._split3``), compare again —
+   block = s*C2 + count - 1, clamped like ``get_lower_index``;
+2. ONE gather of the block's packed row
+   ``[knots[W+1] | data[W+1] | a[W] | b[W]]`` (~290 B);
+3. mask-reduce the exact interval within the window and evaluate the
+   Hermite symmetric form with the reference op order
+   (``cubic_spline.rs:791-830``; linear encodes a = b = 0).
+
+Semantics identical to the fused kernel: clamp to ``[0, n-2]`` incl.
+±inf; NaN queries yield NaN; OOB handling lives in the driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .pallas_eval import _plan, _split3
+
+MAX_BIG_KNOTS = 8 * 1024 * 1024
+
+
+def _block_w(n):
+    """Block width: smallest tier keeping the leader vector within the
+    windowed Pallas kernel's 64k plan (C + 1 <= 65536)."""
+    for w in (16, 32, 64, 128):
+        if -(-n // w) + 1 <= 65536:
+            return w
+    raise ValueError(f"knot axis too long: {n}")
+
+
+def _geometry(n):
+    w = _block_w(n)
+    c = -(-n // w)  # blocks of W knots (ceil)
+    c1 = max(2, math.isqrt(c - 1) + 1)
+    c2 = -(-c // c1)
+    return w, c, c1, c2
+
+
+def _pad_knots(knots, w, c1, c2):
+    """knots padded to C1*C2*W + 1 with the largest-finite sentinel (the
+    same out-of-range convention as ``pallas_eval._pack_windows``;
+    C1*C2 >= C so the XLA two-stage's (C1, C2) leader table is full)."""
+    n = knots.shape[0]
+    total = c1 * c2 * w + 1
+    big = jnp.asarray(jnp.finfo(knots.dtype).max, knots.dtype)
+    return jnp.concatenate(
+        [knots, jnp.full((total - n,), big, knots.dtype)]
+    )
+
+
+def _block_of(kp, n, w, c, c1, c2, q, interpret=False, pallas=True):
+    """Block index: the W-knot block containing q, clamped so the final
+    interval's block is the maximum.
+
+    The leader vector (one knot per block, C <= 64k entries) is itself a
+    small-n search problem: on TPU the windowed Pallas bucketize handles
+    it entirely in VMEM (~4x the XLA two-stage formulation, whose one-hot
+    and (Q, C2) leader intermediates stream through HBM).  The XLA
+    two-stage remains the non-TPU/oracle path."""
+    f32 = jnp.float32
+    bmax = (n - 2) // w
+    if pallas:
+        from .pallas_eval import fused_lower_index
+
+        # leaders + sentinel so the kernel's [0, len-2] clamp can reach
+        # the final block
+        big = jnp.asarray(jnp.finfo(kp.dtype).max, kp.dtype)
+        leaders = jnp.concatenate([kp[: c * w : w], big[None]])
+        assert _plan(leaders.shape[0]) is not None
+        blk = fused_lower_index(leaders, q, interpret=interpret)
+        return jnp.minimum(blk, bmax)
+    # level 1: first knot of each super-block (skip the 0th: count<=q of
+    # later supers gives the super index directly)
+    l1 = kp[c2 * w :: c2 * w][: c1 - 1]  # (C1-1,)
+    s = jnp.sum(
+        (l1[None, :] <= q[:, None]).astype(f32), axis=1
+    )  # (Q,) in [0, C1-1]
+    # level 2: fetch this super's C2 sub-leaders exactly via one-hot MXU
+    l2 = kp[: c1 * c2 * w : w].reshape(c1, c2)  # first knot of each block
+    iota = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], c1), 1)
+    oh = (iota == s.astype(jnp.int32)[:, None]).astype(jnp.bfloat16)
+    h, m, lo = _split3(l2)
+    sub = (
+        jnp.dot(oh, h, preferred_element_type=f32)
+        + jnp.dot(oh, m, preferred_element_type=f32)
+        + jnp.dot(oh, lo, preferred_element_type=f32)
+    )  # (Q, C2) this super's block leaders, bit-exact f32
+    cnt = jnp.sum((sub <= q[:, None]).astype(f32), axis=1)
+    block = s * float(c2) + jnp.maximum(cnt, 1.0) - 1.0
+    return jnp.minimum(block, float(bmax)).astype(jnp.int32)
+
+
+def _pack_rows(kp, data, a, b, w, c):
+    """Packed per-block rows ``(C, 4W+2 -> pad 8)``; data/a/b are 1-D."""
+    n = data.shape[0]
+    total = c * w + 1
+    dp = jnp.concatenate([data, jnp.zeros((total - n,), data.dtype)])
+    ap = jnp.concatenate([a, jnp.zeros((c * w - (n - 1),), a.dtype)])
+    bp = jnp.concatenate([b, jnp.zeros((c * w - (n - 1),), b.dtype)])
+    idx = jnp.arange(w + 1)[None, :] + w * jnp.arange(c)[:, None]
+    rows = jnp.concatenate(
+        [
+            kp[: c * w + 1][idx],  # (C, W+1) knots
+            dp[idx],  # (C, W+1) data
+            ap.reshape(c, w),
+            bp.reshape(c, w),
+        ],
+        axis=1,
+    )  # (C, 4W+2)
+    ch = rows.shape[1]
+    pad = -(-ch // 8) * 8 - ch
+    if pad:
+        rows = jnp.pad(rows, ((0, 0), (0, pad)))
+    return rows
+
+
+def _refine_and_eval(rows, block, q, n, w):
+    """Window select + Hermite on gathered rows (XLA, exact op order)."""
+    f32 = jnp.float32
+    w1 = w + 1
+    kwin = rows[:, :w1]  # (Q, W+1)
+    dwin = rows[:, w1 : 2 * w1]
+    awin = rows[:, 2 * w1 : 2 * w1 + w]
+    bwin = rows[:, 2 * w1 + w : 2 * w1 + 2 * w]
+    qe = q[:, None]
+    fine = jnp.sum((kwin[:, :w] <= qe).astype(f32), axis=1)
+    pred = block.astype(f32) * float(w) + fine - 1.0
+    idx = jnp.clip(pred, 0.0, float(n - 2))
+    pos = idx - block.astype(f32) * float(w)  # in [0, W)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], w), 1)
+    ohl = (iota == pos.astype(jnp.int32)[:, None]).astype(f32)
+    x_l = jnp.sum(kwin[:, :w] * ohl, axis=1)
+    x_r = jnp.sum(kwin[:, 1 : w + 1] * ohl, axis=1)
+    y_l = jnp.sum(dwin[:, :w] * ohl, axis=1)
+    y_r = jnp.sum(dwin[:, 1 : w + 1] * ohl, axis=1)
+    a = jnp.sum(awin * ohl, axis=1)
+    b = jnp.sum(bwin * ohl, axis=1)
+    t = (q - x_l) / (x_r - x_l)
+    one = f32(1.0)
+    base = (one - t) * y_l + t * y_r + t * (one - t) * (a * (one - t) + b * t)
+    lin_inf = jnp.isinf(t) & (a == 0) & (b == 0)
+    out = jnp.where(lin_inf, y_l + t * (y_r - y_l), base)
+    return idx.astype(jnp.int32), t, out
+
+
+def can_use_big(x, data):
+    return (
+        x.dtype == jnp.float32
+        and data.dtype == jnp.float32
+        and data.ndim == 1
+        and 65536 < x.shape[0] <= MAX_BIG_KNOTS
+    )
+
+
+def _big_eval_impl(knots, data, a, b, q, interpret=False, pallas=True):
+    n = knots.shape[0]
+    w, c, c1, c2 = _geometry(n)
+    kp = _pad_knots(knots, w, c1, c2)
+    block = _block_of(kp, n, w, c, c1, c2, q, interpret=interpret, pallas=pallas)
+    rows = jnp.take(_pack_rows(kp, data, a, b, w, c), block, axis=0)
+    _, _, out = _refine_and_eval(rows, block, q, n, w)
+    return out
+
+
+@jax.custom_vjp
+def big_eval_1d(knots, data, a, b, q):
+    """Hermite evaluation for n > 64k knots, scalar trailing dims.
+
+    Backward = VJP of the gather formulation (``pallas_eval._eval_xla``)
+    — the search stages are non-differentiable index computations."""
+    return _big_eval_impl(knots, data, a, b, q)
+
+
+def _be_fwd(knots, data, a, b, q):
+    return _big_eval_impl(knots, data, a, b, q), (knots, data, a, b, q)
+
+
+def _be_bwd(res, g):
+    from .pallas_eval import _eval_xla, make_interval_table
+
+    knots, data, a, b, q = res
+
+    def form(knots, data, a, b, q):
+        return _eval_xla(knots, make_interval_table(knots, data, a, b), q)
+
+    _, vjp = jax.vjp(form, knots, data, a, b, q)
+    return vjp(g)
+
+
+big_eval_1d.defvjp(_be_fwd, _be_bwd)
+
+
+def big_lower_index_frac(knots, q, interpret=False, pallas=True):
+    """(idx, t) for n > 64k: block search + a knots-only row gather.
+
+    Feeds the banked gather route; int/frac only (differentiate through
+    the caller's own formulation, as with ``fused_index_frac``)."""
+    n = knots.shape[0]
+    w, c, c1, c2 = _geometry(n)
+    kp = _pad_knots(knots, w, c1, c2)
+    block = _block_of(kp, n, w, c, c1, c2, q, interpret=interpret, pallas=pallas)
+    idxg = jnp.arange(w + 1)[None, :] + w * jnp.arange(c)[:, None]
+    krows = kp[: c * w + 1][idxg]  # (C, W+1)
+    pad = -(-(w + 1) // 8) * 8 - (w + 1)
+    if pad:
+        krows = jnp.pad(krows, ((0, 0), (0, pad)))
+    rows = jnp.take(krows, block, axis=0)
+    f32 = jnp.float32
+    kwin = rows[:, : w + 1]
+    qe = q[:, None]
+    fine = jnp.sum((kwin[:, :w] <= qe).astype(f32), axis=1)
+    pred = block.astype(f32) * float(w) + fine - 1.0
+    idx = jnp.clip(pred, 0.0, float(n - 2))
+    pos = idx - block.astype(f32) * float(w)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], w), 1)
+    ohl = (iota == pos.astype(jnp.int32)[:, None]).astype(f32)
+    x_l = jnp.sum(kwin[:, :w] * ohl, axis=1)
+    x_r = jnp.sum(kwin[:, 1 : w + 1] * ohl, axis=1)
+    return idx.astype(jnp.int32), (q - x_l) / (x_r - x_l)

@@ -90,4 +90,20 @@ def lower_index_fast(knots, xq):
             tpu=lambda q: sharded_lower_index()(knots, q),
             default=lambda q: get_lower_index(knots, q),
         )
+    from .bigknots import MAX_BIG_KNOTS, big_lower_index_frac
+
+    if (
+        config.use_fused_kernel
+        and xq.ndim == 1
+        and xq.dtype == jnp.float32
+        and knots.dtype == jnp.float32
+        and 65536 < knots.shape[0] <= MAX_BIG_KNOTS
+    ):
+        # hierarchical search + one block gather: XLA's own large-n
+        # searchsorted ("scan") issues log2(n) chained gathers
+        return jax.lax.platform_dependent(
+            xq,
+            tpu=lambda q: big_lower_index_frac(knots, q)[0],
+            default=lambda q: get_lower_index(knots, q),
+        )
     return get_lower_index(knots, xq)

@@ -135,6 +135,29 @@ def test_gathered_bank_route_matches_gather_form():
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
+def test_big_knots_route_matches_oracle():
+    """n > 64k hierarchical search + gather route (ops/bigknots.py) on
+    chip vs the XLA gather formulation (small query count: the oracle's
+    scan-searchsorted is the slow path this route replaces)."""
+    from ndarray_interp_tpu.ops.bigknots import big_eval_1d
+    from ndarray_interp_tpu.ops.pallas_eval import (
+        _eval_xla,
+        make_interval_table,
+    )
+
+    rng = np.random.default_rng(7)
+    n, nq = 262_144, 8192
+    x = jnp.asarray(np.linspace(0.0, 1.0, n), jnp.float32)
+    d = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=n - 1).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=n - 1).astype(np.float32))
+    q = jnp.asarray(rng.uniform(-0.1, 1.1, nq).astype(np.float32))
+    got = np.asarray(jax.jit(big_eval_1d)(x, d, a, b, q))
+    tbl = make_interval_table(x, d, a, b)
+    want = np.asarray(jax.jit(_eval_xla)(x, tbl, q))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_mosaic_preserves_error_free_transforms():
     """two_sum inside a compiled Mosaic kernel returns the exact error
     term (the property interpret mode loses, ops/df.py)."""
