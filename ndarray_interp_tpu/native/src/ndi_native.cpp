@@ -20,6 +20,10 @@
 #include <omp.h>
 #endif
 
+#ifdef __AVX512F__
+#include <immintrin.h>
+#endif
+
 namespace {
 
 // Interval lookup on a strictly-rising axis; clamps to [0, n-2].
@@ -72,21 +76,282 @@ inline void eval_linear_one(const T* x, const T* y, int64_t n,
   for (int64_t t = 0; t < trailing; ++t) o[t] = lerp(x1, y1[t], x2, y2[t], qi);
 }
 
+// Interval lookup for a query block: branchless even-spacing guess +
+// gather-verify, with a scalar binary-search fix-up only for lanes whose
+// guess missed (rare on near-uniform axes — the reference's own
+// O(1)-guess insight, vector_extensions.rs:70-96, in SIMD form).  GCC
+// will not auto-generate the gathers, so the AVX-512 form is explicit;
+// the scalar form is the portable fallback.
+template <typename T, int B>
+inline void lower_index_block(const T* x, int64_t n, const T* q, int cnt,
+                              int32_t* idx) {
+  const double x0 = double(x[0]);
+  const double inv = double(n - 1) / (double(x[n - 1]) - x0);
+  int32_t nmax = int32_t(n - 2);
+  for (int j = 0; j < cnt; ++j) {
+    double g = (double(q[j]) - x0) * inv;
+    int32_t gi = int32_t(g);
+    gi = gi < 0 ? 0 : (gi > nmax ? nmax : gi);
+    idx[j] = gi;
+  }
+  unsigned char miss[B];
+  for (int j = 0; j < cnt; ++j)
+    miss[j] = !(x[idx[j]] <= q[j] && q[j] < x[idx[j] + 1]);
+  for (int j = 0; j < cnt; ++j)
+    if (miss[j]) idx[j] = int32_t(lower_index(x, n, q[j]));
+}
+
+#ifdef __AVX512F__
+
+// Fused lookup + evaluation for flat (trailing == 1) banks: branchless
+// even-spacing guess, gather-verify sharing its x1/x2 gathers with the
+// evaluation (4 gathers per vector instead of 6), scalar binary-search
+// fix-up only for miss lanes.  Exact reference op order, no FMA
+// contraction (matches -ffp-contract=off scalar results bit-for-bit).
+
+// f64, 8 lanes.  lerp: linear.rs:29-37.
+inline void linear_flat_avx(const double* x, const double* y, int64_t n,
+                            const double* q, double* o, int cnt) {
+  const double x0 = x[0];
+  const double inv = double(n - 1) / (x[n - 1] - x0);
+  const int32_t nmax = int32_t(n - 2);
+  const __m512d vx0 = _mm512_set1_pd(x0);
+  const __m512d vinv = _mm512_set1_pd(inv);
+  const __m256i v0 = _mm256_setzero_si256();
+  const __m256i vmax = _mm256_set1_epi32(nmax);
+  const __m256i vone = _mm256_set1_epi32(1);
+  int32_t tmp[8];
+  int j = 0;
+  for (; j + 8 <= cnt; j += 8) {
+    __m512d qv = _mm512_loadu_pd(q + j);
+    __m256i gi =
+        _mm512_cvttpd_epi32(_mm512_mul_pd(_mm512_sub_pd(qv, vx0), vinv));
+    gi = _mm256_min_epi32(_mm256_max_epi32(gi, v0), vmax);
+    __m512d x1 = _mm512_i32gather_pd(gi, x, 8);
+    __m512d x2 = _mm512_i32gather_pd(_mm256_add_epi32(gi, vone), x, 8);
+    __mmask8 ok = _mm512_cmp_pd_mask(x1, qv, _CMP_LE_OQ) &
+                  _mm512_cmp_pd_mask(qv, x2, _CMP_LT_OQ);
+    if (ok != 0xFF) {
+      _mm256_storeu_si256((__m256i*)tmp, gi);
+      unsigned miss = (~unsigned(ok)) & 0xFFu;
+      while (miss) {
+        int l = __builtin_ctz(miss);
+        tmp[l] = int32_t(lower_index(x, n, q[j + l]));
+        miss &= miss - 1;
+      }
+      gi = _mm256_loadu_si256((__m256i const*)tmp);
+      x1 = _mm512_i32gather_pd(gi, x, 8);
+      x2 = _mm512_i32gather_pd(_mm256_add_epi32(gi, vone), x, 8);
+    }
+    __m512d y1 = _mm512_i32gather_pd(gi, y, 8);
+    __m512d y2 = _mm512_i32gather_pd(_mm256_add_epi32(gi, vone), y, 8);
+    __m512d m =
+        _mm512_div_pd(_mm512_sub_pd(y2, y1), _mm512_sub_pd(x2, x1));
+    _mm512_storeu_pd(
+        o + j, _mm512_add_pd(_mm512_mul_pd(m, _mm512_sub_pd(qv, x1)), y1));
+  }
+  for (; j < cnt; ++j) {
+    const int64_t k = lower_index(x, n, q[j]);
+    o[j] = lerp(x[k], y[k], x[k + 1], y[k + 1], q[j]);
+  }
+}
+
+// f32, 16 lanes.
+inline void linear_flat_avx(const float* x, const float* y, int64_t n,
+                            const float* q, float* o, int cnt) {
+  const float x0 = x[0];
+  const float inv = float(double(n - 1) / (double(x[n - 1]) - double(x0)));
+  const int32_t nmax = int32_t(n - 2);
+  const __m512 vx0 = _mm512_set1_ps(x0);
+  const __m512 vinv = _mm512_set1_ps(inv);
+  const __m512i v0 = _mm512_setzero_si512();
+  const __m512i vmax = _mm512_set1_epi32(nmax);
+  const __m512i vone = _mm512_set1_epi32(1);
+  int32_t tmp[16];
+  int j = 0;
+  for (; j + 16 <= cnt; j += 16) {
+    __m512 qv = _mm512_loadu_ps(q + j);
+    __m512i gi =
+        _mm512_cvttps_epi32(_mm512_mul_ps(_mm512_sub_ps(qv, vx0), vinv));
+    gi = _mm512_min_epi32(_mm512_max_epi32(gi, v0), vmax);
+    __m512 x1 = _mm512_i32gather_ps(gi, x, 4);
+    __m512 x2 = _mm512_i32gather_ps(_mm512_add_epi32(gi, vone), x, 4);
+    __mmask16 ok = _mm512_cmp_ps_mask(x1, qv, _CMP_LE_OQ) &
+                   _mm512_cmp_ps_mask(qv, x2, _CMP_LT_OQ);
+    if (ok != 0xFFFF) {
+      _mm512_storeu_si512((__m512i*)tmp, gi);
+      unsigned miss = (~unsigned(ok)) & 0xFFFFu;
+      while (miss) {
+        int l = __builtin_ctz(miss);
+        tmp[l] = int32_t(lower_index(x, n, q[j + l]));
+        miss &= miss - 1;
+      }
+      gi = _mm512_loadu_si512((__m512i const*)tmp);
+      x1 = _mm512_i32gather_ps(gi, x, 4);
+      x2 = _mm512_i32gather_ps(_mm512_add_epi32(gi, vone), x, 4);
+    }
+    __m512 y1 = _mm512_i32gather_ps(gi, y, 4);
+    __m512 y2 = _mm512_i32gather_ps(_mm512_add_epi32(gi, vone), y, 4);
+    __m512 m = _mm512_div_ps(_mm512_sub_ps(y2, y1), _mm512_sub_ps(x2, x1));
+    _mm512_storeu_ps(
+        o + j, _mm512_add_ps(_mm512_mul_ps(m, _mm512_sub_ps(qv, x1)), y1));
+  }
+  for (; j < cnt; ++j) {
+    const int64_t k = lower_index(x, n, q[j]);
+    o[j] = lerp(x[k], y[k], x[k + 1], y[k + 1], q[j]);
+  }
+}
+
+// f64 Hermite, op order of cubic_spline.rs:818-828.
+inline void hermite_flat_avx(const double* x, const double* y,
+                             const double* a, const double* b, int64_t n,
+                             const double* q, double* o, int cnt) {
+  const double x0 = x[0];
+  const double inv = double(n - 1) / (x[n - 1] - x0);
+  const int32_t nmax = int32_t(n - 2);
+  const __m512d vx0 = _mm512_set1_pd(x0);
+  const __m512d vinv = _mm512_set1_pd(inv);
+  const __m256i v0 = _mm256_setzero_si256();
+  const __m256i vmax = _mm256_set1_epi32(nmax);
+  const __m256i vone = _mm256_set1_epi32(1);
+  const __m512d one = _mm512_set1_pd(1.0);
+  int32_t tmp[8];
+  int j = 0;
+  for (; j + 8 <= cnt; j += 8) {
+    __m512d qv = _mm512_loadu_pd(q + j);
+    __m256i gi =
+        _mm512_cvttpd_epi32(_mm512_mul_pd(_mm512_sub_pd(qv, vx0), vinv));
+    gi = _mm256_min_epi32(_mm256_max_epi32(gi, v0), vmax);
+    __m512d x1 = _mm512_i32gather_pd(gi, x, 8);
+    __m512d x2 = _mm512_i32gather_pd(_mm256_add_epi32(gi, vone), x, 8);
+    __mmask8 ok = _mm512_cmp_pd_mask(x1, qv, _CMP_LE_OQ) &
+                  _mm512_cmp_pd_mask(qv, x2, _CMP_LT_OQ);
+    if (ok != 0xFF) {
+      _mm256_storeu_si256((__m256i*)tmp, gi);
+      unsigned miss = (~unsigned(ok)) & 0xFFu;
+      while (miss) {
+        int l = __builtin_ctz(miss);
+        tmp[l] = int32_t(lower_index(x, n, q[j + l]));
+        miss &= miss - 1;
+      }
+      gi = _mm256_loadu_si256((__m256i const*)tmp);
+      x1 = _mm512_i32gather_pd(gi, x, 8);
+      x2 = _mm512_i32gather_pd(_mm256_add_epi32(gi, vone), x, 8);
+    }
+    __m512d y1 = _mm512_i32gather_pd(gi, y, 8);
+    __m512d y2 = _mm512_i32gather_pd(_mm256_add_epi32(gi, vone), y, 8);
+    __m512d av = _mm512_i32gather_pd(gi, a, 8);
+    __m512d bv = _mm512_i32gather_pd(gi, b, 8);
+    __m512d t =
+        _mm512_div_pd(_mm512_sub_pd(qv, x1), _mm512_sub_pd(x2, x1));
+    __m512d omt = _mm512_sub_pd(one, t);
+    __m512d inner =
+        _mm512_add_pd(_mm512_mul_pd(av, omt), _mm512_mul_pd(bv, t));
+    __m512d r = _mm512_add_pd(
+        _mm512_add_pd(_mm512_mul_pd(omt, y1), _mm512_mul_pd(t, y2)),
+        _mm512_mul_pd(_mm512_mul_pd(t, omt), inner));
+    _mm512_storeu_pd(o + j, r);
+  }
+  for (; j < cnt; ++j) {
+    const int64_t k = lower_index(x, n, q[j]);
+    const double t = (q[j] - x[k]) / (x[k + 1] - x[k]);
+    o[j] = (1.0 - t) * y[k] + t * y[k + 1] +
+           t * (1.0 - t) * (a[k] * (1.0 - t) + b[k] * t);
+  }
+}
+
+// f32 Hermite, 16 lanes.
+inline void hermite_flat_avx(const float* x, const float* y, const float* a,
+                             const float* b, int64_t n, const float* q,
+                             float* o, int cnt) {
+  const float x0 = x[0];
+  const float inv = float(double(n - 1) / (double(x[n - 1]) - double(x0)));
+  const int32_t nmax = int32_t(n - 2);
+  const __m512 vx0 = _mm512_set1_ps(x0);
+  const __m512 vinv = _mm512_set1_ps(inv);
+  const __m512i v0 = _mm512_setzero_si512();
+  const __m512i vmax = _mm512_set1_epi32(nmax);
+  const __m512i vone = _mm512_set1_epi32(1);
+  const __m512 one = _mm512_set1_ps(1.0f);
+  int32_t tmp[16];
+  int j = 0;
+  for (; j + 16 <= cnt; j += 16) {
+    __m512 qv = _mm512_loadu_ps(q + j);
+    __m512i gi =
+        _mm512_cvttps_epi32(_mm512_mul_ps(_mm512_sub_ps(qv, vx0), vinv));
+    gi = _mm512_min_epi32(_mm512_max_epi32(gi, v0), vmax);
+    __m512 x1 = _mm512_i32gather_ps(gi, x, 4);
+    __m512 x2 = _mm512_i32gather_ps(_mm512_add_epi32(gi, vone), x, 4);
+    __mmask16 ok = _mm512_cmp_ps_mask(x1, qv, _CMP_LE_OQ) &
+                   _mm512_cmp_ps_mask(qv, x2, _CMP_LT_OQ);
+    if (ok != 0xFFFF) {
+      _mm512_storeu_si512((__m512i*)tmp, gi);
+      unsigned miss = (~unsigned(ok)) & 0xFFFFu;
+      while (miss) {
+        int l = __builtin_ctz(miss);
+        tmp[l] = int32_t(lower_index(x, n, q[j + l]));
+        miss &= miss - 1;
+      }
+      gi = _mm512_loadu_si512((__m512i const*)tmp);
+      x1 = _mm512_i32gather_ps(gi, x, 4);
+      x2 = _mm512_i32gather_ps(_mm512_add_epi32(gi, vone), x, 4);
+    }
+    __m512 y1 = _mm512_i32gather_ps(gi, y, 4);
+    __m512 y2 = _mm512_i32gather_ps(_mm512_add_epi32(gi, vone), y, 4);
+    __m512 av = _mm512_i32gather_ps(gi, a, 4);
+    __m512 bv = _mm512_i32gather_ps(gi, b, 4);
+    __m512 t = _mm512_div_ps(_mm512_sub_ps(qv, x1), _mm512_sub_ps(x2, x1));
+    __m512 omt = _mm512_sub_ps(one, t);
+    __m512 inner =
+        _mm512_add_ps(_mm512_mul_ps(av, omt), _mm512_mul_ps(bv, t));
+    __m512 r = _mm512_add_ps(
+        _mm512_add_ps(_mm512_mul_ps(omt, y1), _mm512_mul_ps(t, y2)),
+        _mm512_mul_ps(_mm512_mul_ps(t, omt), inner));
+    _mm512_storeu_ps(o + j, r);
+  }
+  for (; j < cnt; ++j) {
+    const int64_t k = lower_index(x, n, q[j]);
+    const float t = (q[j] - x[k]) / (x[k + 1] - x[k]);
+    o[j] = (1.0f - t) * y[k] + t * y[k + 1] +
+           t * (1.0f - t) * (a[k] * (1.0f - t) + b[k] * t);
+  }
+}
+
+#endif  // __AVX512F__
+
 template <typename T>
 int64_t eval_linear(const T* x, const T* y, int64_t n, int64_t trailing,
                     const T* q, int64_t m, T* out, int extrapolate) {
-  if (extrapolate) {
-    // no per-point error exits -> data-parallel across queries
-#pragma omp parallel for schedule(static) if (m * (trailing + 8) > 1 << 15)
+  if (!extrapolate) {
+    // abort-before-write semantics (docs/PARITY.md: whole-call abort, no
+    // partial buffer writes)
     for (int64_t i = 0; i < m; ++i)
-      eval_linear_one(x, y, n, trailing, q[i], out + i * trailing);
+      if (!(x[0] <= q[i] && q[i] <= x[n - 1])) return i + 1;
+  }
+  if (trailing == 1) {
+    // scalar-bank fast path: blocked guess/verify + gathered lerp
+    constexpr int B = 256;
+    int32_t idx[B];
+    for (int64_t i0 = 0; i0 < m; i0 += B) {
+      const int cnt = int(m - i0 < B ? m - i0 : B);
+      const T* qb = q + i0;
+      T* ob = out + i0;
+#ifdef __AVX512F__
+      (void)idx;
+      linear_flat_avx(x, y, n, qb, ob, cnt);
+#else
+      lower_index_block<T, B>(x, n, qb, cnt, idx);
+      for (int j = 0; j < cnt; ++j) {
+        const int32_t k = idx[j];
+        ob[j] = lerp(x[k], y[k], x[k + 1], y[k + 1], qb[j]);
+      }
+#endif
+    }
     return 0;
   }
-  for (int64_t i = 0; i < m; ++i) {
-    T qi = q[i];
-    if (!(x[0] <= qi && qi <= x[n - 1])) return i + 1;
-    eval_linear_one(x, y, n, trailing, qi, out + i * trailing);
-  }
+#pragma omp parallel for schedule(static) if (m * (trailing + 8) > 1 << 15)
+  for (int64_t i = 0; i < m; ++i)
+    eval_linear_one(x, y, n, trailing, q[i], out + i * trailing);
   return 0;
 }
 
@@ -122,19 +387,42 @@ int64_t eval_hermite(const T* x, const T* y, const T* a, const T* b,
                      int64_t n, int64_t trailing, const T* q, int64_t m,
                      T* out, int mode) {
   const T x0 = x[0], xn = x[n - 1];
-  if (mode != 0) {
-#pragma omp parallel for schedule(static) if (m * (trailing + 8) > 1 << 15)
+  if (mode == 0) {
+    // abort-before-write semantics (docs/PARITY.md)
     for (int64_t i = 0; i < m; ++i)
-      eval_hermite_one(x, y, a, b, n, trailing, q[i], mode, x0, xn,
-                       out + i * trailing);
+      if (!(x0 <= q[i] && q[i] <= xn)) return i + 1;
+  }
+  if (trailing == 1 && mode != 2) {
+    // scalar-bank fast path (see eval_linear): blocked guess/verify +
+    // gathered Hermite, same op order as cubic_spline.rs:818-828
+    constexpr int B = 256;
+    int32_t idx[B];
+    const T one = T(1);
+    for (int64_t i0 = 0; i0 < m; i0 += B) {
+      const int cnt = int(m - i0 < B ? m - i0 : B);
+      const T* qb = q + i0;
+      T* ob = out + i0;
+#ifdef __AVX512F__
+      (void)idx;
+      (void)one;
+      hermite_flat_avx(x, y, a, b, n, qb, ob, cnt);
+#else
+      lower_index_block<T, B>(x, n, qb, cnt, idx);
+      for (int j = 0; j < cnt; ++j) {
+        const int32_t k = idx[j];
+        const T xl = x[k], xr = x[k + 1];
+        const T t = (qb[j] - xl) / (xr - xl);
+        ob[j] = (one - t) * y[k] + t * y[k + 1] +
+                t * (one - t) * (a[k] * (one - t) + b[k] * t);
+      }
+#endif
+    }
     return 0;
   }
-  for (int64_t i = 0; i < m; ++i) {
-    T qi = q[i];
-    if (!(x0 <= qi && qi <= xn)) return i + 1;
-    eval_hermite_one(x, y, a, b, n, trailing, qi, mode, x0, xn,
+#pragma omp parallel for schedule(static) if (m * (trailing + 8) > 1 << 15)
+  for (int64_t i = 0; i < m; ++i)
+    eval_hermite_one(x, y, a, b, n, trailing, q[i], mode, x0, xn,
                      out + i * trailing);
-  }
   return 0;
 }
 
