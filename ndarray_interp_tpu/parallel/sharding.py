@@ -101,3 +101,49 @@ def sharded_eval_1d(interp, xq, mesh, query_axis="query", bank_axis="bank"):
         )
 
     return run(interp, shard_queries(xq, mesh, query_axis))
+
+
+def shard_interp2d(interp, mesh, bank_axis: str = "bank"):
+    """Place an :class:`~ndarray_interp_tpu.models.interp2d.Interp2D` on a
+    mesh: trailing (bank) axes of rank >= 3 leaves shard their last axis
+    over ``bank_axis``; the two grid axes and the 1-D knot vectors
+    replicate (each query touches a 2x2 grid neighborhood, so splitting
+    the grid itself would need halo exchange for no bandwidth win at
+    these sizes)."""
+
+    def place(leaf):
+        if not hasattr(leaf, "ndim"):
+            return leaf
+        if leaf.ndim >= 3:
+            spec = P(*([None] * (leaf.ndim - 1) + [bank_axis]))
+        else:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, interp)
+
+
+def sharded_eval_2d(
+    interp, xq, yq, mesh, query_axis="query", bank_axis="bank"
+):
+    """2-D analogue of :func:`sharded_eval_1d`: flat (x, y) query vectors
+    shard over ``query_axis``; trailing data axes shard over
+    ``bank_axis`` in the output."""
+    out_ndim = 1 + (interp.data.ndim - 2)
+    if out_ndim >= 2:
+        out_spec = P(query_axis, *([None] * (out_ndim - 2) + [bank_axis]))
+    else:
+        out_spec = P(query_axis)
+
+    @jax.jit
+    def run(interp, xq, yq):
+        out = interp.strategy.eval(interp, xq, yq)
+        return jax.lax.with_sharding_constraint(
+            out, NamedSharding(mesh, out_spec)
+        )
+
+    return run(
+        interp,
+        shard_queries(xq, mesh, query_axis),
+        shard_queries(yq, mesh, query_axis),
+    )

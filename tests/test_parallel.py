@@ -282,3 +282,25 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == (128, 8)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_sharded_eval_2d_matches_replicated(mesh):
+    from ndarray_interp_tpu.interp2d import Interp2D
+    from ndarray_interp_tpu.parallel import shard_interp2d, sharded_eval_2d
+
+    rng = np.random.default_rng(9)
+    nx, ny, bank = 12, 10, 8
+    x = jnp.asarray(np.linspace(0.0, 1.0, nx))
+    y = jnp.asarray(np.linspace(0.0, 2.0, ny))
+    data = jnp.asarray(rng.normal(size=(nx, ny, bank)))
+    itp = Interp2D.builder(data).x(x).y(y).build()
+    qx = jnp.asarray(rng.uniform(0, 1, 64))
+    qy = jnp.asarray(rng.uniform(0, 2, 64))
+    expect = itp.interp_array(qx, qy)
+
+    sharded = shard_interp2d(itp, mesh)
+    got = sharded_eval_2d(sharded, qx, qy, mesh)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect), atol=1e-14
+    )
+    assert got.sharding.spec == P("query", "bank")
