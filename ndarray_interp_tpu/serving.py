@@ -159,3 +159,118 @@ class Evaluator2D(_BucketedEvaluator):
             start += m
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
         return out.reshape(shape + trailing)
+
+
+class DoubleFloatEvaluator(_BucketedEvaluator):
+    """f64-grade serving on f32 hardware: double-float evaluation of a
+    1-D cubic/Hermite (or linear) interpolator.
+
+    Build the interpolator eagerly on the CPU backend in f64 (the normal
+    validated path); this evaluator splits its knots/data/coefficients
+    into (hi, lo) f32 pairs once, and evaluates queries with the
+    double-float fused kernel (``ops/pallas_eval_df.py``) on TPU — or
+    the plain-XLA double-float formulation elsewhere — returning f64.
+    Accuracy: ≤1e-12 scale-relative vs the f64 oracle on chip
+    (tests/test_tpu_parity.py); cost ~1.23× the f32 kernel (BASELINE.md).
+
+    Out-of-range semantics follow the strategy: ``extrapolate(False)``
+    raises :class:`~ndarray_interp_tpu.errors.OutOfBoundsError` on the
+    host (eager check, like ``interp_array``); periodic mode wraps in
+    f64 before splitting.
+    """
+
+    def __init__(self, interp, max_batch: int = 1 << 20, buckets=None):
+        import numpy as np
+
+        from .errors import BuilderValueError
+        from .ops.df import df_from_f64
+
+        super().__init__(interp, max_batch, buckets)
+        strat = interp.strategy
+        a = getattr(strat, "a", None)
+        b = getattr(strat, "b", None)
+        data = interp.data
+        if data.ndim != 1:
+            raise BuilderValueError(
+                "DoubleFloatEvaluator supports scalar trailing dims "
+                f"(data shape {tuple(data.shape)})"
+            )
+        self._mode = getattr(strat, "mode", None) or (
+            "yes" if getattr(strat, "extrapolates", False) else "no"
+        )
+        x64 = np.asarray(interp.x, np.float64)
+        self._x0 = float(x64[0])
+        self._xn = float(x64[-1])
+        zeros = np.zeros(x64.shape[0] - 1)
+        self._pairs = []
+        for v in (
+            x64,
+            np.asarray(data, np.float64),
+            zeros if a is None else np.asarray(a, np.float64),
+            zeros if b is None else np.asarray(b, np.float64),
+        ):
+            self._pairs.extend(df_from_f64(v))
+
+        from .ops.pallas_eval_df import eval_xla_df, fused_eval_1d_df
+
+        def run(qh, ql):
+            return jax.lax.platform_dependent(
+                qh, ql,
+                tpu=lambda qh, ql: fused_eval_1d_df(*self._pairs, qh, ql),
+                default=lambda qh, ql: eval_xla_df(*self._pairs, qh, ql),
+            )
+
+        self._run = jax.jit(run)
+
+    def warmup(self):
+        import numpy as np
+
+        for b in self._buckets:
+            q = np.full(b, self._x0)
+            hi, lo = self._run(*_split_q(q))
+            jax.block_until_ready((hi, lo))
+        return self
+
+    def __call__(self, queries):
+        import numpy as np
+
+        from .errors import OutOfBoundsError
+        from .ops.df import df_to_f64
+
+        q = np.asarray(queries, np.float64)
+        flat = q.reshape(-1)
+        if flat.shape[0] == 0:
+            return np.zeros(q.shape)
+        if self._mode == "no":
+            bad = (flat < self._x0) | (flat > self._xn) | np.isnan(flat)
+            if bad.any():
+                i = int(np.argmax(bad))
+                raise OutOfBoundsError(
+                    f"point {flat[i]} is out of bounds of the "
+                    f"interpolation range [{self._x0}, {self._xn}]"
+                )
+        elif self._mode == "periodic":
+            span = self._xn - self._x0
+            out_r = (flat < self._x0) | (flat > self._xn)
+            flat = np.where(
+                out_r, np.mod(flat - self._x0, span) + self._x0, flat
+            )
+        n = flat.shape[0]
+        bsz = self._bucket(n)
+        outs = []
+        for start in range(0, n, bsz):
+            chunk = flat[start : start + bsz]
+            if chunk.shape[0] < bsz:
+                chunk = np.concatenate(
+                    [chunk, np.full(bsz - chunk.shape[0], self._x0)]
+                )
+            hi, lo = self._run(*_split_q(chunk))
+            outs.append(df_to_f64(hi, lo))
+        res = np.concatenate(outs)[:n]
+        return res.reshape(q.shape)
+
+
+def _split_q(q64):
+    from .ops.df import df_from_f64
+
+    return df_from_f64(q64)

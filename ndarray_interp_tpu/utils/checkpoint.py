@@ -59,15 +59,71 @@ _STRATEGY_CODECS = {
 }
 
 
+def register_strategy_codec(name, cls, encode, decode):
+    """Class-level serialization hook for custom strategies.
+
+    ``encode(strategy) -> (meta_dict, array_dict)`` (meta must be JSON-
+    serializable); ``decode(meta, arrays) -> strategy``.  After
+    registration, :func:`save`/:func:`load` handle interpolators carrying
+    ``cls`` like the built-in strategies.  Alternatively a strategy class
+    may define ``checkpoint_encode(self)`` / ``checkpoint_decode(meta,
+    arrays)`` classmethods, which are picked up automatically.
+    """
+    _STRATEGY_CODECS[name] = (cls, encode, decode)
+
+
 def _encode_strategy(strategy):
     for name, (cls, enc, _) in _STRATEGY_CODECS.items():
         if type(strategy) is cls:
             meta, arrs = enc(strategy)
             return name, meta, arrs
+    # class-level hook: strategies can carry their own codec
+    if hasattr(type(strategy), "checkpoint_encode"):
+        cls = type(strategy)
+        name = f"custom:{cls.__module__}.{cls.__qualname__}"
+        register_strategy_codec(
+            name, cls,
+            lambda s: s.checkpoint_encode(),
+            cls.checkpoint_decode,
+        )
+        meta, arrs = strategy.checkpoint_encode()
+        return name, meta, arrs
     raise TypeError(
         f"cannot serialize strategy {type(strategy).__name__}; register a "
-        "codec in utils/checkpoint.py"
+        "codec via utils.checkpoint.register_strategy_codec or define "
+        "checkpoint_encode/checkpoint_decode on the class"
     )
+
+
+def _resolve_codec(sname):
+    """Look up a codec; ``custom:`` names re-import the class in a fresh
+    process and bind its checkpoint_encode/checkpoint_decode hooks."""
+    if sname in _STRATEGY_CODECS:
+        return _STRATEGY_CODECS[sname]
+    if sname.startswith("custom:"):
+        import importlib
+
+        path = sname[len("custom:"):]
+        modname, _, qual = path.rpartition(".")
+        obj = None
+        while modname:
+            try:
+                obj = importlib.import_module(modname)
+                break
+            except ImportError:
+                modname, _, rest = modname.rpartition(".")
+                qual = f"{rest}.{qual}"
+        if obj is None:
+            raise TypeError(f"cannot import strategy class for {sname!r}")
+        for part in qual.split("."):
+            obj = getattr(obj, part)
+        register_strategy_codec(
+            sname, obj,
+            lambda s: s.checkpoint_encode(),
+            obj.checkpoint_decode,
+        )
+        return _STRATEGY_CODECS[sname]
+    raise TypeError(f"unknown strategy codec {sname!r}")
 
 
 def save(path, interp) -> None:
@@ -105,7 +161,7 @@ def load(path):
     with np.load(p) as z:
         header = json.loads(bytes(z["__header__"]).decode())
         sname = header["strategy"]
-        _, _, dec = _STRATEGY_CODECS[sname]
+        _, _, dec = _resolve_codec(sname)
         sarrs = {
             k[len("strategy_"):]: z[k]
             for k in z.files

@@ -190,3 +190,119 @@ class TestServing:
         assert out.shape == (0,)
         with pytest.raises(ValueError, match="same shape"):
             ev(jnp.zeros((3,)), jnp.zeros((4,)))
+
+
+class TestDoubleFloatEvaluator:
+    def _build(self, n=256, extrapolate=True, seed=11):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(np.cumsum(rng.uniform(0.05, 1.0, n)))
+        data = jnp.asarray(rng.normal(size=n))
+        return (
+            Interp1D.builder(data)
+            .x(x)
+            .strategy(CubicSpline().extrapolate(extrapolate))
+            .build()
+        )
+
+    def test_f64_grade_accuracy(self):
+        from ndarray_interp_tpu.serving import DoubleFloatEvaluator
+
+        itp = self._build()
+        ev = DoubleFloatEvaluator(itp, max_batch=4096)
+        rng = np.random.default_rng(12)
+        q = rng.uniform(float(itp.x[0]) - 1, float(itp.x[-1]) + 1, 2000)
+        got = ev(q)
+        want = np.asarray(itp.interp_array(q))  # f64 CPU oracle
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
+        # CPU path = plain-XLA DF formulation; kernel accuracy is pinned
+        # on hardware (test_tpu_parity).  Includes the 49-bit input
+        # representation error (slope-amplified) — still f64-grade.
+        assert (np.abs(got - want) / scale).max() < 1e-9
+
+    def test_oob_raises_without_extrapolate(self):
+        from ndarray_interp_tpu.errors import OutOfBoundsError
+        from ndarray_interp_tpu.serving import DoubleFloatEvaluator
+
+        itp = self._build(extrapolate=False)
+        ev = DoubleFloatEvaluator(itp)
+        with pytest.raises(OutOfBoundsError):
+            ev(np.asarray([float(itp.x[0]) - 5.0]))
+
+    def test_shape_and_empty(self):
+        from ndarray_interp_tpu.serving import DoubleFloatEvaluator
+
+        itp = self._build()
+        ev = DoubleFloatEvaluator(itp, max_batch=512)
+        out = ev(np.zeros((3, 5)) + float(itp.x[2]))
+        assert out.shape == (3, 5)
+        assert ev(np.zeros((0,))).shape == (0,)
+
+    def test_bank_data_rejected(self):
+        from ndarray_interp_tpu.errors import BuilderValueError
+        from ndarray_interp_tpu.serving import DoubleFloatEvaluator
+
+        rng = np.random.default_rng(1)
+        itp = (
+            Interp1D.builder(jnp.asarray(rng.normal(size=(16, 3))))
+            .strategy(CubicSpline().extrapolate(True))
+            .build()
+        )
+        with pytest.raises(BuilderValueError):
+            DoubleFloatEvaluator(itp)
+
+
+class TestCustomStrategyCodec:
+    def test_class_hook_roundtrip(self, tmp_path):
+        from examples.custom_strategy import StepInterpolator as Step
+        from ndarray_interp_tpu.utils import checkpoint
+
+        # attach the class-level hook (would normally live on the class)
+        def enc(self):
+            return {}, {}
+
+        @classmethod
+        def dec(cls, meta, arrays):
+            return cls()
+
+        Step.checkpoint_encode = enc
+        Step.checkpoint_decode = dec
+        try:
+            rng = np.random.default_rng(3)
+            data = jnp.asarray(rng.normal(size=12))
+            itp = Interp1D.builder(data).strategy(Step()).build()
+            p = tmp_path / "step.npz"
+            checkpoint.save(p, itp)
+            back = checkpoint.load(p)
+            q = jnp.asarray(np.linspace(0.0, 11.0, 40))
+            np.testing.assert_allclose(
+                np.asarray(back.interp_array(q)),
+                np.asarray(itp.interp_array(q)),
+            )
+        finally:
+            del Step.checkpoint_encode, Step.checkpoint_decode
+            checkpoint._STRATEGY_CODECS = {
+                k: v
+                for k, v in checkpoint._STRATEGY_CODECS.items()
+                if not k.startswith("custom:")
+            }
+
+    def test_register_codec_roundtrip(self, tmp_path):
+        from examples.custom_strategy import StepInterpolator as Step
+        from ndarray_interp_tpu.utils import checkpoint
+
+        checkpoint.register_strategy_codec(
+            "step", Step, lambda s: ({}, {}), lambda meta, arrs: Step()
+        )
+        try:
+            data = jnp.asarray(np.arange(8.0) ** 2)
+            itp = Interp1D.builder(data).strategy(Step()).build()
+            p = tmp_path / "step2.npz"
+            checkpoint.save(p, itp)
+            back = checkpoint.load(p)
+            q = jnp.asarray([0.2, 3.7, 6.9])
+            np.testing.assert_allclose(
+                np.asarray(back.interp_array(q)),
+                np.asarray(itp.interp_array(q)),
+            )
+        finally:
+            checkpoint._STRATEGY_CODECS.pop("step", None)
