@@ -1,4 +1,4 @@
-"""Streaming Hermite tail: consume gathered interval rows in VMEM.
+"""Gather-route evaluation: one packed-row gather + a fused tail.
 
 The wide-bank evaluation regimes (large knot count x many queries x
 moderate bank) cannot avoid XLA's gather engine for the row fetch
@@ -7,17 +7,24 @@ one-hot MXU select is O(n x bank) MACs/query, per-row DMA is ~51 ns/row,
 sort-and-bin pays the same gather again to restore query order).  What
 CAN be fixed is everything around the gather: the reference-shaped XLA
 formulation (``cubic_spline.rs:791-830`` vectorized) spends ~20 ms/1M
-queries on two extra ``x[idx]`` gathers and an unfused (Q, bank)
-polynomial tail; this module replaces that with
+queries on two extra ``x[idx]`` gathers; this module replaces that with
 
 1. one fused Pallas bucketize emitting ``(idx, t)`` in a single pass
    (``pallas_eval.fused_index_frac``),
-2. ONE gather of packed ``[y_l | y_r | a | b]`` rows, and
-3. this kernel: stream the gathered rows through VMEM and evaluate the
-   Hermite form tile by tile, writing only the (Q, bank) result.
+2. ONE gather of tightly packed ``[y_l | y_r | a | b]`` rows, and
+3. an XLA Hermite tail on contiguous channel slices, which XLA fuses
+   into the gather consumer.
 
 Measured on the 10k-knot x 64-bank x 1M-query workload: 26 ms (three
-gathers + XLA tail) -> ~8 ms (one gather + this kernel).
+gathers + strided tail) -> 10.7 ms.
+
+**Negative result, kept with tests as the record**: the streaming
+Pallas tails in this module (``banked_hermite_tail``, ``bilinear_tail``)
+measured SLOWER than the XLA tails they were meant to replace (banked:
+12.6 vs 10.7 ms; bilinear: 7.9 vs 1.9 ms) — the extra kernel boundary
+re-streams the gathered gigabyte that XLA otherwise consumes in-fusion,
+and sub-128-lane blocks relayout badly.  Production dispatch uses the
+XLA tails.
 """
 
 from __future__ import annotations
@@ -226,17 +233,28 @@ def gathered_bank_eval(data2, a2, b2, idx, t):
 
 
 def _gathered_impl(data2, a2, b2, idx, t, interpret=False):
-    nq = idx.shape[0]
-    npad = -(-nq // 512) * 512 - nq
-    if npad:
-        # pad the cheap (Q,) inputs so the gathered array is born block-
-        # aligned (padding it afterwards would copy the whole thing)
-        idx = jnp.pad(idx, (0, npad))
-        t = jnp.pad(t, (0, npad))
+    del interpret  # XLA tail: no kernel to interpret
+    bank = data2.shape[1]
     packed = pack_bank_rows(data2, a2, b2)
     rows = jnp.take(packed, idx, axis=0)
-    out = banked_hermite_tail(rows, t, data2.shape[1], interpret=interpret)
-    return out[:nq]
+    # XLA tail on contiguous channel slices: measured FASTER than the
+    # streaming Pallas tail (10.7 vs 12.6 ms on the 10k x 64 x 1M
+    # workload) — XLA fuses the Hermite into the gather consumer, while
+    # the extra kernel boundary re-streams the gathered gigabyte.  Same
+    # conclusion as the bilinear tail (see module docstring).
+    bp = rows.shape[1] // 4
+    te = t[:, None]
+    y_l = rows[:, 0 * bp : 0 * bp + bank]
+    y_r = rows[:, 1 * bp : 1 * bp + bank]
+    a = rows[:, 2 * bp : 2 * bp + bank]
+    b = rows[:, 3 * bp : 3 * bp + bank]
+    one = jnp.float32(1.0)
+    # same op order as cubic_spline.rs:818-828 / the gather formulation
+    return (
+        (one - te) * y_l
+        + te * y_r
+        + te * (one - te) * (a * (one - te) + b * te)
+    )
 
 
 def _gather_form_2d(d2, a2, b2, idx, t):

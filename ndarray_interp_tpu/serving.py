@@ -274,3 +274,30 @@ def _split_q(q64):
     from .ops.df import df_from_f64
 
     return df_from_f64(q64)
+
+
+_donated_run_1d = jax.jit(
+    lambda interp, queries, out: interp.strategy.eval(interp, queries),
+    donate_argnums=(2,),
+)
+
+
+def eval_into_donated(interp, queries, out):
+    """Device-buffer ``interp_array_into`` for device-resident pipelines.
+
+    The host ``interp_array_into`` APIs fill a numpy buffer (the
+    reference's ``interp_array_into`` contract, ``interp1d/mod.rs:272``);
+    this variant instead donates ``out`` — a device array with the result
+    shape/dtype — to the compiled program (``jax.jit(...,
+    donate_argnums)``), so XLA writes the result into its storage with no
+    extra allocation.  Returns the new array aliasing the donated buffer;
+    the passed-in ``out`` must not be used afterwards.  (Backends without
+    donation support fall back to a copy with a warning — results are
+    still correct.)
+    """
+    expect = tuple(queries.shape) + tuple(interp.data.shape[1:])
+    if tuple(out.shape) != expect:
+        raise ValueError(
+            f"output buffer has shape {tuple(out.shape)}, expected {expect}"
+        )
+    return _donated_run_1d(interp, queries, out)

@@ -306,3 +306,27 @@ class TestCustomStrategyCodec:
             )
         finally:
             checkpoint._STRATEGY_CODECS.pop("step", None)
+
+
+def test_eval_into_donated_matches_interp_array():
+    import warnings
+
+    from ndarray_interp_tpu.serving import eval_into_donated
+
+    rng = np.random.default_rng(21)
+    data = jnp.asarray(rng.normal(size=(32, 4)))
+    itp = (
+        Interp1D.builder(data)
+        .strategy(CubicSpline().extrapolate(True))
+        .build()
+    )
+    q = jnp.asarray(rng.uniform(0, 31, 100))
+    out = jnp.zeros((100, 4), data.dtype)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # CPU backends warn on donation
+        got = eval_into_donated(itp, q, out)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(itp.interp_array(q)), atol=1e-14
+    )
+    with pytest.raises(ValueError):
+        eval_into_donated(itp, q, jnp.zeros((5, 4), data.dtype))
