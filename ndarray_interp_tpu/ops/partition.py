@@ -108,6 +108,50 @@ def sharded_fused_eval(interpret: bool = False):
     return f
 
 
+# -- fused_eval_1d_df ---------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_df_eval(interpret: bool = False):
+    """custom_partitioning wrapper for the double-float kernel: the ten
+    (hi, lo) operands follow the same rule as the f32 kernel — queries
+    and both outputs shard over the query axis, tables replicate."""
+    from .pallas_eval_df import fused_eval_1d_df
+
+    @custom_partitioning
+    def cp(xh, xl, dh, dl, ah, al, bh, bl, qh, ql):
+        return fused_eval_1d_df(
+            xh, xl, dh, dl, ah, al, bh, bl, qh, ql, interpret=interpret
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        del result_shape
+        q_spec = _spec(arg_shapes[8])
+        repl = NamedSharding(mesh, P())
+        q_sh = NamedSharding(mesh, q_spec)
+        arg_sh = (repl,) * 8 + (q_sh, q_sh)
+
+        def lower(xh, xl, dh, dl, ah, al, bh, bl, qh, ql):
+            return fused_eval_1d_df(
+                xh, xl, dh, dl, ah, al, bh, bl, qh, ql, interpret=interpret
+            )
+
+        return mesh, lower, (q_sh, q_sh), arg_sh
+
+    def infer(mesh, arg_shapes, result_shape):
+        del result_shape
+        q_sh = NamedSharding(mesh, _spec(arg_shapes[8]))
+        return (q_sh, q_sh)
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="n, n, n, n, m, m, m, m, q, q -> q, q",
+        need_replication_factors=("n", "m"),
+    )
+    return cp
+
+
 # -- fused_lower_index --------------------------------------------------------
 
 

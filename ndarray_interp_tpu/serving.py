@@ -211,12 +211,13 @@ class DoubleFloatEvaluator(_BucketedEvaluator):
         ):
             self._pairs.extend(df_from_f64(v))
 
-        from .ops.pallas_eval_df import eval_xla_df, fused_eval_1d_df
+        from .ops.partition import sharded_df_eval
+        from .ops.pallas_eval_df import eval_xla_df
 
         def run(qh, ql):
             return jax.lax.platform_dependent(
                 qh, ql,
-                tpu=lambda qh, ql: fused_eval_1d_df(*self._pairs, qh, ql),
+                tpu=lambda qh, ql: sharded_df_eval()(*self._pairs, qh, ql),
                 default=lambda qh, ql: eval_xla_df(*self._pairs, qh, ql),
             )
 

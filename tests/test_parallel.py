@@ -304,3 +304,35 @@ def test_sharded_eval_2d_matches_replicated(mesh):
         np.asarray(got), np.asarray(expect), atol=1e-14
     )
     assert got.sharding.spec == P("query", "bank")
+
+
+def test_df_kernel_under_mesh():
+    """The double-float kernel shards over the query axis (both hi and
+    lo outputs); result matches the plain-XLA DF formulation."""
+    from ndarray_interp_tpu.ops.df import df_from_f64, df_to_f64
+    from ndarray_interp_tpu.ops.partition import sharded_df_eval
+    from ndarray_interp_tpu.ops.pallas_eval_df import eval_xla_df
+
+    rng = np.random.default_rng(13)
+    n, nq = 128, 2048
+    x64 = np.cumsum(rng.uniform(0.05, 1.0, n))
+    d64 = rng.normal(size=n)
+    a64 = rng.normal(size=n - 1)
+    b64 = rng.normal(size=n - 1)
+    q64 = rng.uniform(x64[0], x64[-1], nq)
+    args = []
+    for v in (x64, d64, a64, b64, q64):
+        args.extend(df_from_f64(v))
+
+    mesh1 = make_mesh(8, axis_names=("query",))
+    q_sh = NamedSharding(mesh1, P("query"))
+    sharded_args = list(args)
+    sharded_args[8] = jax.device_put(args[8], q_sh)
+    sharded_args[9] = jax.device_put(args[9], q_sh)
+    hi, lo = jax.jit(sharded_df_eval(True))(*sharded_args)
+    assert hi.sharding.spec == P("query")
+    want = df_to_f64(*jax.jit(eval_xla_df)(*args))
+    got = df_to_f64(np.asarray(hi), np.asarray(lo))
+    # interpret mode loses the EFT error terms (ops/df.py): f32-grade
+    # agreement here; the 1e-12 bound is pinned on hardware
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
