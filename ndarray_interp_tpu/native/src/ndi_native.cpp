@@ -431,12 +431,40 @@ template <typename T>
 int64_t eval_bilinear(const T* x, const T* yax, const T* z, int64_t nx,
                       int64_t ny, int64_t trailing, const T* qx, const T* qy,
                       int64_t m, T* out, int extrapolate) {
+  if (!extrapolate) {
+    // abort-before-write semantics (docs/PARITY.md); x errors are
+    // positive indices, y errors negative (matching the ctypes wrapper)
+    for (int64_t i = 0; i < m; ++i) {
+      if (!(x[0] <= qx[i] && qx[i] <= x[nx - 1])) return i + 1;
+      if (!(yax[0] <= qy[i] && qy[i] <= yax[ny - 1])) return -(i + 1);
+    }
+  }
+  if (trailing == 1) {
+    // flat fast path: blocked lookups on both axes, then a scalar
+    // corner loop (the 4 corner loads are 2-D-strided — gather-hostile)
+    constexpr int B = 256;
+    int32_t xb[B], yb[B];
+    for (int64_t i0 = 0; i0 < m; i0 += B) {
+      const int cnt = int(m - i0 < B ? m - i0 : B);
+      const T* qxb = qx + i0;
+      const T* qyb = qy + i0;
+      lower_index_block<T, B>(x, nx, qxb, cnt, xb);
+      lower_index_block<T, B>(yax, ny, qyb, cnt, yb);
+      T* o = out + i0;
+      for (int j = 0; j < cnt; ++j) {
+        const int64_t xi = xb[j], yi = yb[j];
+        const T x1 = x[xi], x2 = x[xi + 1];
+        const T y1 = yax[yi], y2 = yax[yi + 1];
+        const T* base = z + xi * ny + yi;
+        const T zq1 = lerp(x1, base[0], x2, base[ny], qxb[j]);
+        const T zq2 = lerp(x1, base[1], x2, base[ny + 1], qxb[j]);
+        o[j] = lerp(y1, zq1, y2, zq2, qyb[j]);
+      }
+    }
+    return 0;
+  }
   for (int64_t i = 0; i < m; ++i) {
     T qxi = qx[i], qyi = qy[i];
-    if (!extrapolate) {
-      if (!(x[0] <= qxi && qxi <= x[nx - 1])) return i + 1;
-      if (!(yax[0] <= qyi && qyi <= yax[ny - 1])) return -(i + 1);
-    }
     int64_t xi = lower_index(x, nx, qxi);
     int64_t yi = lower_index(yax, ny, qyi);
     const T x1 = x[xi], x2 = x[xi + 1];
