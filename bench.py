@@ -206,6 +206,35 @@ def main():
 
     t_build = measure_chained(build_chain, 8, xb, bank)
 
+    # secondary: EVAL on the same 10k-knot x 64 bank (the wide-bank
+    # gather route, VERDICT r1 item 4) — 256k queries scaled to /1M
+    from ndarray_interp_tpu.models.interp1d import Interp1D as _I1
+    from ndarray_interp_tpu.models.strategies.cubic import (
+        CubicSplineStrategy as _CSS,
+    )
+
+    sb = jax.jit(lambda x_, d_: (lambda s: (s.a, s.b))(strat.build(x_, d_)))
+    ab10, bb10 = sb(xb, bank)
+    itp10 = _I1.new_unchecked(xb, bank, _CSS(ab10, bb10, "yes"))
+    nq10 = 262_144
+    q10 = jnp.asarray(rng.uniform(0, 1, nq10).astype(np.float32))
+
+    def bank_eval_chain(links):
+        @jax.jit
+        def run(t, q):
+            acc = jnp.float32(0.0)
+            qq = q
+            for _ in range(links):
+                r = t(qq)
+                s = jnp.sum(r)
+                acc = acc + s
+                qq = q + jnp.float32(1e-30) * s
+            return acc
+
+        return run
+
+    t_bank = measure_chained(bank_eval_chain, 8, itp10, q10)
+
     result = {
         "metric": "queries/sec/chip (1D cubic, 1M pts)",
         "value": round(our_qps, 1),
@@ -217,6 +246,9 @@ def main():
             "eval_ms_1M": round(t_ours * 1e3, 3),
             "scipy_cpu_qps": round(scipy_qps, 1),
             "build_ms_10k_knot_x64_bank": round(t_build * 1e3, 3),
+            "eval_ms_10k_knot_x64_bank_per_1M_q": round(
+                t_bank * 1e3 * (1_000_000 / nq10), 3
+            ),
             "dtype": "float32",
         },
     }
