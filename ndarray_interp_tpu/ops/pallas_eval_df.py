@@ -253,6 +253,47 @@ def eval_xla_df(x_hi, x_lo, d_hi, d_lo, a_hi, a_lo, b_hi, b_lo, q_hi, q_lo):
     )
 
 
+def _df_lower_index(x_hi, x_lo, q_hi, q_lo, n):
+    """DF-lexicographic ``get_lower_index`` (compare-all form)."""
+    le = (x_hi[None, :] < q_hi[:, None]) | (
+        (x_hi[None, :] == q_hi[:, None]) & (x_lo[None, :] <= q_lo[:, None])
+    )
+    return jnp.clip(jnp.sum(le, axis=1).astype(jnp.int32) - 1, 0, n - 2)
+
+
+def _df_calc_frac(x1, y1, x2, y2, q):
+    """calc_frac in double-float with the reference slope op order
+    (``linear.rs:29-37``): m = (y2-y1)/(x2-x1); m*(q-x1)+y1."""
+    m = df_div(df_sub(y2, y1), df_sub(x2, x1))
+    return df_add(df_mul(m, df_sub(q, x1)), y1)
+
+
+def eval_xla_df_2d(
+    x_hi, x_lo, y_hi, y_lo, z_hi, z_lo, qx_hi, qx_lo, qy_hi, qy_lo
+):
+    """Double-float bilinear evaluation (reference semantics
+    ``bilinear.rs:64-98``), pure XLA: the corner fetch is gather-bound on
+    every backend, so no kernel is needed — only the arithmetic runs in
+    (hi, lo) pairs.  Scalar trailing dims; returns the (hi, lo) result."""
+    nx, ny = x_hi.shape[0], y_hi.shape[0]
+    xi = _df_lower_index(x_hi, x_lo, qx_hi, qx_lo, nx)
+    yi = _df_lower_index(y_hi, y_lo, qy_hi, qy_lo, ny)
+    pick = lambda vh, vl, i: (vh[i], vl[i])
+    x1 = pick(x_hi, x_lo, xi)
+    x2 = pick(x_hi, x_lo, xi + 1)
+    y1 = pick(y_hi, y_lo, yi)
+    y2 = pick(y_hi, y_lo, yi + 1)
+    z11 = (z_hi[xi, yi], z_lo[xi, yi])
+    z12 = (z_hi[xi, yi + 1], z_lo[xi, yi + 1])
+    z21 = (z_hi[xi + 1, yi], z_lo[xi + 1, yi])
+    z22 = (z_hi[xi + 1, yi + 1], z_lo[xi + 1, yi + 1])
+    qx = (qx_hi, qx_lo)
+    qy = (qy_hi, qy_lo)
+    zq1 = _df_calc_frac(x1, z11, x2, z21, qx)
+    zq2 = _df_calc_frac(x1, z12, x2, z22, qx)
+    return _df_calc_frac(y1, zq1, y2, zq2, qy)
+
+
 def eval_df_from_f64(x64, d64, a64, b64, q64, interpret=False, path="kernel"):
     """Convenience wrapper: split f64 host arrays, run the DF evaluation,
     recombine to f64 on the host.  ``path``: "kernel" (Pallas; pass

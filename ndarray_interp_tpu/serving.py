@@ -302,3 +302,84 @@ def eval_into_donated(interp, queries, out):
             f"output buffer has shape {tuple(out.shape)}, expected {expect}"
         )
     return _donated_run_1d(interp, queries, out)
+
+
+class DoubleFloatEvaluator2D(_BucketedEvaluator):
+    """2-D analogue of :class:`DoubleFloatEvaluator`: f64-grade bilinear
+    serving on f32 hardware via the plain-XLA double-float formulation
+    (``ops/pallas_eval_df.eval_xla_df_2d`` — the corner fetch is
+    gather-bound on every backend, so there is no kernel variant).
+    Scalar trailing dims; build the Interp2D eagerly in f64 on CPU."""
+
+    def __init__(self, interp, max_batch: int = 1 << 20, buckets=None):
+        import numpy as np
+
+        from .errors import BuilderValueError
+        from .ops.df import df_from_f64
+        from .ops.pallas_eval_df import eval_xla_df_2d
+
+        super().__init__(interp, max_batch, buckets)
+        if interp.data.ndim != 2:
+            raise BuilderValueError(
+                "DoubleFloatEvaluator2D supports scalar trailing dims "
+                f"(data shape {tuple(interp.data.shape)})"
+            )
+        self._extrapolates = bool(
+            getattr(interp.strategy, "extrapolates", False)
+        )
+        x64 = np.asarray(interp.x, np.float64)
+        y64 = np.asarray(interp.y, np.float64)
+        self._xr = (float(x64[0]), float(x64[-1]))
+        self._yr = (float(y64[0]), float(y64[-1]))
+        pairs = []
+        for v in (x64, y64, np.asarray(interp.data, np.float64)):
+            pairs.extend(df_from_f64(v))
+        self._pairs = pairs
+        self._run = jax.jit(
+            lambda qxh, qxl, qyh, qyl: eval_xla_df_2d(
+                *self._pairs, qxh, qxl, qyh, qyl
+            )
+        )
+
+    def __call__(self, xs, ys):
+        import numpy as np
+
+        from .errors import OutOfBoundsError
+        from .ops.df import df_from_f64, df_to_f64
+
+        qx = np.asarray(xs, np.float64)
+        qy = np.asarray(ys, np.float64)
+        if qx.shape != qy.shape:
+            raise ValueError(
+                f"`xs.shape` and `ys.shape` do not match: {qx.shape} vs "
+                f"{qy.shape}"
+            )
+        fx = qx.reshape(-1)
+        fy = qy.reshape(-1)
+        if fx.shape[0] == 0:
+            return np.zeros(qx.shape)
+        if not self._extrapolates:
+            for name, f, (lo, hi) in (
+                ("x", fx, self._xr),
+                ("y", fy, self._yr),
+            ):
+                bad = (f < lo) | (f > hi) | np.isnan(f)
+                if bad.any():
+                    i = int(np.argmax(bad))
+                    raise OutOfBoundsError(
+                        f"point {f[i]} is out of bounds of the {name} "
+                        f"interpolation range [{lo}, {hi}]"
+                    )
+        n = fx.shape[0]
+        bsz = self._bucket(n)
+        outs = []
+        for start in range(0, n, bsz):
+            cx = fx[start : start + bsz]
+            cy = fy[start : start + bsz]
+            if cx.shape[0] < bsz:
+                pad = bsz - cx.shape[0]
+                cx = np.concatenate([cx, np.full(pad, self._xr[0])])
+                cy = np.concatenate([cy, np.full(pad, self._yr[0])])
+            hi, lo = self._run(*df_from_f64(cx), *df_from_f64(cy))
+            outs.append(df_to_f64(hi, lo))
+        return np.concatenate(outs)[:n].reshape(qx.shape)

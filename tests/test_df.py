@@ -211,3 +211,62 @@ class TestDFKernel:
         scale = np.maximum(np.abs(oracle), 0.01 * np.abs(d64).max())
         rel = np.abs(got - oracle) / scale
         assert rel.max() < 1e-12
+
+
+class TestDF2D:
+    def test_bilinear_df_matches_f64_oracle(self):
+        from ndarray_interp_tpu.ops.pallas_eval_df import eval_xla_df_2d
+
+        rng = np.random.default_rng(17)
+
+        def rep(v):
+            return df_to_f64(*df_from_f64(v))
+
+        nx, ny, nq = 64, 48, 2048
+        x64 = rep(np.cumsum(rng.uniform(0.05, 1.0, nx)))
+        y64 = rep(np.cumsum(rng.uniform(0.05, 1.0, ny)))
+        z64 = rep(rng.normal(size=(nx, ny)))
+        qx64 = rep(rng.uniform(x64[0] - 1, x64[-1] + 1, nq))
+        qy64 = rep(rng.uniform(y64[0] - 1, y64[-1] + 1, nq))
+        args = []
+        for v in (x64, y64, z64, qx64, qy64):
+            args.extend(df_from_f64(v))
+        import jax
+
+        hi, lo = jax.jit(eval_xla_df_2d)(*args)
+        got = df_to_f64(hi, lo)
+
+        xi = np.clip(np.searchsorted(x64, qx64, side="right") - 1, 0, nx - 2)
+        yi = np.clip(np.searchsorted(y64, qy64, side="right") - 1, 0, ny - 2)
+
+        def L(x1, y1, x2, y2, q):
+            return (y2 - y1) / (x2 - x1) * (q - x1) + y1
+
+        z1 = L(x64[xi], z64[xi, yi], x64[xi + 1], z64[xi + 1, yi], qx64)
+        z2 = L(x64[xi], z64[xi, yi + 1], x64[xi + 1], z64[xi + 1, yi + 1], qx64)
+        want = L(y64[yi], z1, y64[yi + 1], z2, qy64)
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(z64).max())
+        assert (np.abs(got - want) / scale).max() < 1e-12
+
+    def test_serving_evaluator_2d(self):
+        from ndarray_interp_tpu.errors import OutOfBoundsError
+        from ndarray_interp_tpu.interp2d import Interp2D
+        from ndarray_interp_tpu.serving import DoubleFloatEvaluator2D
+
+        rng = np.random.default_rng(18)
+        nx, ny = 24, 20
+        x = jnp.asarray(np.linspace(0.0, 1.0, nx))
+        y = jnp.asarray(np.linspace(0.0, 2.0, ny))
+        data = jnp.asarray(rng.normal(size=(nx, ny)))
+        itp = Interp2D.builder(data).x(x).y(y).build()
+        ev = DoubleFloatEvaluator2D(itp, max_batch=512)
+        qx = rng.uniform(0, 1, 300)
+        qy = rng.uniform(0, 2, 300)
+        got = ev(qx, qy)
+        want = np.asarray(itp.interp_array(qx, qy))
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
+        assert (np.abs(got - want) / scale).max() < 1e-9
+        with pytest.raises(OutOfBoundsError):
+            ev(np.asarray([-3.0]), np.asarray([0.5]))
+        with pytest.raises(ValueError):
+            ev(np.zeros(3), np.zeros(4))
