@@ -294,6 +294,55 @@ def eval_xla_df_2d(
     return _df_calc_frac(y1, zq1, y2, zq2, qy)
 
 
+def eval_xla_df_banked(
+    x_hi, x_lo, d_hi, d_lo, a_hi, a_lo, b_hi, b_lo, q_hi, q_lo
+):
+    """Double-float banked Hermite evaluation, pure XLA: data/a/b are
+    2-D ``(n, bank)`` / ``(n-1, bank)`` pairs; queries flat.  Two packed
+    row gathers (hi + lo) feed the DF polynomial — on every backend the
+    gathers dominate, so no kernel variant exists (the gather-engine
+    wall, docs/ROADMAP.md).  Returns the (hi, lo) pair ``(nq, bank)``."""
+    n = x_hi.shape[0]
+    idx = _df_lower_index(x_hi, x_lo, q_hi, q_lo, n)
+    x_l = (x_hi[idx], x_lo[idx])
+    x_r = (x_hi[idx + 1], x_lo[idx + 1])
+    q = (q_hi, q_lo)
+    t = df_div(df_sub(q, x_l), df_sub(x_r, x_l))
+
+    def rows(v):
+        packed = jnp.concatenate([v[:-1], v[1:]], axis=1)  # y_l | y_r
+        return jnp.take(packed, idx, axis=0)
+
+    def rows_ab(va, vb):
+        return jnp.take(jnp.concatenate([va, vb], axis=1), idx, axis=0)
+
+    bank = d_hi.shape[1]
+    gh, gl = rows(d_hi), rows(d_lo)
+    abh, abl = rows_ab(a_hi, b_hi), rows_ab(a_lo, b_lo)
+    y_l = (gh[:, :bank], gl[:, :bank])
+    y_r = (gh[:, bank:], gl[:, bank:])
+    a = (abh[:, :bank], abl[:, :bank])
+    b = (abh[:, bank:], abl[:, bank:])
+
+    te = (t[0][:, None], t[1][:, None])
+    one = (jnp.ones_like(te[0]), jnp.zeros_like(te[0]))
+    omt = df_sub(one, te)
+    base = df_add(
+        df_add(df_mul(omt, y_l), df_mul(te, y_r)),
+        df_mul(df_mul(te, omt), df_add(df_mul(a, omt), df_mul(b, te))),
+    )
+    tn = (q_hi - x_l[0]) / (x_r[0] - x_l[0])
+    lin_inf = (
+        jnp.isinf(tn)[:, None]
+        & (a[0] == 0.0) & (a[1] == 0.0) & (b[0] == 0.0) & (b[1] == 0.0)
+    )
+    alt = y_l[0] + tn[:, None] * (y_r[0] - y_l[0])
+    return (
+        jnp.where(lin_inf, alt, base[0]),
+        jnp.where(lin_inf, jnp.zeros_like(alt), base[1]),
+    )
+
+
 def eval_df_from_f64(x64, d64, a64, b64, q64, interpret=False, path="kernel"):
     """Convenience wrapper: split f64 host arrays, run the DF evaluation,
     recombine to f64 on the host.  ``path``: "kernel" (Pallas; pass

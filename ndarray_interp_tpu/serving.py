@@ -189,39 +189,55 @@ class DoubleFloatEvaluator(_BucketedEvaluator):
         strat = interp.strategy
         a = getattr(strat, "a", None)
         b = getattr(strat, "b", None)
+        del BuilderValueError  # any trailing rank: banked uses the 2-D form
         data = interp.data
-        if data.ndim != 1:
-            raise BuilderValueError(
-                "DoubleFloatEvaluator supports scalar trailing dims "
-                f"(data shape {tuple(data.shape)})"
-            )
+        self._bank_shape = tuple(data.shape[1:])
         self._mode = getattr(strat, "mode", None) or (
             "yes" if getattr(strat, "extrapolates", False) else "no"
         )
         x64 = np.asarray(interp.x, np.float64)
         self._x0 = float(x64[0])
         self._xn = float(x64[-1])
-        zeros = np.zeros(x64.shape[0] - 1)
+        n = x64.shape[0]
+        bank = 1
+        for sdim in self._bank_shape:
+            bank *= sdim
+        zshape = (n - 1,) if not self._bank_shape else (n - 1, bank)
+        d64 = np.asarray(data, np.float64).reshape(
+            (n,) if not self._bank_shape else (n, bank)
+        )
+        a64 = (
+            np.zeros(zshape)
+            if a is None
+            else np.asarray(a, np.float64).reshape(zshape)
+        )
+        b64 = (
+            np.zeros(zshape)
+            if b is None
+            else np.asarray(b, np.float64).reshape(zshape)
+        )
         self._pairs = []
-        for v in (
-            x64,
-            np.asarray(data, np.float64),
-            zeros if a is None else np.asarray(a, np.float64),
-            zeros if b is None else np.asarray(b, np.float64),
-        ):
+        for v in (x64, d64, a64, b64):
             self._pairs.extend(df_from_f64(v))
 
         from .ops.partition import sharded_df_eval
-        from .ops.pallas_eval_df import eval_xla_df
+        from .ops.pallas_eval_df import eval_xla_df, eval_xla_df_banked
 
-        def run(qh, ql):
-            return jax.lax.platform_dependent(
-                qh, ql,
-                tpu=lambda qh, ql: sharded_df_eval()(*self._pairs, qh, ql),
-                default=lambda qh, ql: eval_xla_df(*self._pairs, qh, ql),
+        if self._bank_shape:
+            # banked: pure-XLA DF form on every backend (gather-bound)
+            self._run = jax.jit(
+                lambda qh, ql: eval_xla_df_banked(*self._pairs, qh, ql)
             )
+        else:
 
-        self._run = jax.jit(run)
+            def run(qh, ql):
+                return jax.lax.platform_dependent(
+                    qh, ql,
+                    tpu=lambda qh, ql: sharded_df_eval()(*self._pairs, qh, ql),
+                    default=lambda qh, ql: eval_xla_df(*self._pairs, qh, ql),
+                )
+
+            self._run = jax.jit(run)
 
     def warmup(self):
         import numpy as np
@@ -241,7 +257,7 @@ class DoubleFloatEvaluator(_BucketedEvaluator):
         q = np.asarray(queries, np.float64)
         flat = q.reshape(-1)
         if flat.shape[0] == 0:
-            return np.zeros(q.shape)
+            return np.zeros(q.shape + self._bank_shape)
         if self._mode == "no":
             bad = (flat < self._x0) | (flat > self._xn) | np.isnan(flat)
             if bad.any():
@@ -268,7 +284,7 @@ class DoubleFloatEvaluator(_BucketedEvaluator):
             hi, lo = self._run(*_split_q(chunk))
             outs.append(df_to_f64(hi, lo))
         res = np.concatenate(outs)[:n]
-        return res.reshape(q.shape)
+        return res.reshape(q.shape + self._bank_shape)
 
 
 def _split_q(q64):

@@ -237,8 +237,7 @@ class TestDoubleFloatEvaluator:
         assert out.shape == (3, 5)
         assert ev(np.zeros((0,))).shape == (0,)
 
-    def test_bank_data_rejected(self):
-        from ndarray_interp_tpu.errors import BuilderValueError
+    def test_bank_data_supported(self):
         from ndarray_interp_tpu.serving import DoubleFloatEvaluator
 
         rng = np.random.default_rng(1)
@@ -247,8 +246,13 @@ class TestDoubleFloatEvaluator:
             .strategy(CubicSpline().extrapolate(True))
             .build()
         )
-        with pytest.raises(BuilderValueError):
-            DoubleFloatEvaluator(itp)
+        ev = DoubleFloatEvaluator(itp, max_batch=256)
+        q = rng.uniform(0, 15, 20)
+        got = ev(q)
+        assert got.shape == (20, 3)
+        want = np.asarray(itp.interp_array(q))
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
+        assert (np.abs(got - want) / scale).max() < 1e-9
 
 
 class TestCustomStrategyCodec:

@@ -270,3 +270,26 @@ class TestDF2D:
             ev(np.asarray([-3.0]), np.asarray([0.5]))
         with pytest.raises(ValueError):
             ev(np.zeros(3), np.zeros(4))
+
+
+def test_banked_df_evaluator_matches_f64_oracle():
+    from ndarray_interp_tpu.interp1d import CubicSpline, Interp1D
+    from ndarray_interp_tpu.serving import DoubleFloatEvaluator
+
+    rng = np.random.default_rng(23)
+    n, bank = 128, 6
+    x = jnp.asarray(np.cumsum(rng.uniform(0.1, 1.0, n)))
+    data = jnp.asarray(rng.normal(size=(n, bank)))
+    itp = (
+        Interp1D.builder(data)
+        .x(x)
+        .strategy(CubicSpline().extrapolate(True))
+        .build()
+    )
+    ev = DoubleFloatEvaluator(itp, max_batch=1024)
+    q = rng.uniform(float(x[0]) - 1, float(x[-1]) + 1, 500)
+    got = ev(q)
+    assert got.shape == (500, bank)
+    want = np.asarray(itp.interp_array(q))
+    scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
+    assert (np.abs(got - want) / scale).max() < 1e-9
