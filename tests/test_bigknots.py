@@ -140,3 +140,22 @@ def test_strategy_routes_big_n_on_cpu_fallback():
     tbl = pallas_eval.make_interval_table(x, d, a, b)
     want = np.asarray(pallas_eval._eval_xla(x, tbl, q))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_akima_pchip_inherit_big_route_on_cpu():
+    """Akima/PCHIP lower to CubicSplineStrategy coefficients, so n > 64k
+    interpolators stay correct through the public API on every backend."""
+    from ndarray_interp_tpu.interp1d import Interp1D
+    from ndarray_interp_tpu.models.strategies.hermite import Akima
+
+    rng = np.random.default_rng(9)
+    n = 66_000
+    x = jnp.asarray(np.linspace(0.0, 1.0, n), jnp.float32)
+    d = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    itp = Interp1D.builder(d).x(x).strategy(Akima(extrapolate=True)).build()
+    q = jnp.asarray(rng.uniform(-0.05, 1.05, 512).astype(np.float32))
+    got = np.asarray(itp(q))
+    s = itp.strategy
+    tbl = pallas_eval.make_interval_table(x, d, s.a, s.b)
+    want = np.asarray(pallas_eval._eval_xla(x, tbl, q))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
