@@ -608,6 +608,7 @@ class CubicSplineStrategy(Interp1DStrategy):
 
         if (
             config.use_fused_kernel
+            and self.finite  # window mask-select poisons on NaN data (D5)
             and xq.dtype == jnp.float32
             and xq.ndim == 1
             and can_use_big(x, interp.data)

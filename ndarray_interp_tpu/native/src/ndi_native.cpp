@@ -89,10 +89,10 @@ inline void lower_index_block(const T* x, int64_t n, const T* q, int cnt,
   const double inv = double(n - 1) / (double(x[n - 1]) - x0);
   int32_t nmax = int32_t(n - 2);
   for (int j = 0; j < cnt; ++j) {
+    // clamp as double BEFORE the cast: int32_t(1e33) is UB
     double g = (double(q[j]) - x0) * inv;
-    int32_t gi = int32_t(g);
-    gi = gi < 0 ? 0 : (gi > nmax ? nmax : gi);
-    idx[j] = gi;
+    g = g < 0.0 ? 0.0 : (g > double(nmax) ? double(nmax) : g);
+    idx[j] = int32_t(g);
   }
   unsigned char miss[B];
   for (int j = 0; j < cnt; ++j)
@@ -329,10 +329,12 @@ int64_t eval_linear(const T* x, const T* y, int64_t n, int64_t trailing,
       if (!(x[0] <= q[i] && q[i] <= x[n - 1])) return i + 1;
   }
   if (trailing == 1) {
-    // scalar-bank fast path: blocked guess/verify + gathered lerp
+    // scalar-bank fast path: blocked guess/verify + gathered lerp;
+    // blocks are independent, so they also split across threads
     constexpr int B = 256;
-    int32_t idx[B];
+#pragma omp parallel for schedule(static) if (m > (1 << 15))
     for (int64_t i0 = 0; i0 < m; i0 += B) {
+      int32_t idx[B];
       const int cnt = int(m - i0 < B ? m - i0 : B);
       const T* qb = q + i0;
       T* ob = out + i0;
@@ -396,9 +398,10 @@ int64_t eval_hermite(const T* x, const T* y, const T* a, const T* b,
     // scalar-bank fast path (see eval_linear): blocked guess/verify +
     // gathered Hermite, same op order as cubic_spline.rs:818-828
     constexpr int B = 256;
-    int32_t idx[B];
     const T one = T(1);
+#pragma omp parallel for schedule(static) if (m > (1 << 15))
     for (int64_t i0 = 0; i0 < m; i0 += B) {
+      int32_t idx[B];
       const int cnt = int(m - i0 < B ? m - i0 : B);
       const T* qb = q + i0;
       T* ob = out + i0;
@@ -443,8 +446,9 @@ int64_t eval_bilinear(const T* x, const T* yax, const T* z, int64_t nx,
     // flat fast path: blocked lookups on both axes, then a scalar
     // corner loop (the 4 corner loads are 2-D-strided — gather-hostile)
     constexpr int B = 256;
-    int32_t xb[B], yb[B];
+#pragma omp parallel for schedule(static) if (m > (1 << 15))
     for (int64_t i0 = 0; i0 < m; i0 += B) {
+      int32_t xb[B], yb[B];
       const int cnt = int(m - i0 < B ? m - i0 : B);
       const T* qxb = qx + i0;
       const T* qyb = qy + i0;

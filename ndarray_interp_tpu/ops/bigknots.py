@@ -37,7 +37,9 @@ import jax.numpy as jnp
 
 from .pallas_eval import _plan, _split3
 
-MAX_BIG_KNOTS = 8 * 1024 * 1024
+# largest axis whose W=128 leader vector satisfies C + 1 <= 65536
+# (the windowed plan cap): 65535 * 128
+MAX_BIG_KNOTS = 65535 * 128
 
 
 def _block_w(n):
@@ -135,14 +137,11 @@ def _pack_rows(kp, data, a, b, w, c):
     return rows
 
 
-def _refine_and_eval(rows, block, q, n, w):
-    """Window select + Hermite on gathered rows (XLA, exact op order)."""
+def _window_refine(kwin, block, q, n, w):
+    """Shared in-window refine: fine count, ``get_lower_index`` clamp,
+    one-hot select of both knot endpoints.  kwin: gathered (Q, >=W+1)
+    knot windows.  Returns (idx f32, ohl mask, x_l, x_r)."""
     f32 = jnp.float32
-    w1 = w + 1
-    kwin = rows[:, :w1]  # (Q, W+1)
-    dwin = rows[:, w1 : 2 * w1]
-    awin = rows[:, 2 * w1 : 2 * w1 + w]
-    bwin = rows[:, 2 * w1 + w : 2 * w1 + 2 * w]
     qe = q[:, None]
     fine = jnp.sum((kwin[:, :w] <= qe).astype(f32), axis=1)
     pred = block.astype(f32) * float(w) + fine - 1.0
@@ -152,6 +151,18 @@ def _refine_and_eval(rows, block, q, n, w):
     ohl = (iota == pos.astype(jnp.int32)[:, None]).astype(f32)
     x_l = jnp.sum(kwin[:, :w] * ohl, axis=1)
     x_r = jnp.sum(kwin[:, 1 : w + 1] * ohl, axis=1)
+    return idx, ohl, x_l, x_r
+
+
+def _refine_and_eval(rows, block, q, n, w):
+    """Window select + Hermite on gathered rows (XLA, exact op order)."""
+    f32 = jnp.float32
+    w1 = w + 1
+    kwin = rows[:, :w1]  # (Q, W+1)
+    dwin = rows[:, w1 : 2 * w1]
+    awin = rows[:, 2 * w1 : 2 * w1 + w]
+    bwin = rows[:, 2 * w1 + w : 2 * w1 + 2 * w]
+    idx, ohl, x_l, x_r = _window_refine(kwin, block, q, n, w)
     y_l = jnp.sum(dwin[:, :w] * ohl, axis=1)
     y_r = jnp.sum(dwin[:, 1 : w + 1] * ohl, axis=1)
     a = jnp.sum(awin * ohl, axis=1)
@@ -226,15 +237,5 @@ def big_lower_index_frac(knots, q, interpret=False, pallas=True):
     if pad:
         krows = jnp.pad(krows, ((0, 0), (0, pad)))
     rows = jnp.take(krows, block, axis=0)
-    f32 = jnp.float32
-    kwin = rows[:, : w + 1]
-    qe = q[:, None]
-    fine = jnp.sum((kwin[:, :w] <= qe).astype(f32), axis=1)
-    pred = block.astype(f32) * float(w) + fine - 1.0
-    idx = jnp.clip(pred, 0.0, float(n - 2))
-    pos = idx - block.astype(f32) * float(w)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], w), 1)
-    ohl = (iota == pos.astype(jnp.int32)[:, None]).astype(f32)
-    x_l = jnp.sum(kwin[:, :w] * ohl, axis=1)
-    x_r = jnp.sum(kwin[:, 1 : w + 1] * ohl, axis=1)
+    idx, _, x_l, x_r = _window_refine(rows[:, : w + 1], block, q, n, w)
     return idx.astype(jnp.int32), (q - x_l) / (x_r - x_l)

@@ -216,18 +216,14 @@ def sharded_lower_index(interpret: bool = False):
 
 
 def _gather_form_2d(d2, a2, b2, idx, t):
-    """XLA gather formulation on 2-D canonical operands (vmap fallback)."""
-    y_l = d2[:-1][idx]
-    y_r = d2[1:][idx]
-    ga = a2[idx]
-    gb = b2[idx]
-    te = t[:, None]
-    one = jnp.ones((), d2.dtype)
-    return (
-        (one - te) * y_l
-        + te * y_r
-        + te * (one - te) * (ga * (one - te) + gb * te)
-    )
+    """XLA gather formulation on 2-D canonical operands (vmap fallback).
+
+    The single definition lives in ops/pallas_tail.py (it is also the
+    custom_vjp backward there): one copy keeps the reference op order in
+    sync between the vmap fallback and the backward pass."""
+    from .pallas_tail import _gather_form_2d as impl
+
+    return impl(d2, a2, b2, idx, t)
 
 
 @functools.lru_cache(maxsize=None)
@@ -332,6 +328,12 @@ def sharded_gathered_eval(interpret: bool = False):
                 axis_size=axis_size,
             )(d2, a2, b2, idx, t)
             return out, True
+        # only queries batched: broadcast whichever of (idx, t) is NOT
+        # batched so both flatten to axis_size * nq together
+        if ib and not tb:
+            t = jnp.broadcast_to(t, (axis_size,) + t.shape)
+        elif tb and not ib:
+            idx = jnp.broadcast_to(idx, (axis_size,) + idx.shape)
         nq = idx.shape[-1]
         flat = f(d2, a2, b2, idx.reshape(-1), t.reshape(-1))
         return flat.reshape((axis_size, nq) + flat.shape[1:]), True
@@ -359,7 +361,12 @@ def sharded_banked_eval(interpret: bool = False):
                 axis_size=axis_size,
             )(d2, a2, b2, idx, t)
             return out, True
-        # only queries batched: flatten into the query axis
+        # only queries batched: broadcast whichever of (idx, t) is NOT
+        # batched so both flatten to axis_size * nq together
+        if ib and not tb:
+            t = jnp.broadcast_to(t, (axis_size,) + t.shape)
+        elif tb and not ib:
+            idx = jnp.broadcast_to(idx, (axis_size,) + idx.shape)
         nq = idx.shape[-1]
         flat = f(d2, a2, b2, idx.reshape(-1), t.reshape(-1))
         return flat.reshape((axis_size, nq) + flat.shape[1:]), True

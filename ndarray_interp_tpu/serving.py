@@ -266,7 +266,11 @@ class DoubleFloatEvaluator(_BucketedEvaluator):
                     f"point {flat[i]} is out of bounds of the "
                     f"interpolation range [{self._x0}, {self._xn}]"
                 )
-        elif self._mode == "periodic":
+        elif np.isnan(flat).any():
+            # eager API parity: extrapolating modes raise on NaN queries
+            # (docs/PARITY.md D3)
+            raise ValueError("failed to convert NaN to an index")
+        if self._mode == "periodic":
             span = self._xn - self._x0
             out_r = (flat < self._x0) | (flat > self._xn)
             flat = np.where(
@@ -386,6 +390,9 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
                         f"point {f[i]} is out of bounds of the {name} "
                         f"interpolation range [{lo}, {hi}]"
                     )
+        elif np.isnan(fx).any() or np.isnan(fy).any():
+            # eager API parity (docs/PARITY.md D3)
+            raise ValueError("failed to convert NaN to an index")
         n = fx.shape[0]
         bsz = self._bucket(n)
         outs = []

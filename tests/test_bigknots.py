@@ -159,3 +159,59 @@ def test_akima_pchip_inherit_big_route_on_cpu():
     tbl = pallas_eval.make_interval_table(x, d, s.a, s.b)
     want = np.asarray(pallas_eval._eval_xla(x, tbl, q))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_max_big_knots_is_consistent():
+    """can_use_big's upper bound must be servable by _block_w (review
+    finding: 8M advertised but W=128 needs ceil(n/128)+1 <= 65536)."""
+    from ndarray_interp_tpu.ops.bigknots import (
+        MAX_BIG_KNOTS,
+        _block_w,
+        _geometry,
+    )
+
+    assert _block_w(MAX_BIG_KNOTS) == 128
+    _geometry(MAX_BIG_KNOTS)  # must not raise
+    big = jnp.zeros((MAX_BIG_KNOTS,), jnp.float32)
+    assert can_use_big(big, big)
+    with pytest.raises(ValueError):
+        _block_w(MAX_BIG_KNOTS + 1)
+
+
+def test_nonfinite_data_routes_off_big_kernel():
+    """The big-route window mask-select poisons whole W-knot blocks on
+    NaN data, so the dispatch must require the finite hint (PARITY D5).
+
+    Cubic coefficients are global (one NaN datum NaNs the whole solve),
+    so the localization contract only bites for interpolators assembled
+    via ``new_unchecked`` with finite coefficients but non-finite data —
+    exactly what the finite=False hint marks."""
+    from ndarray_interp_tpu.interp1d import Interp1D
+    from ndarray_interp_tpu.interp1d.cubic_spline import CubicSplineStrategy
+
+    n = 66_000
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(np.linspace(0.0, 1.0, n), jnp.float32)
+    d = jnp.asarray(rng.normal(size=n).astype(np.float32)).at[1000].set(
+        jnp.nan
+    )
+    a = jnp.asarray(rng.normal(size=n - 1).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=n - 1).astype(np.float32))
+    strat = CubicSplineStrategy(a, b, "yes", finite=False)
+    itp = Interp1D.new_unchecked(x, d, strat)
+    # sanity: the mask-select formulation does poison the whole block —
+    # the reason the guard exists (W=16: block 62 spans knots 992..1008)
+    got = _big_eval_impl(
+        x, d, a, b,
+        jnp.asarray([float(x[995]) + 1e-6], jnp.float32),
+        pallas=False,
+    )
+    assert np.isnan(np.asarray(got))[0]
+    # public API: NaN stays localized to the adjacent intervals
+    q = jnp.asarray(
+        [float(x[10]) + 1e-6, float(x[40000]) + 1e-6], jnp.float32
+    )
+    out = np.asarray(itp(q))
+    assert np.isfinite(out).all()
+    bad = np.asarray(itp(jnp.asarray([float(x[1000]) + 1e-6], jnp.float32)))
+    assert np.isnan(bad).all()

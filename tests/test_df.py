@@ -293,3 +293,19 @@ def test_banked_df_evaluator_matches_f64_oracle():
     want = np.asarray(itp.interp_array(q))
     scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
     assert (np.abs(got - want) / scale).max() < 1e-9
+
+
+def test_df_evaluator_nan_raises_in_extrapolate_mode():
+    """Eager API parity (D3): extrapolating modes raise ValueError on
+    NaN queries instead of silently returning NaN."""
+    from ndarray_interp_tpu.interp1d import CubicSpline, Interp1D
+    from ndarray_interp_tpu.serving import DoubleFloatEvaluator
+
+    rng = np.random.default_rng(29)
+    d = jnp.asarray(rng.normal(size=32))
+    itp = (
+        Interp1D.builder(d).strategy(CubicSpline().extrapolate(True)).build()
+    )
+    ev = DoubleFloatEvaluator(itp)
+    with pytest.raises(ValueError, match="NaN"):
+        ev(np.asarray([np.nan]))

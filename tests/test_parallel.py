@@ -336,3 +336,37 @@ def test_df_kernel_under_mesh():
     # interpret mode loses the EFT error terms (ops/df.py): f32-grade
     # agreement here; the 1e-12 bound is pinned on hardware
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_gathered_vmap_partial_batching():
+    """vmap batching only idx (shared t) or only t (shared idx) must
+    broadcast the unbatched operand (review finding: flattening one
+    while the other kept its shape crashed the kernel call)."""
+    from ndarray_interp_tpu.ops.partition import (
+        _gather_form_2d,
+        sharded_banked_eval,
+        sharded_gathered_eval,
+    )
+
+    rng = np.random.default_rng(31)
+    n, bank, nq, bdim = 16, 8, 16, 4
+    d2 = jnp.asarray(rng.normal(size=(n, bank)).astype(np.float32))
+    a2 = jnp.asarray(rng.normal(size=(n - 1, bank)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(size=(n - 1, bank)).astype(np.float32))
+    idx_b = jnp.asarray(rng.integers(0, n - 1, (bdim, nq)), jnp.int32)
+    t_shared = jnp.asarray(rng.uniform(0, 1, nq).astype(np.float32))
+
+    for fmaker in (sharded_gathered_eval, sharded_banked_eval):
+        f = fmaker(True)
+        out = jax.vmap(f, in_axes=(None, None, None, 0, None))(
+            d2, a2, b2, idx_b, t_shared
+        )
+        want = np.stack(
+            [
+                np.asarray(_gather_form_2d(d2, a2, b2, idx_b[i], t_shared))
+                for i in range(bdim)
+            ]
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), want, rtol=1e-5, atol=1e-5
+        )
