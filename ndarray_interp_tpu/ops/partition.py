@@ -226,36 +226,42 @@ def _gather_form_2d(d2, a2, b2, idx, t):
     return impl(d2, a2, b2, idx, t)
 
 
-@functools.lru_cache(maxsize=None)
-def _banked_cp(interpret: bool):
-    from .pallas_bank import _banked_core
+def _bank_query_cp(core):
+    """custom_partitioning for ops with the banked signature
+    ``(d2 (n, b), a2 (m, b), b2 (m, b), idx (q,), t (q,)) -> (q, b)``:
+    the zero-communication query x bank rule shared by the in-VMEM
+    banked kernel and the gather route."""
 
     @custom_partitioning
     def cp(d2, a2, b2, idx, t):
-        return _banked_core(d2, a2, b2, idx, t, interpret=interpret)
+        return core(d2, a2, b2, idx, t)
+
+    def _axes(arg_shapes):
+        d_spec = _spec(arg_shapes[0])
+        bank_axes = d_spec[1] if len(d_spec) >= 2 else None
+        q_spec = _spec(arg_shapes[3])
+        q_axes = q_spec[0] if len(q_spec) >= 1 else None
+        return bank_axes, q_axes
 
     def partition(mesh, arg_shapes, result_shape):
         del result_shape
-        d_spec = _spec(arg_shapes[0])
-        bank_axes = d_spec[1] if len(d_spec) >= 2 else None
-        q_spec = _spec(arg_shapes[3])
-        q_axes = q_spec[0] if len(q_spec) >= 1 else None
+        bank_axes, q_axes = _axes(arg_shapes)
         tbl_sh = NamedSharding(mesh, P(None, bank_axes))
         q_sh = NamedSharding(mesh, P(q_axes))
-        arg_sh = (tbl_sh, tbl_sh, tbl_sh, q_sh, q_sh)
-        out_sh = NamedSharding(mesh, P(q_axes, bank_axes))
 
         def lower(d2, a2, b2, idx, t):
-            return _banked_core(d2, a2, b2, idx, t, interpret=interpret)
+            return core(d2, a2, b2, idx, t)
 
-        return mesh, lower, out_sh, arg_sh
+        return (
+            mesh,
+            lower,
+            NamedSharding(mesh, P(q_axes, bank_axes)),
+            (tbl_sh, tbl_sh, tbl_sh, q_sh, q_sh),
+        )
 
     def infer(mesh, arg_shapes, result_shape):
         del result_shape
-        d_spec = _spec(arg_shapes[0])
-        bank_axes = d_spec[1] if len(d_spec) >= 2 else None
-        q_spec = _spec(arg_shapes[3])
-        q_axes = q_spec[0] if len(q_spec) >= 1 else None
+        bank_axes, q_axes = _axes(arg_shapes)
         return NamedSharding(mesh, P(q_axes, bank_axes))
 
     cp.def_partition(
@@ -267,108 +273,55 @@ def _banked_cp(interpret: bool):
     return cp
 
 
-@functools.lru_cache(maxsize=None)
-def _gathered_cp(interpret: bool):
-    from .pallas_tail import _gathered_impl
+def _bank_query_vmap(cp):
+    """custom_vmap for the banked signature: batched queries flatten into
+    the query axis (broadcasting whichever of idx/t is unbatched);
+    table-batched vmaps fall back to the gather formulation."""
 
-    @custom_partitioning
-    def cp(d2, a2, b2, idx, t):
-        return _gathered_impl(d2, a2, b2, idx, t, interpret=interpret)
+    @jax.custom_batching.custom_vmap
+    def f(d2, a2, b2, idx, t):
+        return cp(d2, a2, b2, idx, t)
 
-    def partition(mesh, arg_shapes, result_shape):
-        del result_shape
-        d_spec = _spec(arg_shapes[0])
-        bank_axes = d_spec[1] if len(d_spec) >= 2 else None
-        q_spec = _spec(arg_shapes[3])
-        q_axes = q_spec[0] if len(q_spec) >= 1 else None
-        tbl_sh = NamedSharding(mesh, P(None, bank_axes))
-        q_sh = NamedSharding(mesh, P(q_axes))
-        arg_sh = (tbl_sh, tbl_sh, tbl_sh, q_sh, q_sh)
-        out_sh = NamedSharding(mesh, P(q_axes, bank_axes))
+    @f.def_vmap
+    def _rule(axis_size, in_batched, d2, a2, b2, idx, t):
+        db, ab, bb, ib, tb = in_batched
+        if db or ab or bb:
+            out = jax.vmap(
+                _gather_form_2d,
+                in_axes=tuple(0 if b else None for b in in_batched),
+                axis_size=axis_size,
+            )(d2, a2, b2, idx, t)
+            return out, True
+        # only queries batched: broadcast whichever of (idx, t) is NOT
+        # batched so both flatten to axis_size * nq together
+        if ib and not tb:
+            t = jnp.broadcast_to(t, (axis_size,) + t.shape)
+        elif tb and not ib:
+            idx = jnp.broadcast_to(idx, (axis_size,) + idx.shape)
+        nq = idx.shape[-1]
+        flat = f(d2, a2, b2, idx.reshape(-1), t.reshape(-1))
+        return flat.reshape((axis_size, nq) + flat.shape[1:]), True
 
-        def lower(d2, a2, b2, idx, t):
-            return _gathered_impl(d2, a2, b2, idx, t, interpret=interpret)
-
-        return mesh, lower, out_sh, arg_sh
-
-    def infer(mesh, arg_shapes, result_shape):
-        del result_shape
-        d_spec = _spec(arg_shapes[0])
-        bank_axes = d_spec[1] if len(d_spec) >= 2 else None
-        q_spec = _spec(arg_shapes[3])
-        q_axes = q_spec[0] if len(q_spec) >= 1 else None
-        return NamedSharding(mesh, P(q_axes, bank_axes))
-
-    cp.def_partition(
-        partition=partition,
-        infer_sharding_from_operands=infer,
-        sharding_rule="n b, m b, m b, q, q -> q b",
-        need_replication_factors=("n", "m"),
-    )
-    return cp
+    return f
 
 
 @functools.lru_cache(maxsize=None)
 def sharded_gathered_eval(interpret: bool = False):
     """Sharding- and vmap-compatible gather-route banked evaluation
     (same zero-communication rule as the banked kernel)."""
-    cp = _gathered_cp(interpret)
+    from .pallas_tail import _gathered_impl
 
-    @jax.custom_batching.custom_vmap
-    def f(d2, a2, b2, idx, t):
-        return cp(d2, a2, b2, idx, t)
-
-    @f.def_vmap
-    def _rule(axis_size, in_batched, d2, a2, b2, idx, t):
-        db, ab, bb, ib, tb = in_batched
-        if db or ab or bb:
-            out = jax.vmap(
-                _gather_form_2d,
-                in_axes=tuple(0 if b else None for b in in_batched),
-                axis_size=axis_size,
-            )(d2, a2, b2, idx, t)
-            return out, True
-        # only queries batched: broadcast whichever of (idx, t) is NOT
-        # batched so both flatten to axis_size * nq together
-        if ib and not tb:
-            t = jnp.broadcast_to(t, (axis_size,) + t.shape)
-        elif tb and not ib:
-            idx = jnp.broadcast_to(idx, (axis_size,) + idx.shape)
-        nq = idx.shape[-1]
-        flat = f(d2, a2, b2, idx.reshape(-1), t.reshape(-1))
-        return flat.reshape((axis_size, nq) + flat.shape[1:]), True
-
-    return f
+    return _bank_query_vmap(
+        _bank_query_cp(functools.partial(_gathered_impl, interpret=interpret))
+    )
 
 
 @functools.lru_cache(maxsize=None)
 def sharded_banked_eval(interpret: bool = False):
     """Sharding- and vmap-compatible banked select+Hermite on 2-D
     canonical operands ``d2 (n, bank), a2/b2 (n-1, bank), idx/t (q,)``."""
-    cp = _banked_cp(interpret)
+    from .pallas_bank import _banked_core
 
-    @jax.custom_batching.custom_vmap
-    def f(d2, a2, b2, idx, t):
-        return cp(d2, a2, b2, idx, t)
-
-    @f.def_vmap
-    def _rule(axis_size, in_batched, d2, a2, b2, idx, t):
-        db, ab, bb, ib, tb = in_batched
-        if db or ab or bb:
-            out = jax.vmap(
-                _gather_form_2d,
-                in_axes=tuple(0 if b else None for b in in_batched),
-                axis_size=axis_size,
-            )(d2, a2, b2, idx, t)
-            return out, True
-        # only queries batched: broadcast whichever of (idx, t) is NOT
-        # batched so both flatten to axis_size * nq together
-        if ib and not tb:
-            t = jnp.broadcast_to(t, (axis_size,) + t.shape)
-        elif tb and not ib:
-            idx = jnp.broadcast_to(idx, (axis_size,) + idx.shape)
-        nq = idx.shape[-1]
-        flat = f(d2, a2, b2, idx.reshape(-1), t.reshape(-1))
-        return flat.reshape((axis_size, nq) + flat.shape[1:]), True
-
-    return f
+    return _bank_query_vmap(
+        _bank_query_cp(functools.partial(_banked_core, interpret=interpret))
+    )

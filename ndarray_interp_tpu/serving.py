@@ -182,14 +182,12 @@ class DoubleFloatEvaluator(_BucketedEvaluator):
     def __init__(self, interp, max_batch: int = 1 << 20, buckets=None):
         import numpy as np
 
-        from .errors import BuilderValueError
         from .ops.df import df_from_f64
 
         super().__init__(interp, max_batch, buckets)
         strat = interp.strategy
         a = getattr(strat, "a", None)
         b = getattr(strat, "b", None)
-        del BuilderValueError  # any trailing rank: banked uses the 2-D form
         data = interp.data
         self._bank_shape = tuple(data.shape[1:])
         self._mode = getattr(strat, "mode", None) or (
