@@ -451,6 +451,37 @@ def main():
         "BASELINE.json config 5",
     )
 
+    # NS5b: the config-5 stretch scale — a 1e6-spline bank (the v5p
+    # target workload, demonstrated on this chip with a short knot axis
+    # and a small query batch to fit HBM: out = 256 x 1e6 f32 = 1 GB)
+    if not args.quick:
+        bank6 = 1_000_000
+        # generate on device: pushing 256 MB through the relay tunnel
+        # takes minutes and times the rig, not the chip
+        data6 = jax.random.normal(
+            jax.random.PRNGKey(0), (64, bank6), jnp.float32
+        )
+        x6 = jnp.asarray(np.linspace(0, 1, 64), dtype)
+        t = device_timer(build_jit, (x6, data6), links=4)
+        record(
+            "NS5b: 1e6-spline bank BUILD (device)",
+            t,
+            bank6,
+            "BASELINE.json config 5 (stretch scale)",
+        )
+        a6, b6 = build_jit(x6, data6)
+        itp6 = Interp1D.new_unchecked(
+            x6, data6, CubicSplineStrategy(a6, b6, "yes")
+        )
+        q6 = jnp.asarray(rng.uniform(0, 1, 256), dtype)
+        t = device_timer(f, (itp6, q6), links=4)
+        record(
+            "NS5b: 1e6-spline bank EVAL, 256 queries (device)",
+            t,
+            256 * bank6,
+            "BASELINE.json config 5 (stretch scale)",
+        )
+
     print(f"\nbackend={backend} dtype={dtype} native={native.HAVE_NATIVE}")
     if args.json:
         Path(args.json).write_text(json.dumps(results, indent=1))
