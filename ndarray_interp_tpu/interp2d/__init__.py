@@ -9,6 +9,7 @@ from ..models.strategies.base2d import (
     Interp2DStrategyBuilder,
     PointwiseStrategy2D,
 )
+from ..models.strategies.bicubic import Bicubic
 from ..models.strategies.bilinear import Bilinear
 
 __all__ = [
@@ -17,5 +18,6 @@ __all__ = [
     "Interp2DStrategy",
     "Interp2DStrategyBuilder",
     "PointwiseStrategy2D",
+    "Bicubic",
     "Bilinear",
 ]

@@ -8,6 +8,7 @@ from .base2d import (
     Interp2DStrategyBuilder,
     PointwiseStrategy2D,
 )
+from .bicubic import Bicubic, BicubicStrategy
 from .bilinear import Bilinear
 from .cubic import BoundaryCondition, CubicSpline, RowBoundary, SingleBoundary
 from .hermite import Akima, Pchip
@@ -21,6 +22,8 @@ __all__ = [
     "Interp2DStrategyBuilder",
     "PointwiseStrategy2D",
     "Akima",
+    "Bicubic",
+    "BicubicStrategy",
     "Bilinear",
     "BoundaryCondition",
     "CubicSpline",

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..models.interp1d import Interp1D
 from ..models.interp2d import Interp2D
+from ..models.strategies.bicubic import BicubicStrategy
 from ..models.strategies.bilinear import Bilinear, BilinearPacked
 from ..models.strategies.cubic import CubicSplineStrategy
 from ..models.strategies.linear import Linear
@@ -48,6 +49,13 @@ _STRATEGY_CODECS = {
         Bilinear,
         lambda s: ({"extrapolate": s.extrapolates}, {}),
         lambda meta, arrs: Bilinear(extrapolate=meta["extrapolate"]),
+    ),
+    "bicubic": (
+        BicubicStrategy,
+        lambda s: ({"extrapolate": s.extrapolates}, {"rows": s.rows}),
+        lambda meta, arrs: BicubicStrategy(
+            jnp.asarray(arrs["rows"]), extrapolate=meta["extrapolate"]
+        ),
     ),
     # packed variant: rows are derived state — persist only the config and
     # re-pack from (x, y, data) on load

@@ -1,0 +1,155 @@
+"""Bicubic (tensor-product not-a-knot cubic spline) — beyond-reference
+2-D strategy.
+
+Oracle: sequential SciPy ``CubicSpline`` (not-a-knot) per axis — the
+defining construction of the tensor-product spline, and the same oracle
+family the reference uses for its 1-D cubic tests
+(``/root/reference/tests/cubic_spline_strat.rs``).  (SciPy's
+``RegularGridInterpolator(method="cubic")`` differs from the true tensor
+NAK spline at ~1e-4; the sequential construction is exact.)
+"""
+
+import numpy as np
+import pytest
+import scipy.interpolate as si
+
+import jax
+import jax.numpy as jnp
+
+from ndarray_interp_tpu.interp2d import Bicubic, Interp2D
+
+
+def tensor_oracle(x, y, z, qx, qy):
+    """Sequential per-axis NAK CubicSpline evaluation (exact tensor)."""
+    g = si.CubicSpline(x, z, axis=0, bc_type="not-a-knot")(qx)  # (Q, ny, ...)
+    out = np.empty(qx.shape + z.shape[2:])
+    for i in range(qx.shape[0]):
+        out[i] = si.CubicSpline(y, g[i], axis=0, bc_type="not-a-knot")(qy[i])
+    return out
+
+
+def fixture(nx=14, ny=11, trailing=(), seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.cumsum(rng.uniform(0.2, 1.0, nx))
+    y = np.cumsum(rng.uniform(0.2, 1.0, ny))
+    z = rng.normal(size=(nx, ny) + trailing)
+    return x, y, z, rng
+
+
+def build(x, y, z, extrapolate=True):
+    return (
+        Interp2D.builder(jnp.asarray(z))
+        .x(jnp.asarray(x))
+        .y(jnp.asarray(y))
+        .strategy(Bicubic().extrapolate(extrapolate))
+        .build()
+    )
+
+
+class TestBicubic:
+    def test_matches_sequential_scipy_oracle(self):
+        x, y, z, rng = fixture()
+        itp = build(x, y, z)
+        qx = rng.uniform(x[0], x[-1], 400)
+        qy = rng.uniform(y[0], y[-1], 400)
+        got = np.asarray(itp.interp_array(qx, qy))
+        want = tensor_oracle(x, y, z, qx, qy)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+    def test_knot_exactness(self):
+        x, y, z, _ = fixture()
+        itp = build(x, y, z)
+        xi, yi = np.meshgrid(x, y, indexing="ij")
+        got = np.asarray(itp.interp_array(xi.ravel(), yi.ravel()))
+        np.testing.assert_allclose(got, z.ravel(), rtol=1e-12, atol=1e-12)
+
+    def test_trailing_dims(self):
+        x, y, z, rng = fixture(trailing=(3,))
+        itp = build(x, y, z)
+        qx = rng.uniform(x[0], x[-1], 50)
+        qy = rng.uniform(y[0], y[-1], 50)
+        got = np.asarray(itp.interp_array(qx, qy))
+        assert got.shape == (50, 3)
+        want = tensor_oracle(x, y, z, qx, qy)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+    def test_extrapolation_continues_edge_patch(self):
+        x, y, z, rng = fixture()
+        itp = build(x, y, z)
+        # extrapolated points evaluate the edge cell's polynomial —
+        # same contract as the 1-D cubic (clamped interval indices)
+        got = np.asarray(
+            itp.interp_array(
+                np.asarray([x[0] - 0.5, x[-1] + 0.5]),
+                np.asarray([y[0] - 0.3, y[-1] + 0.3]),
+            )
+        )
+        assert np.isfinite(got).all()
+
+    def test_oob_raises_without_extrapolate(self):
+        from ndarray_interp_tpu.errors import OutOfBoundsError
+
+        x, y, z, _ = fixture()
+        itp = build(x, y, z, extrapolate=False)
+        with pytest.raises(OutOfBoundsError):
+            itp.interp_array(np.asarray([x[0] - 1.0]), np.asarray([y[2]]))
+
+    def test_min_points_enforced(self):
+        from ndarray_interp_tpu.errors import NotEnoughDataError
+
+        with pytest.raises(NotEnoughDataError):
+            (
+                Interp2D.builder(jnp.zeros((2, 5)))
+                .strategy(Bicubic())
+                .build()
+            )
+
+    def test_jit_and_grad(self):
+        x, y, z, rng = fixture()
+        itp = build(x, y, z)
+        qx = jnp.asarray(rng.uniform(x[0], x[-1], 32))
+        qy = jnp.asarray(rng.uniform(y[0], y[-1], 32))
+        f = jax.jit(lambda t, a, b: t(a, b))
+        np.testing.assert_allclose(
+            np.asarray(f(itp, qx, qy)),
+            np.asarray(itp.interp_array(qx, qy)),
+            rtol=1e-12,
+        )
+        g = jax.grad(lambda a: jnp.sum(itp(a, qy) ** 2))(qx)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from ndarray_interp_tpu.utils import checkpoint
+
+        x, y, z, rng = fixture()
+        itp = build(x, y, z)
+        p = tmp_path / "bicubic.npz"
+        checkpoint.save(p, itp)
+        back = checkpoint.load(p)
+        qx = rng.uniform(x[0], x[-1], 20)
+        qy = rng.uniform(y[0], y[-1], 20)
+        np.testing.assert_allclose(
+            np.asarray(back.interp_array(qx, qy)),
+            np.asarray(itp.interp_array(qx, qy)),
+        )
+
+    def test_smooth_function_convergence(self):
+        """On a smooth function the bicubic error is orders below
+        bilinear's."""
+        x = np.linspace(0, np.pi, 24)
+        y = np.linspace(0, np.pi, 20)
+        z = np.sin(x)[:, None] * np.cos(y)[None, :]
+        rng = np.random.default_rng(5)
+        qx = rng.uniform(0, np.pi, 500)
+        qy = rng.uniform(0, np.pi, 500)
+        truth = np.sin(qx) * np.cos(qy)
+        cubic = np.asarray(build(x, y, z).interp_array(qx, qy))
+        lin = np.asarray(
+            Interp2D.builder(jnp.asarray(z))
+            .x(jnp.asarray(x))
+            .y(jnp.asarray(y))
+            .build()
+            .interp_array(qx, qy)
+        )
+        assert np.abs(cubic - truth).max() < 1e-4
+        assert np.abs(cubic - truth).max() < np.abs(lin - truth).max() / 50
