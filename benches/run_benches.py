@@ -414,6 +414,26 @@ def main():
         "BASELINE.json config 3",
     )
 
+    # NS3b: bicubic on the NS3 grid (beyond-reference strategy)
+    if not args.quick:
+        from ndarray_interp_tpu.models.strategies.bicubic import Bicubic
+
+        x3b = jnp.asarray(np.arange(g_shape[0], dtype=np.float32), dtype)
+        y3b = jnp.asarray(np.arange(g_shape[1], dtype=np.float32), dtype)
+        strat3b = jax.jit(
+            lambda x_, y_, d_: Bicubic(extrapolate=True).build(x_, y_, d_)
+        )(x3b, y3b, grid3)
+        from ndarray_interp_tpu.models.interp2d import Interp2D as _I2
+
+        itp3b = _I2.new_unchecked(x3b, y3b, grid3, strat3b)
+        t = device_timer(f2, (itp3b, qx3, qy3), links=4)
+        record(
+            f"NS3b: bicubic {g_shape}, {qn//1000}k 2-D queries (device)",
+            t,
+            qn,
+            "beyond-reference (tensor-product NAK cubic)",
+        )
+
     # NS4: Akima + PCHIP through the strategy protocol
     for name, s in (("akima", Akima()), ("pchip", Pchip())):
         k_fn = jax.jit(
