@@ -334,3 +334,16 @@ def test_eval_into_donated_matches_interp_array():
     )
     with pytest.raises(ValueError):
         eval_into_donated(itp, q, jnp.zeros((5, 4), data.dtype))
+
+
+def test_df_evaluator_warmup():
+    from ndarray_interp_tpu.serving import DoubleFloatEvaluator
+
+    rng = np.random.default_rng(41)
+    d = jnp.asarray(rng.normal(size=24))
+    itp = (
+        Interp1D.builder(d).strategy(CubicSpline().extrapolate(True)).build()
+    )
+    ev = DoubleFloatEvaluator(itp, max_batch=512).warmup()
+    out = ev(rng.uniform(0, 23, 77))
+    assert out.shape == (77,) and np.isfinite(out).all()
