@@ -32,6 +32,7 @@ namespace {
 // even spacing, verified, else binary search.
 template <typename T>
 inline int64_t lower_index(const T* x, int64_t n, T q) {
+  if (q != q) return 0;  // NaN: int64_t(NaN) is UB; interval 0 → NaN output
   if (q <= x[0]) return 0;
   if (q >= x[n - 1]) return n - 2;
   // even-spacing guess
@@ -89,9 +90,13 @@ inline void lower_index_block(const T* x, int64_t n, const T* q, int cnt,
   const double inv = double(n - 1) / (double(x[n - 1]) - x0);
   int32_t nmax = int32_t(n - 2);
   for (int j = 0; j < cnt; ++j) {
-    // clamp as double BEFORE the cast: int32_t(1e33) is UB
+    // clamp as double BEFORE the cast: int32_t(1e33) is UB; NaN escapes
+    // both comparisons, so route it to 0 (matching the AVX-512 saturate
+    // + clamp behavior) — the verify below then sends it to lower_index,
+    // which is NaN-safe
     double g = (double(q[j]) - x0) * inv;
-    g = g < 0.0 ? 0.0 : (g > double(nmax) ? double(nmax) : g);
+    g = (g != g) ? 0.0
+                 : (g < 0.0 ? 0.0 : (g > double(nmax) ? double(nmax) : g));
     idx[j] = int32_t(g);
   }
   unsigned char miss[B];

@@ -88,6 +88,14 @@ def _encode_strategy(strategy):
     # class-level hook: strategies can carry their own codec
     if hasattr(type(strategy), "checkpoint_encode"):
         cls = type(strategy)
+        if cls.__module__ == "__main__" or "<locals>" in cls.__qualname__:
+            raise TypeError(
+                f"cannot auto-name a codec for {cls.__qualname__!r}: the "
+                "class lives in __main__ or a function scope, so the saved "
+                "name could never be resolved in a fresh process. Define "
+                "the strategy in an importable module, or register an "
+                "explicit codec via utils.checkpoint.register_strategy_codec"
+            )
         name = f"custom:{cls.__module__}.{cls.__qualname__}"
         register_strategy_codec(
             name, cls,
@@ -103,26 +111,48 @@ def _encode_strategy(strategy):
     )
 
 
-def _resolve_codec(sname):
-    """Look up a codec; ``custom:`` names re-import the class in a fresh
-    process and bind its checkpoint_encode/checkpoint_decode hooks."""
+def _resolve_codec(sname, allow_custom_import=False):
+    """Look up a codec.
+
+    ``custom:`` names resolve the class from modules the *user* has
+    already imported (``sys.modules``) and bind its
+    ``checkpoint_encode``/``checkpoint_decode`` hooks.  By default no
+    import is performed on load — importing a dotted path taken from a
+    checkpoint header would execute arbitrary module top-level code, so
+    an untrusted ``.npz`` could trigger code execution.  Callers who
+    trust the file may opt in with ``allow_custom_import=True``.
+    """
     if sname in _STRATEGY_CODECS:
         return _STRATEGY_CODECS[sname]
     if sname.startswith("custom:"):
-        import importlib
+        import sys
 
         path = sname[len("custom:"):]
+        # longest already-imported module prefix, remainder = qualname
         modname, _, qual = path.rpartition(".")
         obj = None
         while modname:
-            try:
-                obj = importlib.import_module(modname)
+            if modname in sys.modules:
+                obj = sys.modules[modname]
                 break
-            except ImportError:
-                modname, _, rest = modname.rpartition(".")
-                qual = f"{rest}.{qual}"
+            if allow_custom_import:
+                import importlib
+
+                try:
+                    obj = importlib.import_module(modname)
+                    break
+                except ImportError:
+                    pass
+            modname, _, rest = modname.rpartition(".")
+            qual = f"{rest}.{qual}"
         if obj is None:
-            raise TypeError(f"cannot import strategy class for {sname!r}")
+            raise TypeError(
+                f"cannot resolve strategy class for {sname!r}: its module "
+                "is not imported. Import the module defining the strategy "
+                "(or call register_strategy_codec) before load(); or pass "
+                "load(path, allow_custom_import=True) if you trust the "
+                "checkpoint"
+            )
         for part in qual.split("."):
             obj = getattr(obj, part)
         register_strategy_codec(
@@ -161,15 +191,22 @@ def save(path, interp) -> None:
     np.savez(Path(path), **arrays)
 
 
-def load(path):
-    """Restore an interpolator; no revalidation (``new_unchecked``)."""
+def load(path, allow_custom_import=False):
+    """Restore an interpolator; no revalidation (``new_unchecked``).
+
+    Custom-strategy checkpoints resolve their class from modules already
+    imported in this process; set ``allow_custom_import=True`` to let a
+    *trusted* checkpoint's ``custom:`` codec name trigger the import
+    itself (imports execute module code — never enable for untrusted
+    files).
+    """
     p = Path(path)
     if not p.exists():  # np.savez appends .npz when missing
         p = Path(f"{path}.npz")
     with np.load(p) as z:
         header = json.loads(bytes(z["__header__"]).decode())
         sname = header["strategy"]
-        _, _, dec = _resolve_codec(sname)
+        _, _, dec = _resolve_codec(sname, allow_custom_import)
         sarrs = {
             k[len("strategy_"):]: z[k]
             for k in z.files

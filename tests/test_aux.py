@@ -347,3 +347,130 @@ def test_df_evaluator_warmup():
     ev = DoubleFloatEvaluator(itp, max_batch=512).warmup()
     out = ev(rng.uniform(0, 23, 77))
     assert out.shape == (77,) and np.isfinite(out).all()
+
+
+class TestCheckpointCustomImportSafety:
+    """load() must not import modules named by the checkpoint header
+    unless the caller opts in (ADVICE r2, medium)."""
+
+    def _save_with_fake_custom_name(self, tmp_path, name):
+        # craft an npz whose header names a custom codec directly
+        import json
+
+        rng = np.random.default_rng(5)
+        arrays = {
+            "x": np.arange(8.0),
+            "data": rng.normal(size=8),
+            "__header__": np.frombuffer(
+                json.dumps(
+                    {"kind": "interp1d", "strategy": name, "strategy_meta": {}}
+                ).encode(),
+                dtype=np.uint8,
+            ),
+        }
+        p = tmp_path / "crafted.npz"
+        np.savez(p, **arrays)
+        return p
+
+    def test_load_refuses_unimported_module(self, tmp_path):
+        from ndarray_interp_tpu.utils import checkpoint
+
+        p = self._save_with_fake_custom_name(
+            tmp_path, "custom:definitely_not_imported_xyz.Strategy"
+        )
+        with pytest.raises(TypeError, match="not imported"):
+            checkpoint.load(p)
+
+    def test_load_resolves_from_already_imported_module(self, tmp_path):
+        # module already in sys.modules: no import is needed, loads fine
+        from examples.custom_strategy import StepInterpolator as Step
+        from ndarray_interp_tpu.utils import checkpoint
+
+        def enc(self):
+            return {}, {}
+
+        @classmethod
+        def dec(cls, meta, arrays):
+            return cls()
+
+        Step.checkpoint_encode = enc
+        Step.checkpoint_decode = dec
+        try:
+            data = jnp.asarray(np.arange(6.0))
+            itp = Interp1D.builder(data).strategy(Step()).build()
+            p = tmp_path / "step3.npz"
+            checkpoint.save(p, itp)
+            # simulate a fresh process: forget the codec (module stays
+            # imported, which is the supported no-import resolution path)
+            checkpoint._STRATEGY_CODECS = {
+                k: v
+                for k, v in checkpoint._STRATEGY_CODECS.items()
+                if not k.startswith("custom:")
+            }
+            back = checkpoint.load(p)
+            assert type(back.strategy) is Step
+        finally:
+            del Step.checkpoint_encode, Step.checkpoint_decode
+            checkpoint._STRATEGY_CODECS = {
+                k: v
+                for k, v in checkpoint._STRATEGY_CODECS.items()
+                if not k.startswith("custom:")
+            }
+
+    def test_allow_custom_import_opt_in(self, tmp_path):
+        # a module NOT yet imported loads only with allow_custom_import=True
+        import sys
+        import textwrap
+
+        from ndarray_interp_tpu.utils import checkpoint
+
+        modname = "ndi_tmp_codec_mod"
+        (tmp_path / f"{modname}.py").write_text(
+            textwrap.dedent(
+                """
+                class TmpStrategy:
+                    @classmethod
+                    def checkpoint_decode(cls, meta, arrays):
+                        return cls()
+
+                    def checkpoint_encode(self):
+                        return {}, {}
+                """
+            )
+        )
+        p = self._save_with_fake_custom_name(
+            tmp_path, f"custom:{modname}.TmpStrategy"
+        )
+        sys.path.insert(0, str(tmp_path))
+        try:
+            assert modname not in sys.modules
+            with pytest.raises(TypeError, match="not imported"):
+                checkpoint.load(p)
+            back = checkpoint.load(p, allow_custom_import=True)
+            assert type(back.strategy).__name__ == "TmpStrategy"
+        finally:
+            sys.path.remove(str(tmp_path))
+            sys.modules.pop(modname, None)
+            checkpoint._STRATEGY_CODECS = {
+                k: v
+                for k, v in checkpoint._STRATEGY_CODECS.items()
+                if not k.startswith("custom:")
+            }
+
+    def test_save_rejects_unimportable_class(self, tmp_path):
+        # function-scope classes can never be resolved later: fail at save
+        from ndarray_interp_tpu.utils import checkpoint
+        from examples.custom_strategy import StepInterpolator
+
+        class LocalStrategy(StepInterpolator):
+            def checkpoint_encode(self):
+                return {}, {}
+
+            @classmethod
+            def checkpoint_decode(cls, meta, arrays):
+                return cls()
+
+        data = jnp.asarray(np.arange(6.0))
+        itp = Interp1D.builder(data).strategy(LocalStrategy()).build()
+        with pytest.raises(TypeError, match="importable module"):
+            checkpoint.save(tmp_path / "bad.npz", itp)

@@ -185,3 +185,32 @@ def test_scalar_fast_path_cubic_exact():
     ref = si.CubicSpline(x, y, bc_type="not-a-knot")
     for q in np.linspace(x[0] - 1, x[-1] + 1, 23):
         assert abs(float(itp.interp_scalar(float(q))) - float(ref(q))) < 1e-10
+
+
+def test_lower_index_nan_safe():
+    # NaN queries must not hit the int-cast UB in the C entry points
+    # (ADVICE r2): NaN routes to interval 0, evaluation yields NaN.
+    import ctypes
+
+    x = np.linspace(0.0, 10.0, 11)
+    assert native.lower_index(x, np.nan) == 0
+    lib = native._load()
+    q = np.array([np.nan, 2.5, np.nan, 11.0])
+    idx = np.zeros(4, np.int64)
+    lib.ndi_lower_index_batch_f64(
+        native._ptr(x), 11, native._ptr(q), 4,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    assert list(idx) == [0, 2, 0, 9]
+    # the blocked (SIMD) eval path: NaN only reaches it with
+    # extrapolate=True (OOB pre-scan catches it otherwise)
+    y = np.arange(11.0)
+    qs = np.full(300, np.nan)
+    qs[::3] = 4.5
+    out, rc = native.eval_linear(x, y, qs, True)
+    assert rc == 0
+    assert np.isnan(out[1]) and np.isnan(out[2])
+    np.testing.assert_allclose(out[::3], 4.5)
+    # extrapolate=False: NaN is an OOB abort, 1-based index of the bad query
+    out, rc = native.eval_linear(x, y, np.array([1.0, np.nan]), False)
+    assert rc == 2
