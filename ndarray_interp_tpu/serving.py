@@ -308,11 +308,12 @@ def eval_into_donated(interp, queries, out):
     reference's ``interp_array_into`` contract, ``interp1d/mod.rs:272``);
     this variant instead donates ``out`` — a device array with the result
     shape/dtype — to the compiled program (``jax.jit(...,
-    donate_argnums)``), so XLA writes the result into its storage with no
-    extra allocation.  Returns the new array aliasing the donated buffer;
-    the passed-in ``out`` must not be used afterwards.  (Backends without
-    donation support fall back to a copy with a warning — results are
-    still correct.)
+    donate_argnums)``), which permits XLA to reuse its storage for the
+    result with no extra allocation (on TPU the reuse is asserted by the
+    gated parity test ``test_eval_into_donated_aliases_buffer``).
+    Returns the new array; the passed-in ``out`` must not be used
+    afterwards.  (Backends without donation support fall back to a copy
+    with a warning — results are still correct.)
     """
     expect = tuple(queries.shape) + tuple(interp.data.shape[1:])
     if tuple(out.shape) != expect:

@@ -1,0 +1,183 @@
+"""Knot-axis sharding tests (VERDICT r2 task 4).
+
+The knot/coefficient axis splits over a mesh in contiguous shards with a
+one-knot halo; ownership masks partition the query space and one psum
+combines.  Checked against the replicated single-device oracle on the
+8-device CPU mesh, including a run at 2x the single-device big-route cap
+(``bigknots.MAX_BIG_KNOTS``).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ndarray_interp_tpu.ops.bigknots import MAX_BIG_KNOTS
+from ndarray_interp_tpu.ops.knotshard import (
+    max_sharded_knots,
+    pack_knot_shards,
+    place_knot_shards,
+    shard_geometry,
+    sharded_knot_eval,
+)
+from ndarray_interp_tpu.ops.pallas_eval import _eval_xla, make_interval_table
+
+
+def _mesh():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.asarray(devs[:8]), ("knot",))
+
+
+def _problem(n, nq, seed=0, uniform=False):
+    rng = np.random.default_rng(seed)
+    if uniform:
+        x = np.linspace(0.0, 1.0, n, dtype=np.float32)
+    else:
+        x = np.cumsum(rng.uniform(0.05, 1.0, n)).astype(np.float32)
+    d = rng.normal(size=n).astype(np.float32)
+    a = rng.normal(size=n - 1).astype(np.float32)
+    b = rng.normal(size=n - 1).astype(np.float32)
+    lo, hi = float(x[0]), float(x[-1])
+    q = np.r_[
+        rng.uniform(lo - 2, hi + 2, nq - 6).astype(np.float32),
+        np.float32([lo, hi, -np.inf, np.inf, x[n // 2], np.nan]),
+    ]
+    return (jnp.asarray(v) for v in (x, d, a, b, q))
+
+
+@pytest.mark.parametrize("n", [1000, 1003])
+def test_matches_replicated_oracle(n):
+    mesh = _mesh()
+    x, d, a, b, q = _problem(n, 4096, seed=n)
+    shards = pack_knot_shards(x, d, a, b, 8)
+    got = np.asarray(
+        jax.jit(
+            lambda *s: sharded_knot_eval(*s, mesh=mesh, n=n, axis="knot")
+        )(*shards, q)
+    )
+    want = np.asarray(
+        jax.jit(_eval_xla)(x, make_interval_table(x, d, a, b), q)
+    )
+    nan = np.isnan(want)
+    assert np.isnan(got[nan]).all()
+    np.testing.assert_allclose(got[~nan], want[~nan], rtol=2e-6, atol=1e-5)
+
+
+def test_tiny_axis_with_empty_pad_shards():
+    # n=10 over 8 shards: S=2, the last shards are pure padding and must
+    # own nothing
+    mesh = _mesh()
+    n = 10
+    x, d, a, b, q = _problem(n, 512, seed=1)
+    shards = pack_knot_shards(x, d, a, b, 8)
+    got = np.asarray(
+        jax.jit(
+            lambda *s: sharded_knot_eval(*s, mesh=mesh, n=n, axis="knot")
+        )(*shards, q)
+    )
+    want = np.asarray(
+        jax.jit(_eval_xla)(x, make_interval_table(x, d, a, b), q)
+    )
+    nan = np.isnan(want)
+    assert np.isnan(got[nan]).all()
+    np.testing.assert_allclose(got[~nan], want[~nan], rtol=2e-6, atol=1e-5)
+
+
+def test_ownership_partitions_queries():
+    # constant data, zero coefficients: every query must be owned exactly
+    # once, so the psum returns ~1.0 (2.0 would mean double ownership,
+    # 0.0 an orphan) — including at shard boundaries and the axis ends
+    mesh = _mesh()
+    n = 1000
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(np.cumsum(rng.uniform(0.05, 1.0, n)).astype(np.float32))
+    d = jnp.ones((n,), jnp.float32)
+    a = jnp.zeros((n - 1,), jnp.float32)
+    b = jnp.zeros((n - 1,), jnp.float32)
+    s, _ = shard_geometry(n, 8)
+    boundary_knots = np.asarray(x)[s::s]
+    q = jnp.asarray(
+        np.r_[
+            np.asarray(x)[:: n // 200],
+            boundary_knots,
+            boundary_knots - 1e-4,
+            boundary_knots + 1e-4,
+            np.float32([float(x[0]), float(x[-1])]),
+            rng.uniform(float(x[0]) - 3, float(x[-1]) + 3, 512),
+        ].astype(np.float32)
+    )
+    shards = pack_knot_shards(x, d, a, b, 8)
+    got = np.asarray(
+        jax.jit(
+            lambda *sh: sharded_knot_eval(*sh, mesh=mesh, n=n, axis="knot")
+        )(*shards, q)
+    )
+    np.testing.assert_allclose(got, 1.0, rtol=1e-6)
+
+
+def test_beyond_single_device_cap():
+    """2x MAX_BIG_KNOTS on the 8-device mesh: each shard is a big-route
+    local problem; the global axis is past any single-device path."""
+    mesh = _mesh()
+    n = 2 * MAX_BIG_KNOTS + 7
+    assert n <= max_sharded_knots(8)
+    nq = 32768
+    rng = np.random.default_rng(9)
+    x = np.linspace(0.0, 1000.0, n, dtype=np.float32)
+    d = rng.normal(size=n).astype(np.float32)
+    a = rng.normal(size=n - 1).astype(np.float32)
+    b = rng.normal(size=n - 1).astype(np.float32)
+    q = np.r_[
+        rng.uniform(-5.0, 1005.0, nq - 4).astype(np.float32),
+        np.float32([-np.inf, np.inf, 0.0, 1000.0]),
+    ]
+    shards = pack_knot_shards(
+        jnp.asarray(x), jnp.asarray(d), jnp.asarray(a), jnp.asarray(b), 8
+    )
+    got = np.asarray(
+        jax.jit(
+            lambda *s: sharded_knot_eval(*s, mesh=mesh, n=n, axis="knot")
+        )(*shards, jnp.asarray(q))
+    )
+    # numpy f64 oracle (no single-device jax path exists at this n)
+    idx = np.clip(np.searchsorted(x, q, side="right") - 1, 0, n - 2)
+    x64 = x.astype(np.float64)
+    t = (q.astype(np.float64) - x64[idx]) / (x64[idx + 1] - x64[idx])
+    want = (
+        (1 - t) * d[idx]
+        + t * d[idx + 1]
+        + t * (1 - t) * (a[idx] * (1 - t) + b[idx] * t)
+    )
+    fin = np.isfinite(want)  # ±inf queries: cubic extrapolation is NaN/inf
+    assert not np.isfinite(got[~fin]).any()
+    scale = np.maximum(np.abs(want[fin]), 1e-2)
+    rel = np.abs(got[fin] - want[fin]) / scale
+    assert rel.max() < 1e-4, rel.max()
+
+
+def test_placed_shards_stay_local():
+    # the partition-rule leg: placed shard arrays are sharded over the
+    # knot axis (each device holds 1/8th + halo), and the eval runs
+    # without resharding them
+    mesh = _mesh()
+    n = 4001
+    x, d, a, b, q = _problem(n, 1024, seed=4)
+    shards = place_knot_shards(pack_knot_shards(x, d, a, b, 8), mesh)
+    for v in shards:
+        assert not v.sharding.is_fully_replicated
+        assert len(v.addressable_shards) == 8
+        assert v.addressable_shards[0].data.shape[0] == 1
+    got = np.asarray(
+        jax.jit(
+            lambda *s: sharded_knot_eval(*s, mesh=mesh, n=n, axis="knot")
+        )(*shards, q)
+    )
+    want = np.asarray(
+        jax.jit(_eval_xla)(x, make_interval_table(x, d, a, b), q)
+    )
+    nan = np.isnan(want)
+    np.testing.assert_allclose(got[~nan], want[~nan], rtol=2e-6, atol=1e-5)

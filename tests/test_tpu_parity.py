@@ -224,3 +224,105 @@ def test_df_kernel_f64_grade_on_chip():
     scale = np.maximum(np.abs(want), 0.01 * np.abs(d64).max())
     rel = (np.abs(got - want) / scale).max()
     assert rel < 1e-12, rel
+
+
+def test_df_banked_f64_grade_on_chip():
+    """ADVICE r2: the banked DF route (plain-XLA under jit on TPU) must
+    reach f64-grade accuracy on the XLA:TPU compiler surface, not just
+    Mosaic/CPU."""
+    from ndarray_interp_tpu.ops.df import df_from_f64, df_to_f64
+    from ndarray_interp_tpu.ops.pallas_eval_df import eval_xla_df_banked
+
+    rng = np.random.default_rng(8)
+    n, bank, nq = 1024, 16, 32768
+
+    def rep(v):
+        return df_to_f64(*df_from_f64(v))
+
+    x64 = rep(np.linspace(0.0, 1.0, n))
+    d64 = rep(rng.normal(size=(n, bank)))
+    a64 = rep(rng.normal(size=(n - 1, bank)))
+    b64 = rep(rng.normal(size=(n - 1, bank)))
+    q64 = rep(rng.uniform(-0.1, 1.1, nq))
+    args = []
+    for v in (x64, d64, a64, b64, q64):
+        args.extend(df_from_f64(v))
+    hi, lo = jax.jit(eval_xla_df_banked)(*args)
+    got = df_to_f64(hi, lo)
+
+    idx = np.clip(np.searchsorted(x64, q64, side="right") - 1, 0, n - 2)
+    t = ((q64 - x64[idx]) / (x64[idx + 1] - x64[idx]))[:, None]
+    want = (
+        (1 - t) * d64[idx]
+        + t * d64[idx + 1]
+        + t * (1 - t) * (a64[idx] * (1 - t) + b64[idx] * t)
+    )
+    scale = np.maximum(np.abs(want), 0.01 * np.abs(d64).max())
+    rel = (np.abs(got - want) / scale).max()
+    assert rel < 1e-12, rel
+
+
+def test_df_2d_f64_grade_on_chip():
+    """ADVICE r2: the 2-D DF route under jit on TPU reaches f64 grade."""
+    from ndarray_interp_tpu.ops.df import df_from_f64, df_to_f64
+    from ndarray_interp_tpu.ops.pallas_eval_df import eval_xla_df_2d
+
+    rng = np.random.default_rng(9)
+    nx, ny, nq = 128, 96, 32768
+
+    def rep(v):
+        return df_to_f64(*df_from_f64(v))
+
+    x64 = rep(np.cumsum(rng.uniform(0.05, 1.0, nx)))
+    y64 = rep(np.cumsum(rng.uniform(0.05, 1.0, ny)))
+    z64 = rep(rng.normal(size=(nx, ny)))
+    qx64 = rep(rng.uniform(x64[0] - 1, x64[-1] + 1, nq))
+    qy64 = rep(rng.uniform(y64[0] - 1, y64[-1] + 1, nq))
+    args = []
+    for v in (x64, y64, z64, qx64, qy64):
+        args.extend(df_from_f64(v))
+    hi, lo = jax.jit(eval_xla_df_2d)(*args)
+    got = df_to_f64(hi, lo)
+
+    xi = np.clip(np.searchsorted(x64, qx64, side="right") - 1, 0, nx - 2)
+    yi = np.clip(np.searchsorted(y64, qy64, side="right") - 1, 0, ny - 2)
+
+    def frac(x1, z1, x2, z2, q):  # calc_frac op order, linear.rs:29-37
+        return (z2 - z1) / (x2 - x1) * (q - x1) + z1
+
+    zq1 = frac(x64[xi], z64[xi, yi], x64[xi + 1], z64[xi + 1, yi], qx64)
+    zq2 = frac(
+        x64[xi], z64[xi, yi + 1], x64[xi + 1], z64[xi + 1, yi + 1], qx64
+    )
+    want = frac(y64[yi], zq1, y64[yi + 1], zq2, qy64)
+    scale = np.maximum(np.abs(want), 0.01 * np.abs(z64).max())
+    rel = (np.abs(got - want) / scale).max()
+    assert rel < 1e-12, rel
+
+
+def test_eval_into_donated_aliases_buffer():
+    """VERDICT r2 task 7: donation must actually reuse the donated
+    buffer's storage on TPU (not merely be permitted to)."""
+    from ndarray_interp_tpu.models.interp1d import Interp1D
+    from ndarray_interp_tpu.models.strategies.cubic import CubicSpline
+    from ndarray_interp_tpu.serving import eval_into_donated
+
+    rng = np.random.default_rng(10)
+    data = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32))
+    x = jnp.arange(64, dtype=jnp.float32)
+    strat = jax.jit(
+        lambda x_, d_: CubicSpline().extrapolate(True).build(x_, d_)
+    )(x, data)
+    itp = Interp1D.new_unchecked(x, data, strat)
+    q = jnp.asarray(rng.uniform(0, 63, 4096).astype(np.float32))
+    out = jnp.zeros((4096, 8), jnp.float32)
+    out.block_until_ready()
+    try:
+        ptr_before = out.unsafe_buffer_pointer()
+    except Exception as e:  # relay backends may not expose raw pointers
+        pytest.skip(f"unsafe_buffer_pointer unavailable: {e}")
+    got = eval_into_donated(itp, q, out)
+    got.block_until_ready()
+    assert got.unsafe_buffer_pointer() == ptr_before
+    want = np.asarray(jax.jit(lambda i, qq: i.strategy.eval(i, qq))(itp, q))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
