@@ -49,10 +49,19 @@ def _eval_flat_masked(interp, xflat, yflat):
     xflat = _promote_queries(interp, xflat)
     yflat = _promote_queries(interp, yflat)
     out = interp.strategy.eval(interp, xflat, yflat)
-    if not interp.strategy.extrapolates and jnp.issubdtype(
-        out.dtype, jnp.inexact
+    # a periodic (wrapping) axis is never out of range
+    wx = getattr(interp.strategy, "wraps_x", False)
+    wy = getattr(interp.strategy, "wraps_y", False)
+    if (
+        not interp.strategy.extrapolates
+        and not (wx and wy)
+        and jnp.issubdtype(out.dtype, jnp.inexact)
     ):
-        ok = is_in_range(interp.x, xflat) & is_in_range(interp.y, yflat)
+        ok = jnp.ones(xflat.shape, bool)
+        if not wx:
+            ok = ok & is_in_range(interp.x, xflat)
+        if not wy:
+            ok = ok & is_in_range(interp.y, yflat)
         out = jnp.where(ok.reshape(ok.shape + (1,) * (out.ndim - 1)), out, jnp.nan)
     return out
 
@@ -107,14 +116,16 @@ class Interp2D:
             xf = _promote_queries(interp, xs.reshape(-1))
             yf = _promote_queries(interp, ys.reshape(-1))
             if not interp.strategy.extrapolates:
-                checkify.check(
-                    jnp.all(is_in_range(interp.x, xf)),
-                    "an x query point is not in range",
-                )
-                checkify.check(
-                    jnp.all(is_in_range(interp.y, yf)),
-                    "a y query point is not in range",
-                )
+                if not getattr(interp.strategy, "wraps_x", False):
+                    checkify.check(
+                        jnp.all(is_in_range(interp.x, xf)),
+                        "an x query point is not in range",
+                    )
+                if not getattr(interp.strategy, "wraps_y", False):
+                    checkify.check(
+                        jnp.all(is_in_range(interp.y, yf)),
+                        "a y query point is not in range",
+                    )
             return interp.eval_unchecked(xs, ys)
 
         return checkify.checkify(run)(self, xs, ys)
@@ -161,7 +172,13 @@ class Interp2D:
         return cached
 
     def _check_queries(self, xs_flat, ys_flat):
-        if self.strategy.extrapolates:
+        # a wrapping (periodic) axis behaves like an extrapolating one:
+        # never out of range, but NaN still refuses to index
+        wraps = (
+            getattr(self.strategy, "wraps_x", False),
+            getattr(self.strategy, "wraps_y", False),
+        )
+        if self.strategy.extrapolates or all(wraps):
             for name, q in (("x", xs_flat), ("y", ys_flat)):
                 qh = np.asarray(q)
                 if np.issubdtype(qh.dtype, np.floating) and np.isnan(qh).any():
@@ -169,16 +186,19 @@ class Interp2D:
             return
         # reference checks x then y per point (bilinear.rs:71-80)
         x0, xn, y0, yn = self._range_host()
-        xh = np.asarray(xs_flat)
-        ok = (x0 <= xh) & (xh <= xn)
-        if not ok.all():
-            bad = xh[~ok][0] if xh.ndim else xh
-            raise OutOfBoundsError(f"x = {bad} is not in range")
-        yh = np.asarray(ys_flat)
-        ok = (y0 <= yh) & (yh <= yn)
-        if not ok.all():
-            bad = yh[~ok][0] if yh.ndim else yh
-            raise OutOfBoundsError(f"y = {bad} is not in range")
+        for name, q, (lo, hi), wrap in (
+            ("x", xs_flat, (x0, xn), wraps[0]),
+            ("y", ys_flat, (y0, yn), wraps[1]),
+        ):
+            qh = np.asarray(q)
+            if wrap:
+                if np.issubdtype(qh.dtype, np.floating) and np.isnan(qh).any():
+                    raise ValueError("failed to convert NaN to an index")
+                continue
+            ok = (lo <= qh) & (qh <= hi)
+            if not ok.all():
+                bad = qh[~ok][0] if qh.ndim else qh
+                raise OutOfBoundsError(f"{name} = {bad} is not in range")
 
     def _native_state(self):
         """Cached numpy views for the C++ host runtime (Bilinear only)."""

@@ -31,7 +31,33 @@ import jax.numpy as jnp
 from jax.tree_util import register_pytree_node_class
 
 from .base2d import Interp2DStrategy, Interp2DStrategyBuilder
-from .cubic import _NOT_A_KNOT, _solve_for_k
+from .cubic import (
+    _FIRST_DERIV,
+    _NOT_A_KNOT,
+    _SECOND_DERIV,
+    _solve_for_k,
+    _solve_periodic,
+    _solve_periodic_core,
+)
+
+# per-axis boundary kinds (a subset of the 1-D families that is uniform
+# along the axis — per-row mixing has no tensor-product analogue)
+_AXIS_KINDS = {
+    "not_a_knot": (_NOT_A_KNOT, 0.0),
+    "natural": (_SECOND_DERIV, 0.0),
+    "clamped": (_FIRST_DERIV, 0.0),
+    "periodic": None,
+}
+
+
+def _solve_axis0(x, grid, bc, validate=False):
+    """Spline derivative solve along axis 0 with a named boundary kind."""
+    if bc == "periodic":
+        return (_solve_periodic if validate else _solve_periodic_core)(
+            x, grid
+        )
+    kind, val = _AXIS_KINDS[bc]
+    return _solve_for_k(x, grid, kind, val, kind, val)
 
 
 def _hermite(y_l, y_r, k_l, k_r, dx, t):
@@ -46,10 +72,10 @@ def _hermite(y_l, y_r, k_l, k_r, dx, t):
     )
 
 
-def _solve_axis1(x, grid):
-    """Batched not-a-knot spline solve along axis 1 of (nx, ny, ...)."""
+def _solve_axis1(x, grid, bc="not_a_knot", validate=False):
+    """Batched spline solve along axis 1 of (nx, ny, ...)."""
     moved = jnp.moveaxis(grid, 1, 0)  # (ny, nx, ...)
-    k = _solve_for_k(x, moved, _NOT_A_KNOT, 0.0, _NOT_A_KNOT, 0.0)
+    k = _solve_axis0(x, moved, bc, validate=validate)
     return jnp.moveaxis(k, 0, 1)
 
 
@@ -84,28 +110,64 @@ def pack_bicubic_rows(x, y, data, kx, ky, kxy):
 
 @register_pytree_node_class
 class Bicubic(Interp2DStrategy, Interp2DStrategyBuilder):
-    """Tensor-product not-a-knot cubic spline (builder form).
+    """Tensor-product cubic spline (builder form).
 
     Chainable configuration like the other strategies::
 
-        Bicubic()                    # no extrapolation (default)
+        Bicubic()                                # NAK, no extrapolation
         Bicubic().extrapolate(True)
+        Bicubic().boundary("natural", "clamped")  # per-axis families
+        Bicubic().boundary("periodic", "not_a_knot")
+
+    Per-axis boundary kinds: ``not_a_knot`` (default), ``natural``,
+    ``clamped``, ``periodic`` (requires ``data[0] == data[-1]`` along
+    that axis; queries wrap on it, mirroring the 1-D
+    ``Extrapolate::Periodic`` contract ``cubic_spline.rs:804-809``).
     """
 
     MINIMUM_DATA_LENGTH = 3  # cubic needs 3 knots per axis (NAK parabola)
 
-    def __init__(self, extrapolate: bool = False):
+    def __init__(
+        self,
+        extrapolate: bool = False,
+        bc_x: str = "not_a_knot",
+        bc_y: str = "not_a_knot",
+    ):
+        for bc in (bc_x, bc_y):
+            if bc not in _AXIS_KINDS:
+                raise ValueError(
+                    f"unknown bicubic boundary kind {bc!r}; choose from "
+                    f"{sorted(_AXIS_KINDS)}"
+                )
         self.extrapolates = bool(extrapolate)
+        self.bc_x = bc_x
+        self.bc_y = bc_y
 
     def extrapolate(self, yes: bool = True) -> "Bicubic":
-        return Bicubic(extrapolate=yes)
+        return Bicubic(extrapolate=yes, bc_x=self.bc_x, bc_y=self.bc_y)
+
+    def boundary(self, bc_x: str, bc_y: str = None) -> "Bicubic":
+        """Per-axis boundary families (``bc_y`` defaults to ``bc_x``)."""
+        return Bicubic(
+            extrapolate=self.extrapolates,
+            bc_x=bc_x,
+            bc_y=bc_x if bc_y is None else bc_y,
+        )
 
     def build(self, x, y, data):
-        kx = _solve_for_k(x, data, _NOT_A_KNOT, 0.0, _NOT_A_KNOT, 0.0)
-        ky = _solve_axis1(y, data)
-        kxy = _solve_axis1(y, kx)
+        # periodic axes validate data[0] == data[-1] eagerly (the check is
+        # data-dependent, so jit builds skip it — new_unchecked semantics)
+        kx = _solve_axis0(x, data, self.bc_x, validate=True)
+        ky = _solve_axis1(y, data, self.bc_y, validate=True)
+        # cross derivative: the y-solve applied to kx.  For periodic y the
+        # kx columns inherit data's first==last equality, so the same
+        # solve applies (validation already ran on data itself).
+        kxy = _solve_axis1(y, kx, self.bc_y)
         return BicubicStrategy(
-            pack_bicubic_rows(x, y, data, kx, ky, kxy), self.extrapolates
+            pack_bicubic_rows(x, y, data, kx, ky, kxy),
+            self.extrapolates,
+            bc_x=self.bc_x,
+            bc_y=self.bc_y,
         )
 
     def eval(self, interp, xq, yq):  # pragma: no cover - builder never eval'd
@@ -114,15 +176,18 @@ class Bicubic(Interp2DStrategy, Interp2DStrategyBuilder):
         )
 
     def tree_flatten(self):
-        return (), (self.extrapolates,)
+        return (), (self.extrapolates, self.bc_x, self.bc_y)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         del children
-        return cls(extrapolate=aux[0])
+        return cls(extrapolate=aux[0], bc_x=aux[1], bc_y=aux[2])
 
     def __repr__(self):
-        return f"Bicubic(extrapolate={self.extrapolates})"
+        return (
+            f"Bicubic(extrapolate={self.extrapolates}, "
+            f"bc_x={self.bc_x!r}, bc_y={self.bc_y!r})"
+        )
 
 
 @register_pytree_node_class
@@ -131,14 +196,35 @@ class BicubicStrategy(Interp2DStrategy):
 
     MINIMUM_DATA_LENGTH = 3
 
-    def __init__(self, rows, extrapolate: bool = False):
+    def __init__(
+        self,
+        rows,
+        extrapolate: bool = False,
+        bc_x: str = "not_a_knot",
+        bc_y: str = "not_a_knot",
+    ):
         self.rows = rows
         self.extrapolates = bool(extrapolate)
+        self.bc_x = bc_x
+        self.bc_y = bc_y
+
+    @property
+    def wraps_x(self):
+        """Queries wrap (rem_euclid) on a periodic x axis — never OOB."""
+        return self.bc_x == "periodic"
+
+    @property
+    def wraps_y(self):
+        return self.bc_y == "periodic"
 
     def eval(self, interp, xq, yq):
         from ...ops.searchsorted import lower_index_fast
 
         x, y, data = interp.x, interp.y, interp.data
+        if self.wraps_x:  # rem_euclid wrap, cubic_spline.rs:804-809
+            xq = jnp.mod(xq - x[0], x[-1] - x[0]) + x[0]
+        if self.wraps_y:
+            yq = jnp.mod(yq - y[0], y[-1] - y[0]) + y[0]
         ny = data.shape[1]
         trailing = data.shape[2:]
         r = 1
@@ -182,14 +268,17 @@ class BicubicStrategy(Interp2DStrategy):
         return _hermite(f_y1, f_y2, ky_y1, ky_y2, dy, ty)
 
     def tree_flatten(self):
-        return (self.rows,), (self.extrapolates,)
+        return (self.rows,), (self.extrapolates, self.bc_x, self.bc_y)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], extrapolate=aux[0])
+        return cls(
+            children[0], extrapolate=aux[0], bc_x=aux[1], bc_y=aux[2]
+        )
 
     def __repr__(self):
         return (
             f"BicubicStrategy(rows={getattr(self.rows, 'shape', None)}, "
-            f"extrapolate={self.extrapolates})"
+            f"extrapolate={self.extrapolates}, bc_x={self.bc_x!r}, "
+            f"bc_y={self.bc_y!r})"
         )

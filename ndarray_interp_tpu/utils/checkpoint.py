@@ -52,9 +52,15 @@ _STRATEGY_CODECS = {
     ),
     "bicubic": (
         BicubicStrategy,
-        lambda s: ({"extrapolate": s.extrapolates}, {"rows": s.rows}),
+        lambda s: (
+            {"extrapolate": s.extrapolates, "bc_x": s.bc_x, "bc_y": s.bc_y},
+            {"rows": s.rows},
+        ),
         lambda meta, arrs: BicubicStrategy(
-            jnp.asarray(arrs["rows"]), extrapolate=meta["extrapolate"]
+            jnp.asarray(arrs["rows"]),
+            extrapolate=meta["extrapolate"],
+            bc_x=meta.get("bc_x", "not_a_knot"),
+            bc_y=meta.get("bc_y", "not_a_knot"),
         ),
     ),
     # packed variant: rows are derived state — persist only the config and

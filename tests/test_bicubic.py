@@ -153,3 +153,128 @@ class TestBicubic:
         )
         assert np.abs(cubic - truth).max() < 1e-4
         assert np.abs(cubic - truth).max() < np.abs(lin - truth).max() / 50
+
+
+def tensor_oracle_bc(x, y, z, qx, qy, bcx, bcy):
+    """Sequential per-axis SciPy CubicSpline with per-axis bc_type."""
+    g = si.CubicSpline(x, z, axis=0, bc_type=bcx)(qx)
+    out = np.empty(qx.shape + z.shape[2:])
+    for i in range(qx.shape[0]):
+        out[i] = si.CubicSpline(y, g[i], axis=0, bc_type=bcy)(qy[i])
+    return out
+
+
+_SCIPY_BC = {
+    "not_a_knot": "not-a-knot",
+    "natural": "natural",
+    "clamped": "clamped",
+    "periodic": "periodic",
+}
+
+
+class TestBicubicBoundaries:
+    """VERDICT r2 task 5: per-axis natural/clamped/periodic families."""
+
+    @pytest.mark.parametrize(
+        "bcx,bcy",
+        [
+            ("natural", "natural"),
+            ("clamped", "clamped"),
+            ("natural", "clamped"),
+            ("clamped", "not_a_knot"),
+            ("not_a_knot", "natural"),
+        ],
+    )
+    def test_matches_scipy_oracle(self, bcx, bcy):
+        x, y, z, rng = fixture(seed=hash((bcx, bcy)) % 1000)
+        itp = (
+            Interp2D.builder(jnp.asarray(z))
+            .x(jnp.asarray(x))
+            .y(jnp.asarray(y))
+            .strategy(Bicubic().boundary(bcx, bcy).extrapolate(True))
+            .build()
+        )
+        qx = rng.uniform(x[0], x[-1], 300)
+        qy = rng.uniform(y[0], y[-1], 300)
+        got = np.asarray(itp.interp_array(qx, qy))
+        want = tensor_oracle_bc(
+            x, y, z, qx, qy, _SCIPY_BC[bcx], _SCIPY_BC[bcy]
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+
+    @pytest.mark.parametrize(
+        "bcx,bcy", [("periodic", "not_a_knot"), ("periodic", "periodic")]
+    )
+    def test_periodic_axes(self, bcx, bcy):
+        x, y, z, rng = fixture(nx=12, ny=10, seed=7)
+        z = z.copy()
+        z[-1] = z[0]  # periodic x requires first == last
+        if bcy == "periodic":
+            z[:, -1] = z[:, 0]
+        itp = (
+            Interp2D.builder(jnp.asarray(z))
+            .x(jnp.asarray(x))
+            .y(jnp.asarray(y))
+            .strategy(Bicubic().boundary(bcx, bcy))
+            .build()
+        )
+        qx = rng.uniform(x[0], x[-1], 200)
+        qy = rng.uniform(y[0], y[-1], 200)
+        got = np.asarray(itp.interp_array(qx, qy))
+        want = tensor_oracle_bc(
+            x, y, z, qx, qy, _SCIPY_BC[bcx], _SCIPY_BC[bcy]
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+        # queries wrap on the periodic axis: shifting by the period is
+        # identity (the 1-D Extrapolate::Periodic contract)
+        period = x[-1] - x[0]
+        wrapped = np.asarray(itp.interp_array(qx + 2 * period, qy))
+        np.testing.assert_allclose(wrapped, got, rtol=1e-4, atol=1e-6)
+        # ... while the non-periodic axis still errors OOB
+        if bcy != "periodic":
+            from ndarray_interp_tpu.errors import OutOfBoundsError
+
+            with pytest.raises(OutOfBoundsError):
+                itp.interp_array(
+                    np.asarray([x[0] + 0.1]), np.asarray([y[-1] + 1.0])
+                )
+
+    def test_periodic_requires_first_equals_last(self):
+        from ndarray_interp_tpu.errors import BuilderValueError
+
+        x, y, z, _ = fixture(seed=3)
+        with pytest.raises(BuilderValueError):
+            (
+                Interp2D.builder(jnp.asarray(z))
+                .x(jnp.asarray(x))
+                .y(jnp.asarray(y))
+                .strategy(Bicubic().boundary("periodic", "not_a_knot"))
+                .build()
+            )
+
+    def test_unknown_kind_rejected(self):
+        with pytest.raises(ValueError, match="unknown bicubic boundary"):
+            Bicubic().boundary("cubic")
+
+    def test_checkpoint_roundtrip_with_boundaries(self, tmp_path):
+        from ndarray_interp_tpu.utils import checkpoint
+
+        x, y, z, rng = fixture(seed=11)
+        itp = (
+            Interp2D.builder(jnp.asarray(z))
+            .x(jnp.asarray(x))
+            .y(jnp.asarray(y))
+            .strategy(Bicubic().boundary("natural", "clamped"))
+            .build()
+        )
+        p = tmp_path / "bicubic_bc.npz"
+        checkpoint.save(p, itp)
+        back = checkpoint.load(p)
+        assert back.strategy.bc_x == "natural"
+        assert back.strategy.bc_y == "clamped"
+        qx = rng.uniform(x[0], x[-1], 20)
+        qy = rng.uniform(y[0], y[-1], 20)
+        np.testing.assert_allclose(
+            np.asarray(back.interp_array(qx, qy)),
+            np.asarray(itp.interp_array(qx, qy)),
+        )
