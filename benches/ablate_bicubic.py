@@ -131,48 +131,46 @@ def main():
         f"{rows_scaled.size * 4 / 1e6:.0f} MB",
     )
 
-    # correctness of the scaled form vs the shipped eval
+    # correctness of the scaled form vs the shipped eval (pass the big
+    # tables as ARGUMENTS: closure constants ship with the remote-compile
+    # request body and blow its length limit)
     got = jax.jit(
-        lambda q1, q2: eval_scaled(rows_scaled, x, y, ny, trailing, q1, q2)
-    )(qx[:4096], qy[:4096])
-    want = jax.jit(lambda q1, q2: strat.eval(itp, q1, q2))(qx[:4096], qy[:4096])
+        lambda r_, q1, q2: eval_scaled(r_, x, y, ny, trailing, q1, q2)
+    )(rows_scaled, qx[:4096], qy[:4096])
+    want = jax.jit(lambda i_, q1, q2: i_.strategy.eval(i_, q1, q2))(
+        itp, qx[:4096], qy[:4096]
+    )
     err = float(
         jnp.max(jnp.abs(got - want) / jnp.maximum(jnp.abs(want), 1e-3))
     )
     print(f"scaled-vs-current max rel err: {err:.2e}")
 
-    def stage_a(qx, qy):
+    def stage_a(qx, qy, _r):
         return (
             lower_index_fast(x, qx).astype(jnp.float32)
             + lower_index_fast(y, qy).astype(jnp.float32)
         )
 
-    def stage_b(qx, qy):
+    def stage_b(qx, qy, r_):
         xi = lower_index_fast(x, qx)
         yi = lower_index_fast(y, qy)
-        g = jnp.take(strat.rows, xi * (ny - 1) + yi, axis=0)
+        g = jnp.take(r_, xi * (ny - 1) + yi, axis=0)
         return jnp.sum(g, axis=1)
 
-    def stage_c(qx, qy):
-        return strat.eval(itp, qx, qy)
+    def stage_c(qx, qy, i_):
+        return i_.strategy.eval(i_, qx, qy)
 
-    def stage_d(qx, qy):
-        return eval_scaled(rows_scaled, x, y, ny, trailing, qx, qy)
+    def stage_d(qx, qy, r_):
+        return eval_scaled(r_, x, y, ny, trailing, qx, qy)
 
-    def stage_e(qx, qy):
-        xi = lower_index_fast(x, qx)
-        yi = lower_index_fast(y, qy)
-        g = jnp.take(rows_scaled, xi * (ny - 1) + yi, axis=0)
-        return jnp.sum(g, axis=1)
-
-    for name, fn in [
-        ("A bucketize x2         ", stage_a),
-        ("B A+gather260 (sum)    ", stage_b),
-        ("C full current eval    ", stage_c),
-        ("D scaled eval (16r)    ", stage_d),
-        ("E A+gather256 (sum)    ", stage_e),
+    for name, fn, extra in [
+        ("A bucketize x2         ", stage_a, x),
+        ("B A+gather260 (sum)    ", stage_b, strat.rows),
+        ("C full current eval    ", stage_c, itp),
+        ("D scaled eval (16r)    ", stage_d, rows_scaled),
+        ("E A+gather256 (sum)    ", stage_b, rows_scaled),
     ]:
-        t = device_timer(fn, (qx, qy), var=0, links=4, reps=3)
+        t = device_timer(fn, (qx, qy, extra), var=0, links=4, reps=3)
         print(f"{name}: {t * 1e3:8.2f} ms /1M queries", flush=True)
 
 

@@ -91,14 +91,29 @@ def main():
         wt = jnp.broadcast_to(w[:, None, :], (nq, r, 16)).reshape(nq, 16 * r)
         return jnp.sum((g * wt).reshape(nq, r, 16), axis=2)
 
-    for name, fn in [
-        ("A2 index+frac x2        ", a2),
-        ("W2 A2+weights           ", w2),
-        ("E2 A2+gather+sum        ", e2),
-        ("F2 E2+scalar weight     ", f2),
-        ("G2 E2+channel weights   ", g2),
-        ("H2 G2+block sums (full) ", h2),
-    ]:
+    def s16(qx, qy, r_):  # weighted BLOCK-SLICE sum: no wide weight array
+        xi, tx = fused_index_frac(x, qx)
+        yi, ty = fused_index_frac(y, qy)
+        g = jnp.take(r_, xi * (ny - 1) + yi, axis=0)
+        w = _weights(tx, ty)  # (Q, 16)
+        acc = w[:, 0:1] * g[:, 0:r]
+        for cq in range(1, 16):
+            acc = acc + w[:, cq : cq + 1] * g[:, cq * r : (cq + 1) * r]
+        return acc
+
+    import os
+
+    keys = os.environ.get("ABL4_STAGES", "a2,e2,g2").split(",")
+    stages = {
+        "a2": ("A2 index+frac x2        ", a2),
+        "w2": ("W2 A2+weights           ", w2),
+        "e2": ("E2 A2+gather+sum        ", e2),
+        "f2": ("F2 E2+scalar weight     ", f2),
+        "g2": ("G2 E2+channel weights   ", g2),
+        "h2": ("H2 G2+block sums (full) ", h2),
+        "s16": ("S16 16 scalar-wt slices ", s16),
+    }
+    for name, fn in [stages[k] for k in keys]:
         t = device_timer(fn, (qx, qy, rows), var=0, links=4, reps=3)
         print(f"{name}: {t * 1e3:8.2f} ms /1M queries", flush=True)
 

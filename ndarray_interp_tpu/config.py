@@ -20,3 +20,13 @@ use_fused_kernel: bool = os.environ.get("NDI_TPU_DISABLE_FUSED", "0") != "1"
 #: host runtime (``ndarray_interp_tpu/native``) when available.  Disable
 #: with ``NDI_TPU_DISABLE_NATIVE=1``.
 use_native_host: bool = os.environ.get("NDI_TPU_DISABLE_NATIVE", "0") != "1"
+
+#: Largest per-cell packed Bicubic row table, in ELEMENTS (f32 elements =
+#: 4 bytes each; default 128M elements = 512 MB).  The cell table stores
+#: the 16-quantity corner state per cell — ~17x the grid data's memory
+#: for scalar-ish trailing dims (e.g. 267 MB for a (512, 512, 16) f32
+#: grid) — in exchange for ONE row gather per query.  Grids whose table
+#: would exceed this cap build the memory-frugal node table instead
+#: (~4x data memory, 4 corner gathers per query — ~3x slower eval on
+#: v5e; see docs/API.md).
+bicubic_pack_max_elems: int = 128 * 1024 * 1024

@@ -19,10 +19,15 @@ interpolate ``f`` and ``ky`` along x at both bracketing y-knots (using
 with SciPy's ``RegularGridInterpolator(method="cubic")`` (tensor
 not-a-knot) to oracle tolerance — see ``tests/test_bicubic.py``.
 
-TPU shape: both bucketizes ride the Pallas search kernel via
-``lower_index_fast``; the 16-corner state is packed into ONE gathered
-row per query (the gather engine charges per row, not per byte — see
-docs/ROADMAP.md) and the Hermite tail fuses into the gather consumer.
+TPU shape: both ``(idx, t)`` passes ride the fused Pallas kernel; the
+16-corner state — derivatives PRE-SCALED by their cell's interval
+widths, so the row needs no endpoint channels — is packed into ONE
+lane-aligned gathered row per query (the gather engine charges per row,
+not per byte, up to ~1 KB — docs/ROADMAP.md).  Grids whose cell table
+would exceed ``config.bicubic_pack_max_elems`` (~17x data memory) build
+a memory-frugal node table instead (~4x, 4 corner gathers/query).
+Measured NS3b anatomy: ``benches/ablate_bicubic*.py`` and
+docs/ROADMAP.md.
 """
 
 from __future__ import annotations
@@ -79,32 +84,102 @@ def _solve_axis1(x, grid, bc="not_a_knot", validate=False):
     return jnp.moveaxis(k, 0, 1)
 
 
+def _hermite_scaled(y_l, y_r, K_l, K_r, t):
+    """Hermite with pre-scaled derivatives ``K = k*dx``: the same
+    symmetric form with ``a = K_l - dy``, ``b = dy - K_r`` — the dx
+    multiply moved to pack time (identical arithmetic, the row then
+    needs no interval endpoints)."""
+    dy = y_r - y_l
+    a = K_l - dy
+    b = dy - K_r
+    one = jnp.ones((), t.dtype)
+    return (one - t) * y_l + t * y_r + t * (one - t) * (
+        a * (one - t) + b * t
+    )
+
+
+def _index_frac(knots, q):
+    """``(get_lower_index(q), t)``: the fused Pallas pass on TPU for
+    eligible f32 axes, the XLA gather form elsewhere (same values, same
+    ``calc_frac`` operand order)."""
+    import jax
+
+    from ... import config
+    from ...ops.pallas_eval import _plan, fused_index_frac
+    from ...ops.searchsorted import get_lower_index
+
+    def xla(q):
+        idx = get_lower_index(knots, q)
+        x_l = knots[idx]
+        x_r = knots[idx + 1]
+        return idx, (q - x_l) / (x_r - x_l)
+
+    if (
+        config.use_fused_kernel
+        and q.dtype == jnp.float32
+        and knots.dtype == jnp.float32
+        and knots.shape[0] >= 4
+        and _plan(knots.shape[0]) is not None
+    ):
+        return jax.lax.platform_dependent(
+            q, tpu=lambda q: fused_index_frac(knots, q), default=xla
+        )
+    return xla(q)
+
+
 def pack_bicubic_rows(x, y, data, kx, ky, kxy):
     """Per-cell rows: the 16-value corner state (4 quantities x 4
-    corners, trailing-flattened) + the 4 interval endpoints — everything
-    one query needs in ONE gathered row (cf. ``bilinear.pack_corner_rows``)."""
+    corners, trailing-flattened) with derivatives PRE-SCALED by their
+    cell's interval widths (``kx*dx``, ``ky*dy``, ``kxy*dx*dy``) —
+    everything one query needs in ONE gathered row, with no endpoint
+    channels (``t`` comes from the bucketize pass).  16r channels: for
+    the NS3b grid that is a 1024-byte, lane-aligned row — measured
+    ~1.8 ms/1M queries cheaper to gather than the round-2 (16r+4)-channel
+    layout (benches/ablate_bicubic.py stages B vs E)."""
     nx, ny = data.shape[0], data.shape[1]
     r = 1
     for s in data.shape[2:]:
         r *= s
-    blocks = []
-    for g in (data, kx, ky, kxy):
-        blocks.append(
-            jnp.stack(
-                [g[:-1, :-1], g[:-1, 1:], g[1:, :-1], g[1:, 1:]], axis=2
-            ).reshape(nx - 1, ny - 1, 4 * r)
-        )
-    ends = jnp.stack(
+    dx = (x[1:] - x[:-1]).astype(data.dtype).reshape(nx - 1, 1, 1)
+    dy = (y[1:] - y[:-1]).astype(data.dtype).reshape(1, ny - 1, 1)
+
+    def corners(g):
+        return jnp.stack(
+            [g[:-1, :-1], g[:-1, 1:], g[1:, :-1], g[1:, 1:]], axis=2
+        ).reshape(nx - 1, ny - 1, 4 * r)
+
+    blocks = [
+        corners(data),
+        corners(kx) * dx,
+        corners(ky) * dy,
+        corners(kxy) * dx * dy,
+    ]
+    return jnp.concatenate(blocks, axis=-1).reshape(
+        (nx - 1) * (ny - 1), 16 * r
+    )
+
+
+def pack_bicubic_nodes(x, y, data, kx, ky, kxy):
+    """Memory-frugal node table ``(nx*ny, 4r+2)``: the raw (unscaled)
+    corner state ``[f | kx | ky | kxy]`` plus the node's own ``(x, y)``
+    — 4 corner-row gathers per query instead of 1 cell-row gather, but
+    ~4x the data's memory instead of ~17x (the per-cell table stores
+    every interior node 4 times).  Used when the cell table would exceed
+    ``config.bicubic_pack_max_elems``."""
+    nx, ny = data.shape[0], data.shape[1]
+    r = 1
+    for s in data.shape[2:]:
+        r *= s
+    flat = [g.reshape(nx, ny, r) for g in (data, kx, ky, kxy)]
+    coords = jnp.stack(
         [
-            jnp.broadcast_to(x[:-1, None], (nx - 1, ny - 1)),
-            jnp.broadcast_to(x[1:, None], (nx - 1, ny - 1)),
-            jnp.broadcast_to(y[None, :-1], (nx - 1, ny - 1)),
-            jnp.broadcast_to(y[None, 1:], (nx - 1, ny - 1)),
+            jnp.broadcast_to(x[:, None], (nx, ny)),
+            jnp.broadcast_to(y[None, :], (nx, ny)),
         ],
         axis=-1,
     ).astype(data.dtype)
-    return jnp.concatenate(blocks + [ends], axis=-1).reshape(
-        (nx - 1) * (ny - 1), 16 * r + 4
+    return jnp.concatenate(flat + [coords], axis=-1).reshape(
+        nx * ny, 4 * r + 2
     )
 
 
@@ -155,6 +230,8 @@ class Bicubic(Interp2DStrategy, Interp2DStrategyBuilder):
         )
 
     def build(self, x, y, data):
+        from ... import config
+
         # periodic axes validate data[0] == data[-1] eagerly (the check is
         # data-dependent, so jit builds skip it — new_unchecked semantics)
         kx = _solve_axis0(x, data, self.bc_x, validate=True)
@@ -163,11 +240,22 @@ class Bicubic(Interp2DStrategy, Interp2DStrategyBuilder):
         # kx columns inherit data's first==last equality, so the same
         # solve applies (validation already ran on data itself).
         kxy = _solve_axis1(y, kx, self.bc_y)
+        r = 1
+        for s in data.shape[2:]:
+            r *= s
+        cell_elems = (data.shape[0] - 1) * (data.shape[1] - 1) * 16 * r
+        if cell_elems <= config.bicubic_pack_max_elems:
+            rows = pack_bicubic_rows(x, y, data, kx, ky, kxy)
+            mode = "cell"
+        else:
+            rows = pack_bicubic_nodes(x, y, data, kx, ky, kxy)
+            mode = "node"
         return BicubicStrategy(
-            pack_bicubic_rows(x, y, data, kx, ky, kxy),
+            rows,
             self.extrapolates,
             bc_x=self.bc_x,
             bc_y=self.bc_y,
+            layout=mode,
         )
 
     def eval(self, interp, xq, yq):  # pragma: no cover - builder never eval'd
@@ -202,11 +290,13 @@ class BicubicStrategy(Interp2DStrategy):
         extrapolate: bool = False,
         bc_x: str = "not_a_knot",
         bc_y: str = "not_a_knot",
+        layout: str = "cell",
     ):
         self.rows = rows
         self.extrapolates = bool(extrapolate)
         self.bc_x = bc_x
         self.bc_y = bc_y
+        self.layout = layout  # "cell" (1 gather) | "node" (memory-frugal)
 
     @property
     def wraps_x(self):
@@ -218,23 +308,33 @@ class BicubicStrategy(Interp2DStrategy):
         return self.bc_y == "periodic"
 
     def eval(self, interp, xq, yq):
-        from ...ops.searchsorted import lower_index_fast
-
         x, y, data = interp.x, interp.y, interp.data
         if self.wraps_x:  # rem_euclid wrap, cubic_spline.rs:804-809
             xq = jnp.mod(xq - x[0], x[-1] - x[0]) + x[0]
         if self.wraps_y:
             yq = jnp.mod(yq - y[0], y[-1] - y[0]) + y[0]
+        trailing = data.shape[2:]
+        xi, tx = _index_frac(x, xq)
+        yi, ty = _index_frac(y, yq)
+        expand = xq.shape + (1,) * len(trailing)
+        if self.layout == "cell":
+            return self._eval_cell(
+                data, xi, yi, tx.reshape(expand), ty.reshape(expand),
+                xq.shape,
+            )
+        return self._eval_node(
+            data, xi, yi, tx.reshape(expand), ty.reshape(expand), xq.shape
+        )
+
+    def _eval_cell(self, data, xi, yi, tx, ty, qshape):
+        """ONE pre-scaled 16r-channel row gather + scaled Hermite tail."""
         ny = data.shape[1]
         trailing = data.shape[2:]
         r = 1
         for s in trailing:
             r *= s
-        xi = lower_index_fast(x, xq)
-        yi = lower_index_fast(y, yq)
-        g = jnp.take(self.rows, xi * (ny - 1) + yi, axis=0)  # (Q, 16r+4)
-
-        out_shape = xq.shape + trailing
+        g = jnp.take(self.rows, xi * (ny - 1) + yi, axis=0)  # (Q, 16r)
+        out_shape = qshape + trailing
 
         def block(i):  # corner quantity i, corners [11, 12, 21, 22]
             base = 4 * r * i
@@ -249,18 +349,42 @@ class BicubicStrategy(Interp2DStrategy):
         kx11, kx12, kx21, kx22 = block(1)
         ky11, ky12, ky21, ky22 = block(2)
         kxy11, kxy12, kxy21, kxy22 = block(3)
-        expand = xq.shape + (1,) * len(trailing)
-        x1 = g[:, 16 * r + 0].reshape(expand)
-        x2 = g[:, 16 * r + 1].reshape(expand)
-        y1 = g[:, 16 * r + 2].reshape(expand)
-        y2 = g[:, 16 * r + 3].reshape(expand)
+        # interpolate f and ky*dy along x at both bracketing y-knots
+        # (kx*dx and kxy*dx*dy supply their pre-scaled x-derivatives),
+        # then Hermite along y
+        f_y1 = _hermite_scaled(f11, f21, kx11, kx21, tx)
+        f_y2 = _hermite_scaled(f12, f22, kx12, kx22, tx)
+        g_y1 = _hermite_scaled(ky11, ky21, kxy11, kxy21, tx)
+        g_y2 = _hermite_scaled(ky12, ky22, kxy12, kxy22, tx)
+        return _hermite_scaled(f_y1, f_y2, g_y1, g_y2, ty)
 
+    def _eval_node(self, data, xi, yi, tx, ty, qshape):
+        """Memory-frugal route: 4 corner gathers from the node table."""
+        ny = data.shape[1]
+        trailing = data.shape[2:]
+        r = 1
+        for s in trailing:
+            r *= s
+        out_shape = qshape + trailing
+        expand = qshape + (1,) * len(trailing)
+
+        def node(ix, iy):
+            g = jnp.take(self.rows, ix * ny + iy, axis=0)  # (Q, 4r+2)
+            return (
+                g[:, 0 * r : 1 * r].reshape(out_shape),  # f
+                g[:, 1 * r : 2 * r].reshape(out_shape),  # kx
+                g[:, 2 * r : 3 * r].reshape(out_shape),  # ky
+                g[:, 3 * r : 4 * r].reshape(out_shape),  # kxy
+                g[:, 4 * r + 0].reshape(expand),  # x_node
+                g[:, 4 * r + 1].reshape(expand),  # y_node
+            )
+
+        f11, kx11, ky11, kxy11, x1, y1 = node(xi, yi)
+        f12, kx12, ky12, kxy12, _, y2 = node(xi, yi + 1)
+        f21, kx21, ky21, kxy21, x2, _ = node(xi + 1, yi)
+        f22, kx22, ky22, kxy22, _, _ = node(xi + 1, yi + 1)
         dx = x2 - x1
         dy = y2 - y1
-        tx = (xq.reshape(expand) - x1) / dx
-        ty = (yq.reshape(expand) - y1) / dy
-        # interpolate f and ky along x at both bracketing y-knots (kx and
-        # kxy supply their x-derivatives), then Hermite along y
         f_y1 = _hermite(f11, f21, kx11, kx21, dx, tx)
         f_y2 = _hermite(f12, f22, kx12, kx22, dx, tx)
         ky_y1 = _hermite(ky11, ky21, kxy11, kxy21, dx, tx)
@@ -268,17 +392,20 @@ class BicubicStrategy(Interp2DStrategy):
         return _hermite(f_y1, f_y2, ky_y1, ky_y2, dy, ty)
 
     def tree_flatten(self):
-        return (self.rows,), (self.extrapolates, self.bc_x, self.bc_y)
+        return (self.rows,), (
+            self.extrapolates, self.bc_x, self.bc_y, self.layout,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(
-            children[0], extrapolate=aux[0], bc_x=aux[1], bc_y=aux[2]
+            children[0], extrapolate=aux[0], bc_x=aux[1], bc_y=aux[2],
+            layout=aux[3],
         )
 
     def __repr__(self):
         return (
             f"BicubicStrategy(rows={getattr(self.rows, 'shape', None)}, "
             f"extrapolate={self.extrapolates}, bc_x={self.bc_x!r}, "
-            f"bc_y={self.bc_y!r})"
+            f"bc_y={self.bc_y!r}, layout={self.layout!r})"
         )

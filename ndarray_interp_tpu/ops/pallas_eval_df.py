@@ -359,3 +359,173 @@ def eval_df_from_f64(x64, d64, a64, b64, q64, interpret=False, path="kernel"):
     else:
         hi, lo = fused_eval_1d_df(*args, interpret=interpret)
     return df_to_f64(hi, lo)
+
+
+# -- DF (idx, t) kernel + banked gather route (VERDICT r2 task 3) -------------
+
+
+def _df_index_kernel(
+    leadh_ref, leadl_ref,
+    kh1, kh2, kh3, kl1, kl2, kl3,
+    qh_ref, ql_ref, idx_ref, th_ref, tl_ref, *, n, w, c, wp,
+):
+    """DF-lexicographic ``(get_lower_index(q), t)``: the search half of
+    ``_df_kernel`` without data/coefficient windows.  Feeds the banked
+    gather route, where the row fetch is the gather engine's job."""
+    from .df import no_guard
+
+    with no_guard():
+        f32 = jnp.float32
+        qh = qh_ref[:]
+        ql = ql_ref[:]
+        leadh = leadh_ref[:]
+        leadl = leadl_ref[:]
+        le1 = (leadh < qh) | ((leadh == qh) & (leadl <= ql))
+        coarse = jnp.sum(le1.astype(f32), axis=0, keepdims=True)
+        cmax = float((n - 2) // w)
+        cidx = jnp.minimum(coarse, cmax)
+
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, qh.shape[1]), 0)
+        oh1 = (iota_c == cidx.astype(jnp.int32)).astype(jnp.bfloat16)
+        win_xh = _dot3(kh1[:], kh2[:], kh3[:], oh1)
+        win_xl = _dot3(kl1[:], kl2[:], kl3[:], oh1)
+
+        le2 = (win_xh[:w] < qh) | ((win_xh[:w] == qh) & (win_xl[:w] <= ql))
+        fine = jnp.sum(le2.astype(f32), axis=0, keepdims=True)
+        pred = cidx * float(w) + fine - 1.0
+        idx = jnp.clip(pred, 0.0, float(n - 2))
+        pos = idx - cidx * float(w)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, qh.shape[1]), 0)
+        oh_l = (iota_w == pos.astype(jnp.int32)).astype(f32)
+
+        x_lh, x_rh = _select(win_xh, oh_l, w)
+        x_ll, x_rl = _select(win_xl, oh_l, w)
+        t = df_div(
+            df_sub((qh, ql), (x_lh, x_ll)),
+            df_sub((x_rh, x_rl), (x_lh, x_ll)),
+        )
+        idx_ref[:] = idx.astype(jnp.int32)
+        th_ref[:] = t[0]
+        tl_ref[:] = t[1]
+
+
+def fused_index_frac_df(x_hi, x_lo, q_hi, q_lo, interpret=False):
+    """DF ``(idx, t_hi, t_lo)`` for flat queries against DF knots.
+
+    Index selection is DF-lexicographic (matches the f64 oracle even for
+    knots that collide in f32); ``t`` carries the error-free-transform
+    chain (exact on Mosaic; *interpret mode degrades t to f32 grade*, see
+    ``ops/df.py`` — only the index is trustworthy there)."""
+    n = x_hi.shape[0]
+    nq = q_hi.shape[0]
+    w, c, B = _plan(n)
+    B = max(512, B // 2)
+
+    wp = -(-(w + 1) // 16) * 16
+    zd = jnp.zeros_like(x_hi)
+    za = jnp.zeros((n - 1,), x_hi.dtype)
+    lead_h, kwin_h, _, _ = _pack_windows(x_hi, zd, za, za, w, c, wp)
+    lead_l, kwin_l, _, _ = _pack_windows(x_lo, zd, za, za, w, c, wp, pad=0.0)
+    splits = []
+    for tbl in (kwin_h, kwin_l):
+        splits.extend(_split3(tbl))
+
+    nb = (nq + B - 1) // B
+    qh = jnp.pad(q_hi, (0, nb * B - nq)).reshape(1, nb * B)
+    ql = jnp.pad(q_lo, (0, nb * B - nq)).reshape(1, nb * B)
+
+    kern = functools.partial(_df_index_kernel, n=n, w=w, c=c, wp=wp)
+    fix = lambda i: (0, 0)
+    mov = lambda i: (0, i)
+    idx, th, tl = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((c - 1, 1), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c - 1, 1), fix, memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec((wp, c), fix, memory_space=pltpu.VMEM)] * 6
+        + [
+            pl.BlockSpec((1, B), mov, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), mov, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B), mov, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), mov, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), mov, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, nb * B), jnp.int32),
+            jax.ShapeDtypeStruct((1, nb * B), jnp.float32),
+            jax.ShapeDtypeStruct((1, nb * B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lead_h, lead_l, *splits, qh, ql)
+    m = nb * B
+    return idx.reshape(m)[:nq], th.reshape(m)[:nq], tl.reshape(m)[:nq]
+
+
+def pack_bank_rows_df(d_hi, d_lo, a_hi, a_lo, b_hi, b_lo):
+    """Tightly packed DF per-interval rows ``(n-1, 8*bank_pad)``:
+    ``[y_l | y_r | a | b]`` hi halves then lo halves (cf.
+    ``pallas_tail.pack_bank_rows`` — the DF rows double the bytes, the
+    gather still charges ONE row per query)."""
+    bank = d_hi.shape[1]
+    bp = -(-bank // 8) * 8
+    pad = ((0, 0), (0, bp - bank))
+
+    def p(v):
+        return jnp.pad(v, pad)
+
+    return jnp.concatenate(
+        [
+            p(d_hi[:-1]), p(d_hi[1:]), p(a_hi), p(b_hi),
+            p(d_lo[:-1]), p(d_lo[1:]), p(a_lo), p(b_lo),
+        ],
+        axis=1,
+    )
+
+
+def gathered_bank_eval_df(
+    x_hi, x_lo, d_hi, d_lo, a_hi, a_lo, b_hi, b_lo, q_hi, q_lo,
+    interpret=False,
+):
+    """DF banked gather route: DF (idx, t) kernel → ONE packed (hi, lo)
+    row gather → XLA double-float Hermite tail (guarded EFTs — the tail
+    accuracy on the XLA:TPU surface is pinned by
+    ``tests/test_tpu_parity.py::test_df_banked_f64_grade_on_chip``'s
+    formulation and the gathered-route gate).  Returns (hi, lo) of shape
+    ``(nq, bank)``.  f64-grade wide-bank serving at kernel speed
+    (BASELINE.md row "10k-knot x64 bank DF EVAL")."""
+    idx, th, tl = fused_index_frac_df(
+        x_hi, x_lo, q_hi, q_lo, interpret=interpret
+    )
+    packed = pack_bank_rows_df(d_hi, d_lo, a_hi, a_lo, b_hi, b_lo)
+    rows = jnp.take(packed, idx, axis=0)
+    bank = d_hi.shape[1]
+    bp = rows.shape[1] // 8
+
+    def sl(i):
+        return rows[:, i * bp : i * bp + bank]
+
+    y_l = (sl(0), sl(4))
+    y_r = (sl(1), sl(5))
+    a = (sl(2), sl(6))
+    b = (sl(3), sl(7))
+    t = (th[:, None], tl[:, None])
+    one = (jnp.ones_like(t[0]), jnp.zeros_like(t[0]))
+    omt = df_sub(one, t)
+    base = df_add(
+        df_add(df_mul(omt, y_l), df_mul(t, y_r)),
+        df_mul(df_mul(t, omt), df_add(df_mul(a, omt), df_mul(b, t))),
+    )
+    tn = t[0]
+    lin_inf = (
+        jnp.isinf(tn)
+        & (a[0] == 0.0) & (a[1] == 0.0) & (b[0] == 0.0) & (b[1] == 0.0)
+    )
+    alt = y_l[0] + tn * (y_r[0] - y_l[0])
+    return (
+        jnp.where(lin_inf, alt, base[0]),
+        jnp.where(lin_inf, jnp.zeros_like(alt), base[1]),
+    )

@@ -219,13 +219,36 @@ class DoubleFloatEvaluator(_BucketedEvaluator):
             self._pairs.extend(df_from_f64(v))
 
         from .ops.partition import sharded_df_eval
-        from .ops.pallas_eval_df import eval_xla_df, eval_xla_df_banked
+        from .ops.pallas_eval import _plan
+        from .ops.pallas_eval_df import (
+            eval_xla_df,
+            eval_xla_df_banked,
+            gathered_bank_eval_df,
+        )
 
         if self._bank_shape:
-            # banked: pure-XLA DF form on every backend (gather-bound)
-            self._run = jax.jit(
-                lambda qh, ql: eval_xla_df_banked(*self._pairs, qh, ql)
-            )
+            if _plan(n) is not None:
+                # banked gather route on TPU: DF (idx, t) kernel + ONE
+                # packed (hi, lo) row gather + XLA DF tail (f64-grade on
+                # chip: tests/test_tpu_parity.py::
+                # test_df_gathered_bank_f64_grade_on_chip)
+                def runb(qh, ql):
+                    return jax.lax.platform_dependent(
+                        qh, ql,
+                        tpu=lambda qh, ql: gathered_bank_eval_df(
+                            *self._pairs, qh, ql
+                        ),
+                        default=lambda qh, ql: eval_xla_df_banked(
+                            *self._pairs, qh, ql
+                        ),
+                    )
+
+                self._run = jax.jit(runb)
+            else:
+                # axes beyond the windowed plan: pure-XLA DF form
+                self._run = jax.jit(
+                    lambda qh, ql: eval_xla_df_banked(*self._pairs, qh, ql)
+                )
         else:
 
             def run(qh, ql):

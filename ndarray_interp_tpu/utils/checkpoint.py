@@ -53,7 +53,12 @@ _STRATEGY_CODECS = {
     "bicubic": (
         BicubicStrategy,
         lambda s: (
-            {"extrapolate": s.extrapolates, "bc_x": s.bc_x, "bc_y": s.bc_y},
+            {
+                "extrapolate": s.extrapolates,
+                "bc_x": s.bc_x,
+                "bc_y": s.bc_y,
+                "layout": s.layout,
+            },
             {"rows": s.rows},
         ),
         lambda meta, arrs: BicubicStrategy(
@@ -61,6 +66,7 @@ _STRATEGY_CODECS = {
             extrapolate=meta["extrapolate"],
             bc_x=meta.get("bc_x", "not_a_knot"),
             bc_y=meta.get("bc_y", "not_a_knot"),
+            layout=meta.get("layout", "cell"),
         ),
     ),
     # packed variant: rows are derived state — persist only the config and

@@ -278,3 +278,62 @@ class TestBicubicBoundaries:
             np.asarray(back.interp_array(qx, qy)),
             np.asarray(itp.interp_array(qx, qy)),
         )
+
+
+class TestBicubicLayouts:
+    """Cell-table (1 gather) vs memory-frugal node-table routes."""
+
+    def test_node_layout_matches_cell(self, monkeypatch):
+        from ndarray_interp_tpu import config
+
+        x, y, z, rng = fixture(trailing=(3,), seed=21)
+        qx = rng.uniform(x[0] - 1, x[-1] + 1, 300)
+        qy = rng.uniform(y[0] - 1, y[-1] + 1, 300)
+        cell = build(x, y, z)
+        assert cell.strategy.layout == "cell"
+        monkeypatch.setattr(config, "bicubic_pack_max_elems", 10)
+        node = build(x, y, z)
+        assert node.strategy.layout == "node"
+        # node table is ~4x data; cell table ~16x (less on tiny grids,
+        # where edge cells dominate)
+        assert node.strategy.rows.size < cell.strategy.rows.size / 2.5
+        np.testing.assert_allclose(
+            np.asarray(node.interp_array(qx, qy)),
+            np.asarray(cell.interp_array(qx, qy)),
+            rtol=1e-9,
+            atol=1e-11,
+        )
+
+    def test_node_layout_matches_scipy(self, monkeypatch):
+        from ndarray_interp_tpu import config
+
+        monkeypatch.setattr(config, "bicubic_pack_max_elems", 10)
+        x, y, z, rng = fixture(seed=22)
+        itp = build(x, y, z)
+        assert itp.strategy.layout == "node"
+        qx = rng.uniform(x[0], x[-1], 200)
+        qy = rng.uniform(y[0], y[-1], 200)
+        np.testing.assert_allclose(
+            np.asarray(itp.interp_array(qx, qy)),
+            tensor_oracle(x, y, z, qx, qy),
+            rtol=1e-10,
+            atol=1e-12,
+        )
+
+    def test_node_layout_checkpoint_roundtrip(self, monkeypatch, tmp_path):
+        from ndarray_interp_tpu import config
+        from ndarray_interp_tpu.utils import checkpoint
+
+        monkeypatch.setattr(config, "bicubic_pack_max_elems", 10)
+        x, y, z, rng = fixture(seed=23)
+        itp = build(x, y, z)
+        p = tmp_path / "bicubic_node.npz"
+        checkpoint.save(p, itp)
+        back = checkpoint.load(p)
+        assert back.strategy.layout == "node"
+        qx = rng.uniform(x[0], x[-1], 20)
+        qy = rng.uniform(y[0], y[-1], 20)
+        np.testing.assert_allclose(
+            np.asarray(back.interp_array(qx, qy)),
+            np.asarray(itp.interp_array(qx, qy)),
+        )

@@ -309,3 +309,60 @@ def test_df_evaluator_nan_raises_in_extrapolate_mode():
     ev = DoubleFloatEvaluator(itp)
     with pytest.raises(ValueError, match="NaN"):
         ev(np.asarray([np.nan]))
+
+
+class TestDFBankedGatherRoute:
+    """DF banked gather route (VERDICT r2 task 3): DF (idx, t) kernel +
+    one packed (hi, lo) row gather + XLA DF tail.
+
+    Interpret mode rewrites the error-free transforms (ops/df.py), so
+    here only the *index* is exact and values are checked at f32 grade;
+    the <=1e-12 on-chip claim is pinned by
+    tests/test_tpu_parity.py::test_df_gathered_bank_f64_grade_on_chip.
+    """
+
+    def _fixture(self, n=512, bank=16, nq=2048, seed=12):
+        rng = np.random.default_rng(seed)
+        x64 = np.cumsum(rng.uniform(0.05, 1.0, n))
+        d64 = rng.normal(size=(n, bank))
+        a64 = rng.normal(size=(n - 1, bank))
+        b64 = rng.normal(size=(n - 1, bank))
+        q64 = np.r_[
+            rng.uniform(x64[0] - 1, x64[-1] + 1, nq - 4),
+            [x64[0], x64[-1], x64[7], x64[n // 2]],
+        ]
+        return x64, d64, a64, b64, q64
+
+    def test_index_matches_df_oracle_interpret(self):
+        from ndarray_interp_tpu.ops.pallas_eval_df import fused_index_frac_df
+
+        x64, _, _, _, q64 = self._fixture()
+        args = [*df_from_f64(x64), *df_from_f64(q64)]
+        idx, th, tl = fused_index_frac_df(*map(jnp.asarray, args), interpret=True)
+        # oracle: searchsorted on the f64 values (DF-lexicographic ==
+        # f64 order for df_from_f64 pairs)
+        want = np.clip(
+            np.searchsorted(x64, q64, side="right") - 1, 0, len(x64) - 2
+        )
+        np.testing.assert_array_equal(np.asarray(idx), want)
+        t64 = (q64 - x64[want]) / (x64[want + 1] - x64[want])
+        got_t = np.asarray(th, np.float64) + np.asarray(tl, np.float64)
+        np.testing.assert_allclose(got_t, t64, rtol=1e-5, atol=1e-6)
+
+    def test_values_match_banked_xla_form_interpret(self):
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            eval_xla_df_banked,
+            gathered_bank_eval_df,
+        )
+
+        x64, d64, a64, b64, q64 = self._fixture()
+        args = []
+        for v in (x64, d64, a64, b64, q64):
+            args.extend(df_from_f64(v))
+        args = [jnp.asarray(v) for v in args]
+        hi, lo = gathered_bank_eval_df(*args, interpret=True)
+        whi, wlo = eval_xla_df_banked(*args)
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        want = np.asarray(whi, np.float64) + np.asarray(wlo, np.float64)
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(d64).max())
+        assert (np.abs(got - want) / scale).max() < 1e-5

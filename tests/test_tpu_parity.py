@@ -326,3 +326,39 @@ def test_eval_into_donated_aliases_buffer():
     assert got.unsafe_buffer_pointer() == ptr_before
     want = np.asarray(jax.jit(lambda i, qq: i.strategy.eval(i, qq))(itp, q))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+
+def test_df_gathered_bank_f64_grade_on_chip():
+    """VERDICT r2 task 3: the DF banked gather route (DF index kernel +
+    packed (hi,lo) gather + XLA DF tail) reaches f64 grade on chip at
+    the wide-bank workload shape."""
+    from ndarray_interp_tpu.ops.df import df_from_f64, df_to_f64
+    from ndarray_interp_tpu.ops.pallas_eval_df import gathered_bank_eval_df
+
+    rng = np.random.default_rng(13)
+    n, bank, nq = 10240, 64, 65536
+
+    def rep(v):
+        return df_to_f64(*df_from_f64(v))
+
+    x64 = rep(np.cumsum(rng.uniform(0.05, 1.0, n)))
+    d64 = rep(rng.normal(size=(n, bank)))
+    a64 = rep(rng.normal(size=(n - 1, bank)))
+    b64 = rep(rng.normal(size=(n - 1, bank)))
+    q64 = rep(rng.uniform(x64[0] - 1, x64[-1] + 1, nq))
+    args = []
+    for v in (x64, d64, a64, b64, q64):
+        args.extend(df_from_f64(v))
+    hi, lo = jax.jit(gathered_bank_eval_df)(*[jnp.asarray(v) for v in args])
+    got = df_to_f64(hi, lo)
+
+    idx = np.clip(np.searchsorted(x64, q64, side="right") - 1, 0, n - 2)
+    t = ((q64 - x64[idx]) / (x64[idx + 1] - x64[idx]))[:, None]
+    want = (
+        (1 - t) * d64[idx]
+        + t * d64[idx + 1]
+        + t * (1 - t) * (a64[idx] * (1 - t) + b64[idx] * t)
+    )
+    scale = np.maximum(np.abs(want), 0.01 * np.abs(d64).max())
+    rel = (np.abs(got - want) / scale).max()
+    assert rel < 1e-12, rel
