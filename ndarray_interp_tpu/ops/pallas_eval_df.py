@@ -486,23 +486,11 @@ def pack_bank_rows_df(d_hi, d_lo, a_hi, a_lo, b_hi, b_lo):
     )
 
 
-def gathered_bank_eval_df(
-    x_hi, x_lo, d_hi, d_lo, a_hi, a_lo, b_hi, b_lo, q_hi, q_lo,
-    interpret=False,
-):
-    """DF banked gather route: DF (idx, t) kernel → ONE packed (hi, lo)
-    row gather → XLA double-float Hermite tail (guarded EFTs — the tail
-    accuracy on the XLA:TPU surface is pinned by
-    ``tests/test_tpu_parity.py::test_df_banked_f64_grade_on_chip``'s
-    formulation and the gathered-route gate).  Returns (hi, lo) of shape
-    ``(nq, bank)``.  f64-grade wide-bank serving at kernel speed
-    (BASELINE.md row "10k-knot x64 bank DF EVAL")."""
-    idx, th, tl = fused_index_frac_df(
-        x_hi, x_lo, q_hi, q_lo, interpret=interpret
-    )
-    packed = pack_bank_rows_df(d_hi, d_lo, a_hi, a_lo, b_hi, b_lo)
-    rows = jnp.take(packed, idx, axis=0)
-    bank = d_hi.shape[1]
+def _df_xla_tail(rows, th, tl, bank):
+    """Guarded-EFT XLA DF Hermite on gathered rows — the non-TPU tail.
+    NOTE on TPU this formulation is ~12x slower than the Mosaic tail
+    kernel: every optimization barrier pins a (Q, bank) intermediate to
+    HBM (measured 172 ms vs ~14 ms on 10k x 64 x 1M)."""
     bp = rows.shape[1] // 8
 
     def sl(i):
@@ -529,3 +517,106 @@ def gathered_bank_eval_df(
         jnp.where(lin_inf, alt, base[0]),
         jnp.where(lin_inf, jnp.zeros_like(alt), base[1]),
     )
+
+
+def gathered_bank_eval_df(
+    x_hi, x_lo, d_hi, d_lo, a_hi, a_lo, b_hi, b_lo, q_hi, q_lo,
+    interpret=False,
+):
+    """DF banked gather route: DF (idx, t) kernel → ONE packed (hi, lo)
+    row gather → Mosaic DF Hermite tail (:func:`banked_df_tail`; the
+    guarded XLA tail is the non-TPU fallback — its barriers pin every
+    intermediate to HBM, measured 172 ms vs ~14 ms on chip).  Returns
+    (hi, lo) of shape ``(nq, bank)``.  f64-grade wide-bank serving at
+    kernel speed (BASELINE.md row "10k-knot x64 bank DF EVAL"; on-chip
+    accuracy gate ``test_df_gathered_bank_f64_grade_on_chip``)."""
+    nq = q_hi.shape[0]
+    npad = -(-nq // 512) * 512 - nq
+    if npad:  # pad BEFORE the gather: padding rows after would copy GBs
+        q_hi = jnp.pad(q_hi, (0, npad))
+        q_lo = jnp.pad(q_lo, (0, npad))
+    idx, th, tl = fused_index_frac_df(
+        x_hi, x_lo, q_hi, q_lo, interpret=interpret
+    )
+    packed = pack_bank_rows_df(d_hi, d_lo, a_hi, a_lo, b_hi, b_lo)
+    rows = jnp.take(packed, idx, axis=0)
+    bank = d_hi.shape[1]
+
+    def mosaic(rows, th, tl):
+        hi, lo = banked_df_tail(rows, th, tl, interpret=interpret)
+        return hi[:, :bank], lo[:, :bank]
+
+    hi, lo = jax.lax.platform_dependent(
+        rows, th, tl,
+        tpu=mosaic,
+        default=lambda r, h, l: _df_xla_tail(r, h, l, bank),
+    )
+    return hi[:nq], lo[:nq]
+
+
+def _df_tail_kernel(rows_ref, th_ref, tl_ref, outh_ref, outl_ref, *, bp):
+    """DF Hermite on gathered (hi, lo) rows, fully inside Mosaic: no
+    opacity barriers needed (Mosaic preserves the EFTs), no HBM
+    materialization between steps — the fix for the guarded XLA tail,
+    whose ~30 barrier-pinned (Q, bank) intermediates each round-trip
+    HBM (measured 172 ms/1M queries at 10k x 64; this kernel ~13 ms
+    total route)."""
+    from .df import no_guard
+
+    with no_guard():
+        rows = rows_ref[:]  # (B, 8*bp)
+        t = (th_ref[:], tl_ref[:])  # (B, 1) -> broadcasts over lanes
+
+        def sl(i):
+            return rows[:, i * bp : (i + 1) * bp]
+
+        y_l = (sl(0), sl(4))
+        y_r = (sl(1), sl(5))
+        a = (sl(2), sl(6))
+        b = (sl(3), sl(7))
+        one = (jnp.ones_like(t[0]), jnp.zeros_like(t[0]))
+        omt = df_sub(one, t)
+        base = df_add(
+            df_add(df_mul(omt, y_l), df_mul(t, y_r)),
+            df_mul(df_mul(t, omt), df_add(df_mul(a, omt), df_mul(b, t))),
+        )
+        tn = t[0]
+        lin_inf = (
+            jnp.isinf(tn)
+            & (a[0] == 0.0) & (a[1] == 0.0)
+            & (b[0] == 0.0) & (b[1] == 0.0)
+        )
+        alt = y_l[0] + tn * (y_r[0] - y_l[0])
+        outh_ref[:] = jnp.where(lin_inf, alt, base[0])
+        outl_ref[:] = jnp.where(lin_inf, jnp.zeros_like(alt), base[1])
+
+
+def banked_df_tail(rows, th, tl, interpret=False):
+    """Streaming Mosaic DF Hermite tail on gathered packed rows
+    ``(Q, 8*bp)`` (Q a multiple of 512).  Returns (hi, lo) of
+    ``(Q, bp)``.  NOTE interpret mode rewrites the EFTs — values are
+    f32-grade there (ops/df.py); Mosaic is exact."""
+    nq, ch = rows.shape
+    bp = ch // 8
+    bq = 512
+    assert nq % bq == 0, "pad idx/t to a 512 multiple before the gather"
+    nb = nq // bq
+    outh, outl = pl.pallas_call(
+        functools.partial(_df_tail_kernel, bp=bp),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rows, th.reshape(nq, 1), tl.reshape(nq, 1))
+    return outh, outl

@@ -1,3 +1,9 @@
+from ..ops.knotshard import (
+    max_sharded_knots,
+    pack_knot_shards,
+    place_knot_shards,
+    sharded_knot_eval,
+)
 from .sharding import (
     make_mesh,
     shard_interp1d,
@@ -9,9 +15,13 @@ from .sharding import (
 
 __all__ = [
     "make_mesh",
+    "max_sharded_knots",
+    "pack_knot_shards",
+    "place_knot_shards",
     "shard_interp1d",
     "shard_interp2d",
     "shard_queries",
     "sharded_eval_1d",
     "sharded_eval_2d",
+    "sharded_knot_eval",
 ]

@@ -366,3 +366,34 @@ class TestDFBankedGatherRoute:
         want = np.asarray(whi, np.float64) + np.asarray(wlo, np.float64)
         scale = np.maximum(np.abs(want), 0.01 * np.abs(d64).max())
         assert (np.abs(got - want) / scale).max() < 1e-5
+
+    def test_mosaic_tail_matches_xla_tail_interpret(self):
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            _df_xla_tail,
+            banked_df_tail,
+            pack_bank_rows_df,
+        )
+
+        x64, d64, a64, b64, q64 = self._fixture(nq=1024)
+        dfd = df_from_f64(d64)
+        dfa = df_from_f64(a64)
+        dfb = df_from_f64(b64)
+        packed = pack_bank_rows_df(
+            *(jnp.asarray(v) for v in (*dfd, *dfa, *dfb))
+        )
+        rng = np.random.default_rng(3)
+        idx = jnp.asarray(rng.integers(0, len(x64) - 1, 1024), jnp.int32)
+        th, tl = (
+            jnp.asarray(v)
+            for v in df_from_f64(rng.uniform(-0.5, 1.5, 1024))
+        )
+        rows = jnp.take(packed, idx, axis=0)
+        bank = d64.shape[1]
+        hi, lo = banked_df_tail(rows, th, tl, interpret=True)
+        whi, wlo = _df_xla_tail(rows, th, tl, bank)
+        got = np.asarray(hi[:, :bank], np.float64) + np.asarray(
+            lo[:, :bank], np.float64
+        )
+        want = np.asarray(whi, np.float64) + np.asarray(wlo, np.float64)
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(d64).max())
+        assert (np.abs(got - want) / scale).max() < 1e-5
