@@ -378,6 +378,39 @@ def main():
         "BASELINE.json config 2 / VERDICT r1 item 4",
     )
 
+    # NS2c: the same wide-bank workload at f64-grade accuracy — DF
+    # (idx, t) kernel + packed (hi, lo) gather + Mosaic DF tail
+    if on_tpu and not args.quick:
+        from ndarray_interp_tpu.ops.df import df_from_f64
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            gathered_bank_eval_df,
+        )
+
+        dfargs = []
+        for v in (
+            np.linspace(0, 1, n10k),
+            np.asarray(data10, np.float64),
+            np.asarray(a10, np.float64),
+            np.asarray(b10, np.float64),
+        ):
+            dfargs.extend(jnp.asarray(w) for w in df_from_f64(v))
+        qdfh, qdfl = (
+            jnp.asarray(w)
+            for w in df_from_f64(rng.uniform(0, 1, nq))
+        )
+
+        def df_run(qh, ql, _d):
+            return gathered_bank_eval_df(*dfargs, qh, ql)
+
+        t = device_timer(df_run, (qdfh, qdfl, dfargs[2]), var=0, links=2)
+        record(
+            f"NS2c: {n10k}-knot x{bank10k} bank DF EVAL (f64-grade), "
+            f"{nq//1000}k queries (device)",
+            t,
+            nq * bank10k,
+            "BASELINE.json:5 / VERDICT r2 task 3",
+        )
+
     # NS1b: large knot axis (256k) — hierarchical search + one gather
     # (ops/bigknots.py); the in-VMEM windowed kernel stops at 64k
     nbig = 66_000 if args.quick else 262_144

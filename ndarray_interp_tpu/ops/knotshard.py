@@ -90,7 +90,13 @@ def pack_knot_shards(knots, data, a, b, n_shards):
     )
     # windows of S+1 knots starting every S — the overlap IS the halo
     win = jnp.arange(s + 1)[None, :] + s * jnp.arange(n_shards)[:, None]
-    return kp[win], dp[win], ap.reshape(n_shards, s), bp.reshape(n_shards, s)
+    tail = a.shape[1:]  # trailing (bank) dims shard-replicate per knot shard
+    return (
+        kp[win],
+        dp[win],
+        ap.reshape((n_shards, s) + tail),
+        bp.reshape((n_shards, s) + tail),
+    )
 
 
 def _local_index_frac(kloc, q, idx_max):
@@ -125,15 +131,21 @@ def _hermite(y_l, y_r, a, b, t):
 
 
 def _local_eval(kloc, dloc, aloc, bloc, q, *, n, s, d_last, axis):
-    """One shard's contribution: zero-masked local Hermite values."""
+    """One shard's contribution: zero-masked local Hermite values.
+
+    Trailing (bank) dims of ``dloc``/``aloc``/``bloc`` are supported:
+    the bank replicates within each knot shard (shard it over a second
+    mesh axis with the usual bank sharding if needed)."""
     d = jax.lax.axis_index(axis)
     start = d * s
     # last real interval this shard holds, as a LOCAL index
     idx_max = jnp.clip(n - 2 - start, 0, s - 1)
     idx, t = _local_index_frac(kloc, q, idx_max)
+    tr = dloc.ndim - 1  # trailing (bank) dims
+    te = t.reshape(t.shape + (1,) * tr)
     rows_y_l = dloc[idx]
     rows_y_r = dloc[idx + 1]
-    val = _hermite(rows_y_l, rows_y_r, aloc[idx], bloc[idx], t)
+    val = _hermite(rows_y_l, rows_y_r, aloc[idx], bloc[idx], te)
 
     sd = kloc[0]
     ed = kloc[s]
@@ -150,10 +162,12 @@ def _local_eval(kloc, dloc, aloc, bloc, q, *, n, s, d_last, axis):
     t_last = (q - kloc[p_last - 1]) / (x_last - kloc[p_last - 1])
     val_last = _hermite(
         dloc[p_last - 1], dloc[p_last], aloc[p_last - 1], bloc[p_last - 1],
-        t_last,
+        t_last.reshape(t_last.shape + (1,) * tr),
     )
-    val = jnp.where(right, val_last, val)
-    return jnp.where(own, val, jnp.zeros((), val.dtype))
+    righte = right.reshape(right.shape + (1,) * tr)
+    val = jnp.where(righte, val_last, val)
+    owne = own.reshape(own.shape + (1,) * tr)
+    return jnp.where(owne, val, jnp.zeros((), val.dtype))
 
 
 def sharded_knot_eval(kshards, dshards, ashards, bshards, q, mesh, n,
@@ -177,21 +191,59 @@ def sharded_knot_eval(kshards, dshards, ashards, bshards, q, mesh, n,
         )
         return jax.lax.psum(out, axis)
 
-    spec = P(axis, None)
+    kspec = P(axis, None)
+
+    def spec_for(v):
+        return P(axis, *([None] * (v.ndim - 1)))
+
     rep = P()
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(spec, spec, spec, spec, rep),
+        in_specs=(kspec, spec_for(dshards), spec_for(ashards),
+                  spec_for(bshards), rep),
         out_specs=rep,
     )(kshards, dshards, ashards, bshards, q)
 
 
 def place_knot_shards(shards, mesh, axis="knot"):
-    """Device-put the packed shard stack with ``P(axis, None)`` so every
-    device holds only its own shard (+halo)."""
-    sh = NamedSharding(mesh, P(axis, None))
-    return tuple(jax.device_put(v, sh) for v in shards)
+    """Device-put the packed shard stack sharded over ``axis`` (leading
+    dim) so every device holds only its own shard (+halo)."""
+    return tuple(
+        jax.device_put(
+            v,
+            NamedSharding(mesh, P(axis, *([None] * (v.ndim - 1)))),
+        )
+        for v in shards
+    )
+
+
+def shard_interp1d_knots(interp, mesh, axis="knot"):
+    """Knot-shard an :class:`~ndarray_interp_tpu.models.interp1d.Interp1D`
+    over a mesh axis; returns an evaluator ``ev(q) -> (len(q), *bank)``.
+
+    Works for Linear (a = b = 0) and finished cubic/Hermite strategies
+    (which carry ``a``/``b``).  The strategy's extrapolation flag is not
+    consulted — like :func:`sharded_knot_eval`, OOB queries clamp to the
+    edge intervals (the caller masks if it wants errors)."""
+    x = interp.x
+    data = interp.data
+    strat = interp.strategy
+    a = getattr(strat, "a", None)
+    b = getattr(strat, "b", None)
+    if a is None:
+        a = jnp.zeros_like(data[:-1])
+        b = jnp.zeros_like(data[:-1])
+    n_shards = mesh.shape[axis]
+    shards = place_knot_shards(
+        pack_knot_shards(x, data, a, b, n_shards), mesh, axis
+    )
+    n = x.shape[0]
+
+    def ev(q):
+        return sharded_knot_eval(*shards, q, mesh=mesh, n=n, axis=axis)
+
+    return ev
 
 
 def max_sharded_knots(n_shards):

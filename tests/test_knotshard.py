@@ -181,3 +181,70 @@ def test_placed_shards_stay_local():
     )
     nan = np.isnan(want)
     np.testing.assert_allclose(got[~nan], want[~nan], rtol=2e-6, atol=1e-5)
+
+
+def test_banked_trailing_dims():
+    # trailing (bank) dims: the bank replicates within each knot shard
+    mesh = _mesh()
+    n, bank = 1000, 12
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(np.cumsum(rng.uniform(0.05, 1.0, n)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n, bank)).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=(n - 1, bank)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(n - 1, bank)).astype(np.float32))
+    q = jnp.asarray(
+        np.r_[
+            rng.uniform(float(x[0]) - 2, float(x[-1]) + 2, 500),
+            [float(x[0]), float(x[-1])],
+        ].astype(np.float32)
+    )
+    shards = pack_knot_shards(x, d, a, b, 8)
+    got = np.asarray(
+        jax.jit(
+            lambda *s: sharded_knot_eval(*s, mesh=mesh, n=n, axis="knot")
+        )(*shards, q)
+    )
+    assert got.shape == (502, bank)
+    # oracle: banked Hermite, numpy
+    xn = np.asarray(x)
+    idx = np.clip(np.searchsorted(xn, np.asarray(q), "right") - 1, 0, n - 2)
+    t = ((np.asarray(q) - xn[idx]) / (xn[idx + 1] - xn[idx]))[:, None]
+    dn, an, bn = np.asarray(d), np.asarray(a), np.asarray(b)
+    want = (
+        (1 - t) * dn[idx]
+        + t * dn[idx + 1]
+        + t * (1 - t) * (an[idx] * (1 - t) + bn[idx] * t)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
+def test_shard_interp1d_knots_convenience():
+    from ndarray_interp_tpu.models.interp1d import Interp1D
+    from ndarray_interp_tpu.models.strategies.cubic import CubicSpline
+    from ndarray_interp_tpu.ops.knotshard import shard_interp1d_knots
+
+    mesh = _mesh()
+    rng = np.random.default_rng(19)
+    n, bank = 600, 6
+    data = jnp.asarray(rng.normal(size=(n, bank)).astype(np.float32))
+    x = jnp.asarray(np.cumsum(rng.uniform(0.1, 1.0, n)).astype(np.float32))
+    itp = (
+        Interp1D.builder(data)
+        .x(x)
+        .strategy(CubicSpline().extrapolate(True))
+        .build()
+    )
+    ev = shard_interp1d_knots(itp, mesh)
+    q = jnp.asarray(
+        rng.uniform(float(x[0]), float(x[-1]), 300).astype(np.float32)
+    )
+    got = np.asarray(jax.jit(ev)(q))
+    want = np.asarray(itp.interp_array(q))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+    # Linear (no a/b on the strategy): a = b = 0 path
+    itp_lin = Interp1D.builder(data).x(x).build()
+    ev2 = shard_interp1d_knots(itp_lin, mesh)
+    got2 = np.asarray(jax.jit(ev2)(q))
+    want2 = np.asarray(itp_lin.interp_array(q))
+    np.testing.assert_allclose(got2, want2, rtol=2e-5, atol=1e-4)
