@@ -110,4 +110,53 @@ loss0 = float(np.sum(want, dtype=np.float32))
 err = float(np.max(np.abs(np.asarray(got) - want)))
 assert err == 0.0, f"sharded-vs-single mismatch: {err}"
 assert abs(loss - loss0) <= 1e-3 * max(1.0, abs(loss0)), (loss, loss0)
-print(f"RESULT {_pid} OK maxdiff={err} loss={loss:.6f}", flush=True)
+
+# knot-axis sharding ACROSS HOSTS: each process's devices own a slice of
+# the knot axis (capacity sharding over DCN); ownership masks + one psum
+# reassemble the full answer on every host
+from ndarray_interp_tpu.ops.knotshard import (
+    pack_knot_shards,
+    sharded_knot_eval,
+)
+
+kmesh = multihost.global_mesh(axis_names=("knot",))
+nk = 512
+xk_np = np.cumsum(rng.uniform(0.2, 1.0, nk)).astype(np.float32)
+dk_np = rng.normal(size=nk).astype(np.float32)
+ak_np = rng.normal(size=nk - 1).astype(np.float32)
+bk_np = rng.normal(size=nk - 1).astype(np.float32)
+qk_np = rng.uniform(xk_np[0] - 2, xk_np[-1] + 2, 300).astype(np.float32)
+nshards = kmesh.devices.size
+shards_local = pack_knot_shards(
+    jnp.asarray(xk_np), jnp.asarray(dk_np), jnp.asarray(ak_np),
+    jnp.asarray(bk_np), nshards,
+)
+from jax.sharding import NamedSharding as _NS
+
+gshards = tuple(
+    jax.make_array_from_callback(
+        v.shape,
+        _NS(kmesh, P("knot", *([None] * (v.ndim - 1)))),
+        lambda idx, vv=v: np.asarray(vv)[idx],
+    )
+    for v in shards_local
+)
+kq = jnp.asarray(qk_np)
+kout = jax.jit(
+    lambda *s: sharded_knot_eval(*s, mesh=kmesh, n=nk, axis="knot")
+)(*gshards, kq)
+kgot = np.asarray(multihost_utils.process_allgather(kout, tiled=True))
+kidx = np.clip(np.searchsorted(xk_np, qk_np, "right") - 1, 0, nk - 2)
+tk = (qk_np - xk_np[kidx]) / (xk_np[kidx + 1] - xk_np[kidx])
+kwant = (
+    (1 - tk) * dk_np[kidx]
+    + tk * dk_np[kidx + 1]
+    + tk * (1 - tk) * (ak_np[kidx] * (1 - tk) + bk_np[kidx] * tk)
+)
+kerr = float(np.max(np.abs(kgot - kwant) / np.maximum(np.abs(kwant), 1e-2)))
+assert kerr < 1e-4, f"knot-sharded multihost mismatch: {kerr}"
+
+print(
+    f"RESULT {_pid} OK maxdiff={err} loss={loss:.6f} knotshard={kerr:.2e}",
+    flush=True,
+)
