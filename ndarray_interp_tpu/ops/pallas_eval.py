@@ -116,8 +116,8 @@ def _dot3(hi, mid, lo, oh):
     return acc + jnp.dot(lo, oh, preferred_element_type=f32)
 
 
-def _kernel(lead_ref, kh_ref, km_ref, kl_ref, dh_ref, dm_ref, dl_ref,
-            ah_ref, am_ref, al_ref, q_ref, out_ref, *, n, w, c, wp):
+def _kernel(lead_ref, th_ref, tm_ref, tl_ref, q_ref, out_ref,
+            *, n, w, c, wp):
     f32 = jnp.float32
     q = q_ref[:]  # (1, B)
 
@@ -134,11 +134,17 @@ def _kernel(lead_ref, kh_ref, km_ref, kl_ref, dh_ref, dm_ref, dl_ref,
     #    especially feed a catastrophic cancellation in t).  The knot and
     #    data windows carry W+1 overlapping rows so both interval endpoints
     #    come from the same fetch; only [a, b] need per-interval channels.
+    #    The three tables ride the MXU VERTICALLY STACKED as one
+    #    (2Wp + 2W, C) operand (bit-identical: matmuls are
+    #    row-independent).  Measured NEUTRAL on NS1 (1.43 ms/1M both
+    #    ways, round 3) — the kernel is not fetch-utilization-bound at
+    #    these sizes — but it cuts 9 operand buffers to 3.
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, q.shape[1]), 0)
     oh1 = (iota_c == cidx.astype(jnp.int32)).astype(jnp.bfloat16)  # (C, B)
-    win_x = _dot3(kh_ref[:], km_ref[:], kl_ref[:], oh1)  # (Wp, B)
-    win_d = _dot3(dh_ref[:], dm_ref[:], dl_ref[:], oh1)  # (Wp, B)
-    win_ab = _dot3(ah_ref[:], am_ref[:], al_ref[:], oh1)  # (2W, B)
+    win = _dot3(th_ref[:], tm_ref[:], tl_ref[:], oh1)  # (2Wp+2W, B)
+    win_x = win[:wp]
+    win_d = win[wp : 2 * wp]
+    win_ab = win[2 * wp :]
 
     # 3. fine: position within the window (first W rows are this block's
     #    knots; row W duplicates the next block's leader), reference clamp
@@ -273,13 +279,13 @@ def _fused_eval_impl(knots, tbl, q, interpret=False):
 
     wp = -(-(w + 1) // 16) * 16  # bf16 sublane alignment
     lead, kwin, dwin, abblk = _pack_windows(knots, data, a, b, w, c, wp)
-    kh, km, kl = _split3(kwin)
-    dh, dm, dl = _split3(dwin)
-    ah, am, al = _split3(abblk)
+    tall = jnp.concatenate([kwin, dwin, abblk], axis=0)  # (2Wp+2W, C)
+    th, tm, tl = _split3(tall)
 
     nb = (nq + B - 1) // B
     qpad = jnp.pad(q, (0, nb * B - nq)).reshape(1, nb * B)
 
+    rows = 2 * wp + 2 * w
     kern = functools.partial(_kernel, n=n, w=w, c=c, wp=wp)
     fix = lambda i: (0, 0)
     out = pl.pallas_call(
@@ -287,21 +293,15 @@ def _fused_eval_impl(knots, tbl, q, interpret=False):
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((c - 1, 1), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, c), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, c), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, c), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, c), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, c), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, c), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * w, c), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * w, c), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * w, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, c), fix, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, nb * B), jnp.float32),
         interpret=interpret,
-    )(lead, kh, km, kl, dh, dm, dl, ah, am, al, qpad)
+    )(lead, th, tm, tl, qpad)
     return out.reshape(nb * B)[:nq]
 
 
