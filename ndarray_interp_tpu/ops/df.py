@@ -85,12 +85,45 @@ def _split(a):
     return hi, a - hi
 
 
+def _materialize_broadcast(x, shape):
+    """Broadcast through the INTEGER domain with a barrier: XLA:CPU's
+    emitter otherwise sinks the float broadcast and scalarizes the
+    producer column, where LLVM contracts the Veltkamp split's
+    multiply-subtract into an FMA and the split collapses (measured:
+    a (Q,1) x (Q,bank) two_prod lost its error term to f32 grade on
+    CPU jit while every graph-level guard survived intact in the HLO —
+    the corruption is below HLO).  Bitcasting to int32 before the
+    broadcast severs the float producer chain at the emitter level."""
+    if tuple(jnp.shape(x)) == tuple(shape):
+        return x
+    import jax
+
+    x = jnp.asarray(x)
+    if x.dtype != jnp.float32:
+        return jnp.broadcast_to(x, shape)
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    xi = jax.lax.optimization_barrier(jnp.broadcast_to(xi, shape))
+    return jax.lax.bitcast_convert_type(xi, x.dtype)
+
+
 def two_prod(a, b):
-    """p, e with p = fl(a*b) and p + e == a * b exactly (Dekker)."""
-    p = a * b
+    """p, e with p = fl(a*b) and p + e == a * b exactly (Dekker).
+
+    Broadcasting operands (e.g. a (Q,1) pair against a (Q,bank) pair)
+    are materialized through :func:`_materialize_broadcast` first — see
+    its docstring for the XLA:CPU emitter trap this defeats.  Inside
+    Mosaic kernel bodies (``no_guard``) nothing is needed: Mosaic
+    neither contracts nor rewrites the sequences (pinned on chip)."""
+    if _GUARDED and jnp.shape(a) != jnp.shape(b):
+        shape = jnp.broadcast_shapes(jnp.shape(a), jnp.shape(b))
+        a = _materialize_broadcast(a, shape)
+        b = _materialize_broadcast(b, shape)
+    p = _guard(a * b)
     ah, al = _split(a)
     bh, bl = _split(b)
-    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    err = (
+        (_guard(ah * bh) - p) + _guard(ah * bl) + _guard(al * bh)
+    ) + al * bl
     return p, err
 
 

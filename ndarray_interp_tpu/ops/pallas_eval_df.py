@@ -274,11 +274,16 @@ def eval_xla_df_2d(
     """Double-float bilinear evaluation (reference semantics
     ``bilinear.rs:64-98``), pure XLA: the corner fetch is gather-bound on
     every backend, so no kernel is needed — only the arithmetic runs in
-    (hi, lo) pairs.  Scalar trailing dims; returns the (hi, lo) result."""
+    (hi, lo) pairs.  ``z`` may carry trailing (bank) dims; returns the
+    (hi, lo) result of shape ``(nq, *z.shape[2:])``."""
     nx, ny = x_hi.shape[0], y_hi.shape[0]
     xi = _df_lower_index(x_hi, x_lo, qx_hi, qx_lo, nx)
     yi = _df_lower_index(y_hi, y_lo, qy_hi, qy_lo, ny)
-    pick = lambda vh, vl, i: (vh[i], vl[i])
+    ex = (Ellipsis,) + (None,) * (z_hi.ndim - 2)  # broadcast over trailing
+
+    def pick(vh, vl, i):
+        return (vh[i][ex], vl[i][ex])
+
     x1 = pick(x_hi, x_lo, xi)
     x2 = pick(x_hi, x_lo, xi + 1)
     y1 = pick(y_hi, y_lo, yi)
@@ -287,8 +292,8 @@ def eval_xla_df_2d(
     z12 = (z_hi[xi, yi + 1], z_lo[xi, yi + 1])
     z21 = (z_hi[xi + 1, yi], z_lo[xi + 1, yi])
     z22 = (z_hi[xi + 1, yi + 1], z_lo[xi + 1, yi + 1])
-    qx = (qx_hi, qx_lo)
-    qy = (qy_hi, qy_lo)
+    qx = (qx_hi[ex], qx_lo[ex])
+    qy = (qy_hi[ex], qy_lo[ex])
     zq1 = _df_calc_frac(x1, z11, x2, z21, qx)
     zq2 = _df_calc_frac(x1, z12, x2, z22, qx)
     return _df_calc_frac(y1, zq1, y2, zq2, qy)
@@ -620,3 +625,160 @@ def banked_df_tail(rows, th, tl, interpret=False):
         interpret=interpret,
     )(rows, th.reshape(nq, 1), tl.reshape(nq, 1))
     return outh, outl
+
+
+# -- DF bilinear gather route (config-3 f64-grade story) ----------------------
+
+
+def pack_bilinear_rows_df(z_hi, z_lo):
+    """DF per-cell corner rows ``((nx-1)(ny-1), 8*bp)``: the 4 corner
+    blocks hi then lo, trailing dims flattened and padded to bp
+    (multiple of 8).  z: (nx, ny, *trailing) pairs."""
+    nx, ny = z_hi.shape[0], z_hi.shape[1]
+    r = 1
+    for s in z_hi.shape[2:]:
+        r *= s
+    bp = -(-r // 8) * 8
+
+    def corners(g):
+        g = g.reshape(nx, ny, r)
+        quad = jnp.stack(
+            [g[:-1, :-1], g[:-1, 1:], g[1:, :-1], g[1:, 1:]], axis=2
+        )  # (nx-1, ny-1, 4, r)
+        if bp != r:
+            quad = jnp.pad(quad, ((0, 0),) * 3 + ((0, bp - r),))
+        return quad.reshape(nx - 1, ny - 1, 4 * bp)
+
+    return jnp.concatenate([corners(z_hi), corners(z_lo)], axis=-1).reshape(
+        (nx - 1) * (ny - 1), 8 * bp
+    )
+
+
+def _df_bilinear_tail_kernel(
+    rows_ref, txh_ref, txl_ref, tyh_ref, tyl_ref, outh_ref, outl_ref, *, bp
+):
+    """DF bilinear on gathered corner rows, fully inside Mosaic (EFTs
+    preserved, no barrier-pinned HBM round trips — see _df_tail_kernel).
+    Lerp-with-t form: z1 + t*(z2 - z1), equivalent to the reference
+    calc_frac to DF rounding."""
+    from .df import no_guard
+
+    with no_guard():
+        rows = rows_ref[:]  # (B, 8*bp)
+        tx = (txh_ref[:], txl_ref[:])  # (B, 1)
+        ty = (tyh_ref[:], tyl_ref[:])
+
+        def sl(i):
+            return rows[:, i * bp : (i + 1) * bp]
+
+        z11 = (sl(0), sl(4))
+        z12 = (sl(1), sl(5))
+        z21 = (sl(2), sl(6))
+        z22 = (sl(3), sl(7))
+        zq1 = df_add(z11, df_mul(tx, df_sub(z21, z11)))
+        zq2 = df_add(z12, df_mul(tx, df_sub(z22, z12)))
+        out = df_add(zq1, df_mul(ty, df_sub(zq2, zq1)))
+        outh_ref[:] = out[0]
+        outl_ref[:] = out[1]
+
+
+def bilinear_df_tail(rows, txh, txl, tyh, tyl, interpret=False):
+    """Streaming Mosaic DF bilinear tail; rows (Q, 8*bp), Q a multiple
+    of 512.  Returns (hi, lo) of (Q, bp)."""
+    nq, ch = rows.shape
+    bp = ch // 8
+    bq = 512
+    assert nq % bq == 0
+    nb = nq // bq
+    specs_t = [
+        pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ] * 4
+    outh, outl = pl.pallas_call(
+        functools.partial(_df_bilinear_tail_kernel, bp=bp),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        + specs_t,
+        out_specs=[
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        rows,
+        txh.reshape(nq, 1), txl.reshape(nq, 1),
+        tyh.reshape(nq, 1), tyl.reshape(nq, 1),
+    )
+    return outh, outl
+
+
+def _df_bilinear_xla_tail(rows, txh, txl, tyh, tyl, r):
+    """Guarded-EFT XLA form of the bilinear tail (non-TPU fallback)."""
+    bp = rows.shape[1] // 8
+
+    def sl(i):
+        return rows[:, i * bp : i * bp + r]
+
+    z11 = (sl(0), sl(4))
+    z12 = (sl(1), sl(5))
+    z21 = (sl(2), sl(6))
+    z22 = (sl(3), sl(7))
+    tx = (txh[:, None], txl[:, None])
+    ty = (tyh[:, None], tyl[:, None])
+    zq1 = df_add(z11, df_mul(tx, df_sub(z21, z11)))
+    zq2 = df_add(z12, df_mul(tx, df_sub(z22, z12)))
+    out = df_add(zq1, df_mul(ty, df_sub(zq2, zq1)))
+    return out[0], out[1]
+
+
+def gathered_bilinear_eval_df(
+    x_hi, x_lo, y_hi, y_lo, z_hi, z_lo, qx_hi, qx_lo, qy_hi, qy_lo,
+    interpret=False,
+):
+    """DF bilinear gather route: two DF (idx, t) kernels + ONE packed
+    (hi, lo) corner-row gather + Mosaic DF tail — the config-3 f64-grade
+    path at kernel speed (the 8-separate-corner-fetch XLA form pays
+    ~8 gather passes on TPU; the guarded tail would pin intermediates,
+    see _df_tail_kernel).  z may carry trailing dims; returns (hi, lo)
+    of ``(nq, *z.shape[2:])``."""
+    nx, ny = x_hi.shape[0], y_hi.shape[0]
+    trailing = z_hi.shape[2:]
+    r = 1
+    for s in trailing:
+        r *= s
+    nq = qx_hi.shape[0]
+    npad = -(-nq // 512) * 512 - nq
+    if npad:
+        qx_hi = jnp.pad(qx_hi, (0, npad))
+        qx_lo = jnp.pad(qx_lo, (0, npad))
+        qy_hi = jnp.pad(qy_hi, (0, npad))
+        qy_lo = jnp.pad(qy_lo, (0, npad))
+    xi, txh, txl = fused_index_frac_df(
+        x_hi, x_lo, qx_hi, qx_lo, interpret=interpret
+    )
+    yi, tyh, tyl = fused_index_frac_df(
+        y_hi, y_lo, qy_hi, qy_lo, interpret=interpret
+    )
+    packed = pack_bilinear_rows_df(z_hi, z_lo)
+    rows = jnp.take(packed, xi * (ny - 1) + yi, axis=0)
+
+    def mosaic(rows, a1, a2, a3, a4):
+        hi, lo = bilinear_df_tail(rows, a1, a2, a3, a4, interpret=interpret)
+        return hi[:, :r], lo[:, :r]
+
+    hi, lo = jax.lax.platform_dependent(
+        rows, txh, txl, tyh, tyl,
+        tpu=mosaic,
+        default=lambda rw, a1, a2, a3, a4: _df_bilinear_xla_tail(
+            rw, a1, a2, a3, a4, r
+        ),
+    )
+    return (
+        hi[:nq].reshape((nq,) + trailing),
+        lo[:nq].reshape((nq,) + trailing),
+    )

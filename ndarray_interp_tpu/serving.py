@@ -348,24 +348,25 @@ def eval_into_donated(interp, queries, out):
 
 class DoubleFloatEvaluator2D(_BucketedEvaluator):
     """2-D analogue of :class:`DoubleFloatEvaluator`: f64-grade bilinear
-    serving on f32 hardware via the plain-XLA double-float formulation
-    (``ops/pallas_eval_df.eval_xla_df_2d`` — the corner fetch is
-    gather-bound on every backend, so there is no kernel variant).
-    Scalar trailing dims; build the Interp2D eagerly in f64 on CPU."""
+    serving on f32 hardware.  On TPU (both axes within the windowed
+    plan) queries run the DF gather route — two DF (idx, t) kernels +
+    ONE packed (hi, lo) corner-row gather + a Mosaic DF tail
+    (``gathered_bilinear_eval_df``); elsewhere the plain-XLA DF
+    formulation.  Trailing (bank) dims supported; build the Interp2D
+    eagerly in f64 on CPU."""
 
     def __init__(self, interp, max_batch: int = 1 << 20, buckets=None):
         import numpy as np
 
-        from .errors import BuilderValueError
         from .ops.df import df_from_f64
-        from .ops.pallas_eval_df import eval_xla_df_2d
+        from .ops.pallas_eval import _plan
+        from .ops.pallas_eval_df import (
+            eval_xla_df_2d,
+            gathered_bilinear_eval_df,
+        )
 
         super().__init__(interp, max_batch, buckets)
-        if interp.data.ndim != 2:
-            raise BuilderValueError(
-                "DoubleFloatEvaluator2D supports scalar trailing dims "
-                f"(data shape {tuple(interp.data.shape)})"
-            )
+        self._trailing = tuple(interp.data.shape[2:])
         self._extrapolates = bool(
             getattr(interp.strategy, "extrapolates", False)
         )
@@ -377,11 +378,30 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
         for v in (x64, y64, np.asarray(interp.data, np.float64)):
             pairs.extend(df_from_f64(v))
         self._pairs = pairs
-        self._run = jax.jit(
-            lambda qxh, qxl, qyh, qyl: eval_xla_df_2d(
-                *self._pairs, qxh, qxl, qyh, qyl
-            )
+        kernel_ok = (
+            _plan(x64.shape[0]) is not None
+            and _plan(y64.shape[0]) is not None
         )
+        if kernel_ok:
+
+            def run(qxh, qxl, qyh, qyl):
+                return jax.lax.platform_dependent(
+                    qxh, qxl, qyh, qyl,
+                    tpu=lambda a, b, c, d: gathered_bilinear_eval_df(
+                        *self._pairs, a, b, c, d
+                    ),
+                    default=lambda a, b, c, d: eval_xla_df_2d(
+                        *self._pairs, a, b, c, d
+                    ),
+                )
+
+            self._run = jax.jit(run)
+        else:
+            self._run = jax.jit(
+                lambda qxh, qxl, qyh, qyl: eval_xla_df_2d(
+                    *self._pairs, qxh, qxl, qyh, qyl
+                )
+            )
 
     def __call__(self, xs, ys):
         import numpy as np
@@ -399,7 +419,7 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
         fx = qx.reshape(-1)
         fy = qy.reshape(-1)
         if fx.shape[0] == 0:
-            return np.zeros(qx.shape)
+            return np.zeros(qx.shape + self._trailing)
         if not self._extrapolates:
             for name, f, (lo, hi) in (
                 ("x", fx, self._xr),
@@ -427,4 +447,4 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
                 cy = np.concatenate([cy, np.full(pad, self._yr[0])])
             hi, lo = self._run(*df_from_f64(cx), *df_from_f64(cy))
             outs.append(df_to_f64(hi, lo))
-        return np.concatenate(outs)[:n].reshape(qx.shape)
+        return np.concatenate(outs)[:n].reshape(qx.shape + self._trailing)

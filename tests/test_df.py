@@ -397,3 +397,110 @@ class TestDFBankedGatherRoute:
         want = np.asarray(whi, np.float64) + np.asarray(wlo, np.float64)
         scale = np.maximum(np.abs(want), 0.01 * np.abs(d64).max())
         assert (np.abs(got - want) / scale).max() < 1e-5
+
+
+class TestDFBilinearGatherRoute:
+    """DF bilinear gather route (config-3 f64-grade story): DF (idx, t)
+    kernels + one packed (hi, lo) corner-row gather + Mosaic/XLA tail."""
+
+    def _fixture(self, nx=96, ny=64, trailing=(), nq=2048, seed=27):
+        rng = np.random.default_rng(seed)
+        x64 = np.cumsum(rng.uniform(0.05, 1.0, nx))
+        y64 = np.cumsum(rng.uniform(0.05, 1.0, ny))
+        z64 = rng.normal(size=(nx, ny) + trailing)
+        qx64 = rng.uniform(x64[0] - 1, x64[-1] + 1, nq)
+        qy64 = rng.uniform(y64[0] - 1, y64[-1] + 1, nq)
+        return x64, y64, z64, qx64, qy64
+
+    @pytest.mark.parametrize("trailing", [(), (5,)])
+    def test_matches_xla_2d_form_interpret(self, trailing):
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            eval_xla_df_2d,
+            gathered_bilinear_eval_df,
+        )
+
+        x64, y64, z64, qx64, qy64 = self._fixture(trailing=trailing)
+        args = []
+        for v in (x64, y64, z64, qx64, qy64):
+            args.extend(jnp.asarray(w) for w in df_from_f64(v))
+        hi, lo = gathered_bilinear_eval_df(*args, interpret=True)
+        whi, wlo = eval_xla_df_2d(*args)
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        want = np.asarray(whi, np.float64) + np.asarray(wlo, np.float64)
+        assert got.shape == (2048,) + trailing
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(z64).max())
+        assert (np.abs(got - want) / scale).max() < 1e-5
+
+    def test_serving_evaluator_2d_banked(self):
+        from ndarray_interp_tpu.interp2d import Interp2D
+        from ndarray_interp_tpu.serving import DoubleFloatEvaluator2D
+
+        rng = np.random.default_rng(28)
+        nx, ny, r = 24, 20, 3
+        x = jnp.asarray(np.linspace(0.0, 1.0, nx))
+        y = jnp.asarray(np.linspace(0.0, 2.0, ny))
+        data = jnp.asarray(rng.normal(size=(nx, ny, r)))
+        itp = Interp2D.builder(data).x(x).y(y).build()
+        ev = DoubleFloatEvaluator2D(itp, max_batch=512)
+        qx = rng.uniform(0, 1, 300)
+        qy = rng.uniform(0, 2, 300)
+        got = ev(qx, qy)
+        assert got.shape == (300, r)
+        want = np.asarray(itp.interp_array(qx, qy))
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
+        assert (np.abs(got - want) / scale).max() < 1e-9
+
+
+def test_two_prod_broadcast_exact_under_jit():
+    """Round-3 regression: (Q,1) x (Q,bank) two_prod under CPU jit lost
+    its error term to an emitter-level FMA contraction of the Veltkamp
+    split (the HLO was correct; the corruption was below it).  The
+    integer-domain broadcast materialization must keep it exact."""
+    import jax
+
+    from ndarray_interp_tpu.ops.df import two_prod
+
+    rng = np.random.default_rng(0)
+    for sa, sb in [((50, 1), (50, 3)), ((50, 3), (50, 1)), ((1,), (64,))]:
+        a = jnp.asarray(rng.normal(size=sa).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=sb).astype(np.float32))
+        ref = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+        p, e = jax.jit(two_prod)(a, b)
+        got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_banked_xla_df_f64_grade_on_cpu():
+    """With the broadcast fix the banked XLA DF form reaches DF grade
+    on the CPU jit surface — same ~2.6e-12 max over 32k x bank samples
+    (near-cancellation points) as the on-chip gate; 4e-12 threshold
+    mirrors test_tpu_parity.py's banked gates."""
+    import jax
+
+    from ndarray_interp_tpu.ops.pallas_eval_df import eval_xla_df_banked
+
+    rng = np.random.default_rng(33)
+    n, bank, nq = 256, 8, 4096
+
+    def rep(v):
+        return df_to_f64(*df_from_f64(v))
+
+    x64 = rep(np.linspace(0.0, 1.0, n))
+    d64 = rep(rng.normal(size=(n, bank)))
+    a64 = rep(rng.normal(size=(n - 1, bank)))
+    b64 = rep(rng.normal(size=(n - 1, bank)))
+    q64 = rep(rng.uniform(-0.1, 1.1, nq))
+    args = []
+    for v in (x64, d64, a64, b64, q64):
+        args.extend(jnp.asarray(w) for w in df_from_f64(v))
+    hi, lo = jax.jit(eval_xla_df_banked)(*args)
+    got = df_to_f64(hi, lo)
+    idx = np.clip(np.searchsorted(x64, q64, side="right") - 1, 0, n - 2)
+    t = ((q64 - x64[idx]) / (x64[idx + 1] - x64[idx]))[:, None]
+    want = (
+        (1 - t) * d64[idx]
+        + t * d64[idx + 1]
+        + t * (1 - t) * (a64[idx] * (1 - t) + b64[idx] * t)
+    )
+    scale = np.maximum(np.abs(want), 0.01 * np.abs(d64).max())
+    assert (np.abs(got - want) / scale).max() < 4e-12

@@ -367,3 +367,43 @@ def test_df_gathered_bank_f64_grade_on_chip():
     # 4e-12 over 4M samples incl. near-cancellation points (measured
     # 1.7e-12 max on chip) — ~49-bit grade; see the banked-XLA gate note
     assert rel < 4e-12, rel
+
+
+def test_df_gathered_bilinear_f64_grade_on_chip():
+    """Round 3: the DF bilinear gather route (two DF (idx,t) kernels +
+    packed (hi,lo) corner gather + Mosaic tail) reaches DF grade on chip
+    with banked trailing dims (config-3 f64-grade story)."""
+    from ndarray_interp_tpu.ops.df import df_from_f64, df_to_f64
+    from ndarray_interp_tpu.ops.pallas_eval_df import (
+        gathered_bilinear_eval_df,
+    )
+
+    rng = np.random.default_rng(14)
+    nx, ny, r, nq = 256, 192, 8, 32768
+
+    def rep(v):
+        return df_to_f64(*df_from_f64(v))
+
+    x64 = rep(np.cumsum(rng.uniform(0.05, 1.0, nx)))
+    y64 = rep(np.cumsum(rng.uniform(0.05, 1.0, ny)))
+    z64 = rep(rng.normal(size=(nx, ny, r)))
+    qx64 = rep(rng.uniform(x64[0] - 1, x64[-1] + 1, nq))
+    qy64 = rep(rng.uniform(y64[0] - 1, y64[-1] + 1, nq))
+    args = []
+    for v in (x64, y64, z64, qx64, qy64):
+        args.extend(jnp.asarray(w) for w in df_from_f64(v))
+    hi, lo = jax.jit(gathered_bilinear_eval_df)(*args)
+    got = df_to_f64(hi, lo)
+
+    xi = np.clip(np.searchsorted(x64, qx64, side="right") - 1, 0, nx - 2)
+    yi = np.clip(np.searchsorted(y64, qy64, side="right") - 1, 0, ny - 2)
+    tx = ((qx64 - x64[xi]) / (x64[xi + 1] - x64[xi]))[:, None]
+    ty = ((qy64 - y64[yi]) / (y64[yi + 1] - y64[yi]))[:, None]
+    z1 = z64[xi, yi] + tx * (z64[xi + 1, yi] - z64[xi, yi])
+    z2 = z64[xi, yi + 1] + tx * (z64[xi + 1, yi + 1] - z64[xi, yi + 1])
+    want = z1 + ty * (z2 - z1)
+    scale = np.maximum(np.abs(want), 0.01 * np.abs(z64).max())
+    rel = (np.abs(got - want) / scale).max()
+    # 4e-12 over 256k samples (near-cancellation points; see the banked
+    # gates' note)
+    assert rel < 4e-12, rel
