@@ -467,6 +467,42 @@ def main():
             "beyond-reference (tensor-product NAK cubic)",
         )
 
+    # NS3c: config-3 at f64 grade — DF bilinear gather route (two DF
+    # (idx, t) kernels + one packed (hi, lo) corner gather + Mosaic tail)
+    if on_tpu and not args.quick:
+        from ndarray_interp_tpu.ops.df import df_from_f64
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            gathered_bilinear_eval_df,
+        )
+
+        df3 = []
+        for v in (
+            np.arange(g_shape[0], dtype=np.float64),
+            np.arange(g_shape[1], dtype=np.float64),
+            np.asarray(grid3, np.float64),
+        ):
+            df3.extend(jnp.asarray(w) for w in df_from_f64(v))
+        qx3h, qx3l = (
+            jnp.asarray(w) for w in df_from_f64(np.asarray(qx3, np.float64).reshape(-1))
+        )
+        qy3h, qy3l = (
+            jnp.asarray(w) for w in df_from_f64(np.asarray(qy3, np.float64).reshape(-1))
+        )
+
+        def df3_run(a, b, c, d, _z):
+            return gathered_bilinear_eval_df(*df3, a, b, c, d)
+
+        t = device_timer(
+            df3_run, (qx3h, qx3l, qy3h, qy3l, df3[4]), var=0, links=2
+        )
+        record(
+            f"NS3c: bilinear {g_shape} DF EVAL (f64-grade), {qn//1000}k "
+            "2-D queries (device)",
+            t,
+            qn,
+            "BASELINE.json config 3 + :5 (f64-grade)",
+        )
+
     # NS4: Akima + PCHIP through the strategy protocol
     for name, s in (("akima", Akima()), ("pchip", Pchip())):
         k_fn = jax.jit(
