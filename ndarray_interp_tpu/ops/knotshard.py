@@ -103,7 +103,10 @@ def _local_index_frac(kloc, q, idx_max):
     """Local ``(idx, t)`` on the shard's S+1 knots, idx clamped to
     ``[0, idx_max]`` (the shard's last *real* interval)."""
     n_loc = kloc.shape[0]
-    if n_loc > _LOCAL_BIG:
+    if n_loc > _LOCAL_BIG and kloc.dtype == jnp.float32:
+        # hierarchical big-route search (its exact one-hot table fetch
+        # bitcast-splits f32 only — other dtypes take the searchsorted
+        # path below)
         idx, _ = big_lower_index_frac(kloc, q, pallas=False)
         idx = jnp.minimum(idx, idx_max)
         x_l = kloc[idx]

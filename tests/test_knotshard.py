@@ -282,3 +282,28 @@ def test_grad_flows_through_sharded_eval():
     np.testing.assert_allclose(
         np.asarray(gq), np.asarray(gq_want), rtol=2e-4, atol=1e-3
     )
+
+
+def test_f64_axis_on_cpu():
+    # non-f32 dtypes route the local search through searchsorted (the
+    # big-route one-hot fetch is f32-only); exercised in f64 on CPU
+    mesh = _mesh()
+    n = 2000
+    rng = np.random.default_rng(41)
+    x = jnp.asarray(np.cumsum(rng.uniform(0.05, 1.0, n)))
+    d = jnp.asarray(rng.normal(size=n))
+    a = jnp.asarray(rng.normal(size=n - 1))
+    b = jnp.asarray(rng.normal(size=n - 1))
+    if x.dtype != jnp.float64:
+        pytest.skip("x64 disabled")
+    q = jnp.asarray(rng.uniform(float(x[0]), float(x[-1]), 500))
+    shards = pack_knot_shards(x, d, a, b, 8)
+    got = np.asarray(
+        jax.jit(
+            lambda *s: sharded_knot_eval(*s, mesh=mesh, n=n, axis="knot")
+        )(*shards, q)
+    )
+    want = np.asarray(
+        jax.jit(_eval_xla)(x, make_interval_table(x, d, a, b), q)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
