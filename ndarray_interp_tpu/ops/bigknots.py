@@ -154,14 +154,9 @@ def _window_refine(kwin, block, q, n, w):
     return idx, ohl, x_l, x_r
 
 
-def _refine_and_eval(rows, block, q, n, w):
-    """Window select + Hermite on gathered rows (XLA, exact op order)."""
+def _refine_windows(kwin, dwin, awin, bwin, block, q, n, w):
+    """Window select + Hermite on extracted window slices (XLA)."""
     f32 = jnp.float32
-    w1 = w + 1
-    kwin = rows[:, :w1]  # (Q, W+1)
-    dwin = rows[:, w1 : 2 * w1]
-    awin = rows[:, 2 * w1 : 2 * w1 + w]
-    bwin = rows[:, 2 * w1 + w : 2 * w1 + 2 * w]
     idx, ohl, x_l, x_r = _window_refine(kwin, block, q, n, w)
     y_l = jnp.sum(dwin[:, :w] * ohl, axis=1)
     y_r = jnp.sum(dwin[:, 1 : w + 1] * ohl, axis=1)
@@ -173,6 +168,30 @@ def _refine_and_eval(rows, block, q, n, w):
     lin_inf = jnp.isinf(t) & (a == 0) & (b == 0)
     out = jnp.where(lin_inf, y_l + t * (y_r - y_l), base)
     return idx.astype(jnp.int32), t, out
+
+
+def _refine_and_eval(rows, block, q, n, w):
+    """Window select + Hermite on gathered rows (XLA, exact op order)."""
+    w1 = w + 1
+    return _refine_windows(
+        rows[:, :w1],
+        rows[:, w1 : 2 * w1],
+        rows[:, 2 * w1 : 2 * w1 + w],
+        rows[:, 2 * w1 + w : 2 * w1 + 2 * w],
+        block, q, n, w,
+    )
+
+
+def _refine_and_eval_aligned(rows, block, q, n, w):
+    """XLA refine on the 32-lane-aligned (Q, 128) row layout."""
+    w1 = w + 1
+    return _refine_windows(
+        rows[:, :w1],
+        rows[:, _SEC : _SEC + w1],
+        rows[:, 2 * _SEC : 2 * _SEC + w],
+        rows[:, 3 * _SEC : 3 * _SEC + w],
+        block, q, n, w,
+    )
 
 
 def can_use_big(x, data):
@@ -189,6 +208,10 @@ def _big_eval_impl(knots, data, a, b, q, interpret=False, pallas=True):
     w, c, c1, c2 = _geometry(n)
     kp = _pad_knots(knots, w, c1, c2)
     block = _block_of(kp, n, w, c, c1, c2, q, interpret=interpret, pallas=pallas)
+    # NOTE round-3 negative result (see _refine_and_eval_mosaic): a
+    # Mosaic refine tail on 128-lane-aligned rows measured 15.5 ms vs
+    # 12.1 ms for this XLA refine on NS1b — the kernel's 7 cross-lane
+    # reduces per query cost more than the XLA selects' restreams save.
     rows = jnp.take(_pack_rows(kp, data, a, b, w, c), block, axis=0)
     _, _, out = _refine_and_eval(rows, block, q, n, w)
     return out
@@ -239,3 +262,113 @@ def big_lower_index_frac(knots, q, interpret=False, pallas=True):
     rows = jnp.take(krows, block, axis=0)
     idx, _, x_l, x_r = _window_refine(rows[:, : w + 1], block, q, n, w)
     return idx.astype(jnp.int32), (q - x_l) / (x_r - x_l)
+
+
+# -- Mosaic refine tail: a round-3 NEGATIVE RESULT, kept as the record --------
+#
+# Hypothesis: the XLA refine re-streams the gathered block rows once per
+# select (the gather-fusion boundary, docs/ROADMAP.md) — ~4 ms of the
+# 12 ms NS1b total — so a Mosaic kernel doing the fine count, one-hot
+# selects, and Hermite in ONE stream of 128-lane-aligned rows should
+# save most of it.  Measured on chip (262k knots, 1M queries):
+# **15.5 ms vs 12.1 ms — SLOWER.**  The kernel's 7 cross-lane reduces
+# per query (fine count + 6 picks, each a full 128-lane reduction with
+# relayouts) cost more than the XLA selects' extra restreams; same
+# conclusion family as the round-2 streaming-tail results.  The kernel
+# stays here bit-exact (verified on chip) with interpret-mode tests as
+# the record; production dispatch uses the XLA refine.
+
+_SEC = 32  # lanes per section in the aligned layout (W = 16 tier)
+
+
+def _pack_rows_aligned(kp, data, a, b, w, c):
+    """(C, 128) rows with 32-lane-aligned sections; W must be 16."""
+    assert w == 16, w
+    n = data.shape[0]
+    total = c * w + 1
+    dp = jnp.concatenate([data, jnp.zeros((total - n,), data.dtype)])
+    ap = jnp.concatenate([a, jnp.zeros((c * w - (n - 1),), a.dtype)])
+    bp = jnp.concatenate([b, jnp.zeros((c * w - (n - 1),), b.dtype)])
+    idx = jnp.arange(w + 1)[None, :] + w * jnp.arange(c)[:, None]
+
+    def sec(v):
+        return jnp.pad(v, ((0, 0), (0, _SEC - v.shape[1])))
+
+    return jnp.concatenate(
+        [
+            sec(kp[: c * w + 1][idx]),
+            sec(dp[idx]),
+            sec(ap.reshape(c, w)),
+            sec(bp.reshape(c, w)),
+        ],
+        axis=1,
+    )  # (C, 128)
+
+
+def _refine_kernel(rows_ref, blk_ref, q_ref, out_ref, *, n, w):
+    import jax as _jax
+
+    f32 = jnp.float32
+    rows = rows_ref[:]  # (B, 128)
+    blk = blk_ref[:]  # (B, 1) f32
+    q = q_ref[:]  # (B, 1)
+    lane = _jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    # fine count over the window's first W knots (reference clamp); the
+    # lane mask also excludes the zero-padded section lanes
+    fine = jnp.sum(
+        jnp.where((rows <= q) & (lane < w), f32(1.0), f32(0.0)),
+        axis=1,
+        keepdims=True,
+    )
+    pred = blk * float(w) + fine - 1.0
+    idx = jnp.clip(pred, 0.0, float(n - 2))
+    pos = (idx - blk * float(w)).astype(jnp.int32)  # in [0, W)
+
+    def pick(offset, p):
+        oh = (lane == p + offset).astype(f32)
+        return jnp.sum(rows * oh, axis=1, keepdims=True)
+
+    x_l = pick(0, pos)
+    x_r = pick(0, pos + 1)
+    y_l = pick(_SEC, pos)
+    y_r = pick(_SEC, pos + 1)
+    a = pick(2 * _SEC, pos)
+    b = pick(3 * _SEC, pos)
+    t = (q - x_l) / (x_r - x_l)
+    one = f32(1.0)
+    base = (one - t) * y_l + t * y_r + t * (one - t) * (a * (one - t) + b * t)
+    lin_inf = jnp.isinf(t) & (a == 0) & (b == 0)
+    out_ref[:] = jnp.where(lin_inf, y_l + t * (y_r - y_l), base)
+
+
+def _refine_and_eval_mosaic(rows, block, q, n, w, interpret=False):
+    """Mosaic refine tail on aligned (Q, 128) gathered rows (W=16)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nq = q.shape[0]
+    bq = 512
+    npad = -(-nq // bq) * bq - nq
+    if npad:
+        rows = jnp.pad(rows, ((0, npad), (0, 0)))
+        block = jnp.pad(block, (0, npad))
+        q = jnp.pad(q, (0, npad))
+    m = q.shape[0]
+    nb = m // bq
+    out = pl.pallas_call(
+        functools.partial(_refine_kernel, n=n, w=w),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bq, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        interpret=interpret,
+    )(rows, block.astype(jnp.float32).reshape(m, 1), q.reshape(m, 1))
+    return out.reshape(m)[:nq]

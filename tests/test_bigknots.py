@@ -215,3 +215,44 @@ def test_nonfinite_data_routes_off_big_kernel():
     assert np.isfinite(out).all()
     bad = np.asarray(itp(jnp.asarray([float(x[1000]) + 1e-6], jnp.float32)))
     assert np.isnan(bad).all()
+
+
+def test_mosaic_refine_tail_record():
+    """Round-3 negative result (kept with tests): the Mosaic refine
+    tail is bit-equivalent to the XLA refine on the aligned layout but
+    measured SLOWER on chip (15.5 vs 12.1 ms/1M at 262k knots — see the
+    module comment).  Pin the equivalence in interpret mode."""
+    import jax
+
+    from ndarray_interp_tpu.ops.bigknots import (
+        _big_eval_impl,
+        _block_of,
+        _geometry,
+        _pack_rows_aligned,
+        _pad_knots,
+        _refine_and_eval_aligned,
+        _refine_and_eval_mosaic,
+    )
+
+    rng = np.random.default_rng(51)
+    n, nq = 66_000, 4096
+    x = jnp.asarray(np.linspace(0.0, 1.0, n), jnp.float32)
+    d = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=n - 1).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=n - 1).astype(np.float32))
+    q = jnp.asarray(rng.uniform(-0.1, 1.1, nq).astype(np.float32))
+    w, c, c1, c2 = _geometry(n)
+    assert w == 16
+    kp = _pad_knots(x, w, c1, c2)
+    block = _block_of(kp, n, w, c, c1, c2, q, pallas=False)
+    rows = jnp.take(_pack_rows_aligned(kp, d, a, b, w, c), block, axis=0)
+    got = np.asarray(
+        _refine_and_eval_mosaic(rows, block, q, n, w, interpret=True)
+    )
+    want = np.asarray(_refine_and_eval_aligned(rows, block, q, n, w)[2])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # and the aligned XLA refine matches the production path
+    prod = np.asarray(
+        jax.jit(lambda *t: _big_eval_impl(*t, pallas=False))(x, d, a, b, q)
+    )
+    np.testing.assert_allclose(want, prod, rtol=1e-6, atol=1e-6)
