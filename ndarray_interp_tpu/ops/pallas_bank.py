@@ -98,6 +98,12 @@ def _banked_core(d2, a2, b2, idx, t, interpret=False):
 
     Bq = min(512, -(-nq // 8) * 8)
     nqb = -(-nq // Bq)
+    # Br = 512 is near the VMEM ceiling already: Pallas double-buffers
+    # every block (measured: a Br=1024 plan with 8.5 MB of blocks OOMs
+    # the 16 MB scoped VMEM at exactly 17.0 MB = 2x), so the 12 bf16
+    # table splits + the (Bq, Br) f32 out cap Br at ~512-768 — widening
+    # to amortize the ~2k-block fixed cost at 1e6-bank scales
+    # (BASELINE.md NS5b roofline row) is not available on this chip.
     Br = 512 if bank >= 512 else -(-bank // 128) * 128
     nbb = -(-bank // Br)
 
