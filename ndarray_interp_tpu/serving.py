@@ -170,8 +170,11 @@ class DoubleFloatEvaluator(_BucketedEvaluator):
     into (hi, lo) f32 pairs once, and evaluates queries with the
     double-float fused kernel (``ops/pallas_eval_df.py``) on TPU — or
     the plain-XLA double-float formulation elsewhere — returning f64.
-    Accuracy: ≤1e-12 scale-relative vs the f64 oracle on chip
-    (tests/test_tpu_parity.py); cost ~1.23× the f32 kernel (BASELINE.md).
+    Accuracy vs the f64 oracle on chip (tests/test_tpu_parity.py):
+    ≤1e-12 scale-relative for the scalar kernel; the banked gather route
+    measures 1.7e-12 max over 4M samples incl. near-cancellation points
+    (gate 4e-12 — see BASELINE.md).  Cost: ~1.23× the f32 kernel
+    (scalar) / 2.08× the f32 gather route (banked).
 
     Out-of-range semantics follow the strategy: ``extrapolate(False)``
     raises :class:`~ndarray_interp_tpu.errors.OutOfBoundsError` on the
