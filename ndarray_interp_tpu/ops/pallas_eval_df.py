@@ -782,3 +782,183 @@ def gathered_bilinear_eval_df(
         hi[:nq].reshape((nq,) + trailing),
         lo[:nq].reshape((nq,) + trailing),
     )
+
+
+# -- DF bicubic gather route (f64-grade tensor-product cubic) -----------------
+
+
+def _df_index_frac_xla(x_hi, x_lo, q_hi, q_lo):
+    """XLA (idx, t-pair): DF-lexicographic index + DF fraction."""
+    n = x_hi.shape[0]
+    idx = _df_lower_index(x_hi, x_lo, q_hi, q_lo, n)
+    x_l = (x_hi[idx], x_lo[idx])
+    x_r = (x_hi[idx + 1], x_lo[idx + 1])
+    t = df_div(df_sub((q_hi, q_lo), x_l), df_sub(x_r, x_l))
+    return idx, t[0], t[1]
+
+
+def pack_bicubic_rows_df(rows_hi, rows_lo, r):
+    """DF bicubic cell rows ``(cells, 32*bp)``: the 16 pre-scaled corner
+    quantity blocks (bicubic cell layout, ``models/strategies/bicubic.
+    pack_bicubic_rows``) hi then lo, each r-block padded to bp."""
+    cells = rows_hi.shape[0]
+    bp = -(-r // 8) * 8
+
+    def blocks(v):
+        v3 = v.reshape(cells, 16, r)
+        if bp != r:
+            v3 = jnp.pad(v3, ((0, 0), (0, 0), (0, bp - r)))
+        return v3.reshape(cells, 16 * bp)
+
+    return jnp.concatenate([blocks(rows_hi), blocks(rows_lo)], axis=1)
+
+
+def _df_hermite_scaled(y_l, y_r, K_l, K_r, t, one):
+    """DF Hermite with pre-scaled derivatives (a = K_l - dy)."""
+    dy = df_sub(y_r, y_l)
+    a = df_sub(K_l, dy)
+    b = df_sub(dy, K_r)
+    omt = df_sub(one, t)
+    return df_add(
+        df_add(df_mul(omt, y_l), df_mul(t, y_r)),
+        df_mul(df_mul(t, omt), df_add(df_mul(a, omt), df_mul(b, t))),
+    )
+
+
+def _df_bicubic_tail(rows, txh, txl, tyh, tyl, bp):
+    """Shared DF bicubic tail body (runs in Mosaic or guarded XLA).
+    rows: (B, 32*bp); t: (B, 1) or (B,) pairs."""
+    def sl(i):
+        return rows[:, i * bp : (i + 1) * bp]
+
+    def q(i):  # quantity i: corners [11, 12, 21, 22] as DF pairs
+        return [(sl(4 * i + c), sl(16 + 4 * i + c)) for c in range(4)]
+
+    f = q(0)
+    kx = q(1)
+    ky = q(2)
+    kxy = q(3)
+    tx = (txh, txl)
+    ty = (tyh, tyl)
+    one = (jnp.ones_like(txh), jnp.zeros_like(txh))
+    f_y1 = _df_hermite_scaled(f[0], f[2], kx[0], kx[2], tx, one)
+    f_y2 = _df_hermite_scaled(f[1], f[3], kx[1], kx[3], tx, one)
+    g_y1 = _df_hermite_scaled(ky[0], ky[2], kxy[0], kxy[2], tx, one)
+    g_y2 = _df_hermite_scaled(ky[1], ky[3], kxy[1], kxy[3], tx, one)
+    return _df_hermite_scaled(f_y1, f_y2, g_y1, g_y2, ty, one)
+
+
+def _df_bicubic_tail_kernel(
+    rows_ref, txh_ref, txl_ref, tyh_ref, tyl_ref, outh_ref, outl_ref, *, bp
+):
+    from .df import no_guard
+
+    with no_guard():
+        out = _df_bicubic_tail(
+            rows_ref[:], txh_ref[:], txl_ref[:], tyh_ref[:], tyl_ref[:], bp
+        )
+        outh_ref[:] = out[0]
+        outl_ref[:] = out[1]
+
+
+def bicubic_df_tail(rows, txh, txl, tyh, tyl, interpret=False):
+    """Streaming Mosaic DF bicubic tail; rows (Q, 32*bp), Q a multiple
+    of 512.  Returns (hi, lo) of (Q, bp)."""
+    nq, ch = rows.shape
+    bp = ch // 32
+    bq = 512
+    assert nq % bq == 0
+    nb = nq // bq
+    outh, outl = pl.pallas_call(
+        functools.partial(_df_bicubic_tail_kernel, bp=bp),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        + [
+            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        * 4,
+        out_specs=[
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        rows,
+        txh.reshape(nq, 1), txl.reshape(nq, 1),
+        tyh.reshape(nq, 1), tyl.reshape(nq, 1),
+    )
+    return outh, outl
+
+
+def gathered_bicubic_eval_df(
+    x_hi, x_lo, y_hi, y_lo, rows_hi, rows_lo, qx_hi, qx_lo, qy_hi, qy_lo,
+    r=1, interpret=False,
+):
+    """DF bicubic gather route: two DF (idx, t) kernels + ONE packed
+    (hi, lo) cell-row gather + Mosaic DF tail (guarded-XLA fallback).
+
+    ``rows``: the PRE-SCALED 16r-channel cell table (hi, lo) — pack the
+    f64 ``BicubicStrategy.rows`` with ``df_from_f64`` and feed both
+    halves here (``pack_bicubic_rows_df`` pads blocks internally).
+    f64-grade tensor-product cubic on f32 hardware; the beyond-reference
+    flagship 2-D strategy's "matching f64 accuracy" story."""
+    ny1 = y_hi.shape[0] - 1
+    nq = qx_hi.shape[0]
+    npad = -(-nq // 512) * 512 - nq
+    if npad:
+        qx_hi = jnp.pad(qx_hi, (0, npad))
+        qx_lo = jnp.pad(qx_lo, (0, npad))
+        qy_hi = jnp.pad(qy_hi, (0, npad))
+        qy_lo = jnp.pad(qy_lo, (0, npad))
+
+    from .pallas_eval import _plan
+
+    kernel_ok = (
+        _plan(x_hi.shape[0]) is not None and _plan(y_hi.shape[0]) is not None
+    )
+    if kernel_ok:
+        def tpu_frac(a, b, c, d):
+            xi, txh, txl = fused_index_frac_df(
+                x_hi, x_lo, a, b, interpret=interpret
+            )
+            yi, tyh, tyl = fused_index_frac_df(
+                y_hi, y_lo, c, d, interpret=interpret
+            )
+            return xi, txh, txl, yi, tyh, tyl
+
+        def xla_frac(a, b, c, d):
+            xi, txh, txl = _df_index_frac_xla(x_hi, x_lo, a, b)
+            yi, tyh, tyl = _df_index_frac_xla(y_hi, y_lo, c, d)
+            return xi, txh, txl, yi, tyh, tyl
+
+        xi, txh, txl, yi, tyh, tyl = jax.lax.platform_dependent(
+            qx_hi, qx_lo, qy_hi, qy_lo, tpu=tpu_frac, default=xla_frac
+        )
+    else:
+        xi, txh, txl = _df_index_frac_xla(x_hi, x_lo, qx_hi, qx_lo)
+        yi, tyh, tyl = _df_index_frac_xla(y_hi, y_lo, qy_hi, qy_lo)
+
+    packed = pack_bicubic_rows_df(rows_hi, rows_lo, r)
+    rows = jnp.take(packed, xi * ny1 + yi, axis=0)
+    bp = packed.shape[1] // 32
+
+    def mosaic(rows, a1, a2, a3, a4):
+        hi, lo = bicubic_df_tail(rows, a1, a2, a3, a4, interpret=interpret)
+        return hi[:, :r], lo[:, :r]
+
+    def xla(rw, a1, a2, a3, a4):
+        hi, lo = _df_bicubic_tail(
+            rw, a1[:, None], a2[:, None], a3[:, None], a4[:, None], bp
+        )
+        return hi[:, :r], lo[:, :r]
+
+    hi, lo = jax.lax.platform_dependent(
+        rows, txh, txl, tyh, tyl, tpu=mosaic, default=xla
+    )
+    return hi[:nq], lo[:nq]

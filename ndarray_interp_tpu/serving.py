@@ -361,10 +361,13 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
     def __init__(self, interp, max_batch: int = 1 << 20, buckets=None):
         import numpy as np
 
+        from .errors import BuilderValueError
+        from .models.strategies.bicubic import BicubicStrategy
         from .ops.df import df_from_f64
         from .ops.pallas_eval import _plan
         from .ops.pallas_eval_df import (
             eval_xla_df_2d,
+            gathered_bicubic_eval_df,
             gathered_bilinear_eval_df,
         )
 
@@ -373,18 +376,46 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
         self._extrapolates = bool(
             getattr(interp.strategy, "extrapolates", False)
         )
+        self._wraps = (
+            bool(getattr(interp.strategy, "wraps_x", False)),
+            bool(getattr(interp.strategy, "wraps_y", False)),
+        )
         x64 = np.asarray(interp.x, np.float64)
         y64 = np.asarray(interp.y, np.float64)
         self._xr = (float(x64[0]), float(x64[-1]))
         self._yr = (float(y64[0]), float(y64[-1]))
-        pairs = []
-        for v in (x64, y64, np.asarray(interp.data, np.float64)):
-            pairs.extend(df_from_f64(v))
-        self._pairs = pairs
         kernel_ok = (
             _plan(x64.shape[0]) is not None
             and _plan(y64.shape[0]) is not None
         )
+        if isinstance(interp.strategy, BicubicStrategy):
+            # f64-grade tensor-product cubic: split the PRE-SCALED f64
+            # cell table (build the Interp2D eagerly in f64 on CPU)
+            if interp.strategy.layout != "cell":
+                raise BuilderValueError(
+                    "DoubleFloatEvaluator2D supports the bicubic cell "
+                    "layout only (raise config.bicubic_pack_max_elems)"
+                )
+            r = 1
+            for s in self._trailing:
+                r *= s
+            pairs = []
+            for v in (x64, y64):
+                pairs.extend(df_from_f64(v))
+            pairs.extend(
+                df_from_f64(np.asarray(interp.strategy.rows, np.float64))
+            )
+            self._pairs = pairs
+            self._run = jax.jit(
+                lambda a, b, c, d: gathered_bicubic_eval_df(
+                    *self._pairs, a, b, c, d, r=r
+                )
+            )
+            return
+        pairs = []
+        for v in (x64, y64, np.asarray(interp.data, np.float64)):
+            pairs.extend(df_from_f64(v))
+        self._pairs = pairs
         if kernel_ok:
 
             def run(qxh, qxl, qyh, qyl):
@@ -423,11 +454,16 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
         fy = qy.reshape(-1)
         if fx.shape[0] == 0:
             return np.zeros(qx.shape + self._trailing)
+        wx, wy = getattr(self, "_wraps", (False, False))
         if not self._extrapolates:
-            for name, f, (lo, hi) in (
-                ("x", fx, self._xr),
-                ("y", fy, self._yr),
+            for name, f, (lo, hi), wrap in (
+                ("x", fx, self._xr, wx),
+                ("y", fy, self._yr, wy),
             ):
+                if wrap:  # periodic axis: never OOB, NaN still refuses
+                    if np.isnan(f).any():
+                        raise ValueError("failed to convert NaN to an index")
+                    continue
                 bad = (f < lo) | (f > hi) | np.isnan(f)
                 if bad.any():
                     i = int(np.argmax(bad))
@@ -438,6 +474,19 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
         elif np.isnan(fx).any() or np.isnan(fy).any():
             # eager API parity (docs/PARITY.md D3)
             raise ValueError("failed to convert NaN to an index")
+        # periodic axes wrap in f64 on the host (cubic_spline.rs:804-809)
+        if wx:
+            span = self._xr[1] - self._xr[0]
+            out_r = (fx < self._xr[0]) | (fx > self._xr[1])
+            fx = np.where(
+                out_r, np.mod(fx - self._xr[0], span) + self._xr[0], fx
+            )
+        if wy:
+            span = self._yr[1] - self._yr[0]
+            out_r = (fy < self._yr[0]) | (fy > self._yr[1])
+            fy = np.where(
+                out_r, np.mod(fy - self._yr[0], span) + self._yr[0], fy
+            )
         n = fx.shape[0]
         bsz = self._bucket(n)
         outs = []

@@ -504,3 +504,102 @@ def test_banked_xla_df_f64_grade_on_cpu():
     )
     scale = np.maximum(np.abs(want), 0.01 * np.abs(d64).max())
     assert (np.abs(got - want) / scale).max() < 4e-12
+
+
+class TestDFBicubicGatherRoute:
+    """f64-grade tensor-product cubic (the beyond-reference flagship
+    2-D strategy): DF (idx, t) kernels + packed DF cell-row gather +
+    Mosaic/guarded-XLA scaled-Hermite tail."""
+
+    def _build(self, trailing=(), nx=20, ny=16, seed=37, bc=None):
+        import jax
+
+        from ndarray_interp_tpu.interp2d import Bicubic, Interp2D
+
+        rng = np.random.default_rng(seed)
+        x = np.cumsum(rng.uniform(0.2, 1.0, nx))
+        y = np.cumsum(rng.uniform(0.2, 1.0, ny))
+        z = rng.normal(size=(nx, ny) + trailing)
+        s = Bicubic().extrapolate(True)
+        if bc:
+            s = s.boundary(*bc).extrapolate(True)
+        itp = (
+            Interp2D.builder(jnp.asarray(z))
+            .x(jnp.asarray(x))
+            .y(jnp.asarray(y))
+            .strategy(s)
+            .build()
+        )
+        assert itp.data.dtype == jnp.float64, "run with x64 (conftest)"
+        return itp, rng
+
+    @pytest.mark.parametrize("trailing", [(), (3,)])
+    def test_route_matches_f64_strategy(self, trailing):
+        import jax
+
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            gathered_bicubic_eval_df,
+        )
+
+        itp, rng = self._build(trailing=trailing)
+        r = 1
+        for s in trailing:
+            r *= s
+        x64 = np.asarray(itp.x, np.float64)
+        y64 = np.asarray(itp.y, np.float64)
+        rows64 = np.asarray(itp.strategy.rows, np.float64)
+        qx = rng.uniform(x64[0], x64[-1], 400)
+        qy = rng.uniform(y64[0], y64[-1], 400)
+        args = []
+        for v in (x64, y64, rows64, qx, qy):
+            args.extend(jnp.asarray(w) for w in df_from_f64(v))
+        hi, lo = jax.jit(
+            lambda *a: gathered_bicubic_eval_df(*a, r=r)
+        )(*args)
+        got = df_to_f64(hi, lo).reshape((400,) + trailing)
+        want = np.asarray(itp.interp_array(qx, qy))  # f64 strategy eval
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
+        assert (np.abs(got - want) / scale).max() < 1e-9
+
+    def test_serving_evaluator_bicubic(self):
+        from ndarray_interp_tpu.serving import DoubleFloatEvaluator2D
+
+        itp, rng = self._build(trailing=(2,))
+        ev = DoubleFloatEvaluator2D(itp, max_batch=512)
+        x64 = np.asarray(itp.x, np.float64)
+        y64 = np.asarray(itp.y, np.float64)
+        qx = rng.uniform(x64[0], x64[-1], 300)
+        qy = rng.uniform(y64[0], y64[-1], 300)
+        got = ev(qx, qy)
+        assert got.shape == (300, 2)
+        want = np.asarray(itp.interp_array(qx, qy))
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
+        assert (np.abs(got - want) / scale).max() < 1e-9
+
+    def test_serving_evaluator_bicubic_periodic_wraps(self):
+        from ndarray_interp_tpu.serving import DoubleFloatEvaluator2D
+
+        import jax
+
+        from ndarray_interp_tpu.interp2d import Bicubic, Interp2D
+
+        rng = np.random.default_rng(39)
+        nx, ny = 16, 14
+        x = np.cumsum(rng.uniform(0.2, 1.0, nx))
+        y = np.cumsum(rng.uniform(0.2, 1.0, ny))
+        z = rng.normal(size=(nx, ny))
+        z[-1] = z[0]
+        itp = (
+            Interp2D.builder(jnp.asarray(z))
+            .x(jnp.asarray(x))
+            .y(jnp.asarray(y))
+            .strategy(Bicubic().boundary("periodic", "not_a_knot"))
+            .build()
+        )
+        ev = DoubleFloatEvaluator2D(itp, max_batch=512)
+        qx = rng.uniform(x[0], x[-1], 100)
+        qy = rng.uniform(y[0], y[-1], 100)
+        base = ev(qx, qy)
+        period = x[-1] - x[0]
+        wrapped = ev(qx + 2 * period, qy)
+        np.testing.assert_allclose(wrapped, base, rtol=1e-6, atol=1e-9)

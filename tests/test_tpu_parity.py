@@ -407,3 +407,80 @@ def test_df_gathered_bilinear_f64_grade_on_chip():
     # 4e-12 over 256k samples (near-cancellation points; see the banked
     # gates' note)
     assert rel < 4e-12, rel
+
+
+def test_df_gathered_bicubic_f64_grade_on_chip():
+    """Round 3: the DF bicubic gather route reaches DF grade on chip —
+    f64-grade tensor-product cubic on f32 hardware."""
+    from ndarray_interp_tpu.ops.df import df_from_f64, df_to_f64
+    from ndarray_interp_tpu.ops.pallas_eval_df import (
+        gathered_bicubic_eval_df,
+    )
+
+    rng = np.random.default_rng(15)
+    nx, ny, r, nq = 128, 96, 4, 32768
+
+    def rep(v):
+        return df_to_f64(*df_from_f64(v))
+
+    x64 = rep(np.cumsum(rng.uniform(0.05, 1.0, nx)))
+    y64 = rep(np.cumsum(rng.uniform(0.05, 1.0, ny)))
+    # pre-scaled cell rows built directly in f64 (the evaluator feeds
+    # the f64 BicubicStrategy.rows the same way)
+    kx = rng.normal(size=(nx, ny, r))
+    ky = rng.normal(size=(nx, ny, r))
+    kxy = rng.normal(size=(nx, ny, r))
+    f = rng.normal(size=(nx, ny, r))
+    dx = np.diff(x64)[:, None, None]
+    dy = np.diff(y64)[None, :, None]
+
+    def corners(g):
+        return np.stack(
+            [g[:-1, :-1], g[:-1, 1:], g[1:, :-1], g[1:, 1:]], axis=2
+        ).reshape(nx - 1, ny - 1, 4 * r)
+
+    rows64 = rep(
+        np.concatenate(
+            [
+                corners(f),
+                corners(kx) * dx,
+                corners(ky) * dy,
+                corners(kxy) * dx * dy,
+            ],
+            axis=-1,
+        ).reshape((nx - 1) * (ny - 1), 16 * r)
+    )
+    qx64 = rep(rng.uniform(x64[0], x64[-1], nq))
+    qy64 = rep(rng.uniform(y64[0], y64[-1], nq))
+    args = []
+    for v in (x64, y64, rows64, qx64, qy64):
+        args.extend(jnp.asarray(w) for w in df_from_f64(v))
+    hi, lo = jax.jit(
+        lambda *a: gathered_bicubic_eval_df(*a, r=r)
+    )(*args)
+    got = df_to_f64(hi, lo)
+
+    # numpy f64 oracle with the scaled-Hermite form
+    xi = np.clip(np.searchsorted(x64, qx64, side="right") - 1, 0, nx - 2)
+    yi = np.clip(np.searchsorted(y64, qy64, side="right") - 1, 0, ny - 2)
+    tx = ((qx64 - x64[xi]) / (x64[xi + 1] - x64[xi]))[:, None]
+    ty = ((qy64 - y64[yi]) / (y64[yi + 1] - y64[yi]))[:, None]
+    cell = rows64[xi * (ny - 1) + yi]
+
+    def blk(i, c):
+        return cell[:, (4 * i + c) * r : (4 * i + c + 1) * r]
+
+    def H(yl, yr, Kl, Kr, t):
+        d = yr - yl
+        a = Kl - d
+        b = d - Kr
+        return (1 - t) * yl + t * yr + t * (1 - t) * (a * (1 - t) + b * t)
+
+    f_y1 = H(blk(0, 0), blk(0, 2), blk(1, 0), blk(1, 2), tx)
+    f_y2 = H(blk(0, 1), blk(0, 3), blk(1, 1), blk(1, 3), tx)
+    g_y1 = H(blk(2, 0), blk(2, 2), blk(3, 0), blk(3, 2), tx)
+    g_y2 = H(blk(2, 1), blk(2, 3), blk(3, 1), blk(3, 3), tx)
+    want = H(f_y1, f_y2, g_y1, g_y2, ty)
+    scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
+    rel = (np.abs(got - want) / scale).max()
+    assert rel < 4e-12, rel
