@@ -152,7 +152,13 @@ def _local_eval(kloc, dloc, aloc, bloc, q, *, n, s, d_last, axis):
 
     sd = kloc[0]
     ed = kloc[s]
-    own = (sd <= q) & (q < ed)
+    # the (d <= d_last) guard keeps pad shards out even when the axis
+    # length aligns with the shard size: at (n-1) % S == 0 the first pad
+    # shard's window STARTS at x[n-1] (a real knot), so its value range
+    # [x[n-1], sentinel) would otherwise overlap the d_last shard's
+    # right-clamp ownership and the psum would double-count every
+    # query >= x[n-1]
+    own = (sd <= q) & (q < ed) & (d <= d_last)
     # shard 0: left clamp — everything not >= the axis start (incl. NaN,
     # which must propagate as NaN output, so it needs an owner)
     own = own | ((d == 0) & ~(q >= sd))
@@ -186,6 +192,12 @@ def sharded_knot_eval(kshards, dshards, ashards, bshards, q, mesh, n,
     n_shards = kshards.shape[0]
     s, d_last = shard_geometry(n, n_shards)
     assert kshards.shape[1] == s + 1, (kshards.shape, s)
+    assert n_shards == mesh.shape[axis], (
+        f"shard stack packed for {n_shards} devices but mesh axis "
+        f"{axis!r} has {mesh.shape[axis]} — each device must hold "
+        "exactly one shard (repack with pack_knot_shards(..., "
+        f"{mesh.shape[axis]}))"
+    )
 
     def body(kloc, dloc, aloc, bloc, ql):
         out = _local_eval(

@@ -535,17 +535,37 @@ def gathered_bank_eval_df(
     (hi, lo) of shape ``(nq, bank)``.  f64-grade wide-bank serving at
     kernel speed (BASELINE.md row "10k-knot x64 bank DF EVAL"; on-chip
     accuracy gate ``test_df_gathered_bank_f64_grade_on_chip``)."""
+    packed = pack_bank_rows_df(d_hi, d_lo, a_hi, a_lo, b_hi, b_lo)
+    return gathered_bank_eval_df_packed(
+        x_hi, x_lo, packed, d_hi.shape[1], q_hi, q_lo, interpret=interpret
+    )
+
+
+def gathered_bank_eval_df_packed(
+    x_hi, x_lo, packed, bank, q_hi, q_lo, interpret=False
+):
+    """The banked DF gather route from a PREPACKED row table (serving
+    packs once at evaluator build — re-packing a multi-hundred-MB table
+    per call, or closure-capturing it into a jitted lambda, repeats the
+    copy and ships it with every remote compile)."""
+    from .pallas_eval import _plan
+
     nq = q_hi.shape[0]
     npad = -(-nq // 512) * 512 - nq
     if npad:  # pad BEFORE the gather: padding rows after would copy GBs
         q_hi = jnp.pad(q_hi, (0, npad))
         q_lo = jnp.pad(q_lo, (0, npad))
-    idx, th, tl = fused_index_frac_df(
-        x_hi, x_lo, q_hi, q_lo, interpret=interpret
-    )
-    packed = pack_bank_rows_df(d_hi, d_lo, a_hi, a_lo, b_hi, b_lo)
+    if _plan(x_hi.shape[0]) is not None:
+        idx, th, tl = jax.lax.platform_dependent(
+            q_hi, q_lo,
+            tpu=lambda a, b: fused_index_frac_df(
+                x_hi, x_lo, a, b, interpret=interpret
+            ),
+            default=lambda a, b: _df_index_frac_xla(x_hi, x_lo, a, b),
+        )
+    else:
+        idx, th, tl = _df_index_frac_xla(x_hi, x_lo, q_hi, q_lo)
     rows = jnp.take(packed, idx, axis=0)
-    bank = d_hi.shape[1]
 
     def mosaic(rows, th, tl):
         hi, lo = banked_df_tail(rows, th, tl, interpret=interpret)
@@ -746,11 +766,27 @@ def gathered_bilinear_eval_df(
     ~8 gather passes on TPU; the guarded tail would pin intermediates,
     see _df_tail_kernel).  z may carry trailing dims; returns (hi, lo)
     of ``(nq, *z.shape[2:])``."""
-    nx, ny = x_hi.shape[0], y_hi.shape[0]
-    trailing = z_hi.shape[2:]
+    packed = pack_bilinear_rows_df(z_hi, z_lo)
     r = 1
-    for s in trailing:
-        r *= s
+    for s_ in z_hi.shape[2:]:
+        r *= s_
+    hi, lo = gathered_bilinear_eval_df_packed(
+        x_hi, x_lo, y_hi, y_lo, packed, z_hi.shape[1], r,
+        qx_hi, qx_lo, qy_hi, qy_lo, interpret=interpret,
+    )
+    trailing = z_hi.shape[2:]
+    nq = qx_hi.shape[0]
+    return hi.reshape((nq,) + trailing), lo.reshape((nq,) + trailing)
+
+
+def gathered_bilinear_eval_df_packed(
+    x_hi, x_lo, y_hi, y_lo, packed, ny, r, qx_hi, qx_lo, qy_hi, qy_lo,
+    interpret=False,
+):
+    """The bilinear DF gather route from a PREPACKED corner table (see
+    gathered_bank_eval_df_packed).  Returns flat (nq, r) pairs."""
+    from .pallas_eval import _plan
+
     nq = qx_hi.shape[0]
     npad = -(-nq // 512) * 512 - nq
     if npad:
@@ -758,13 +794,30 @@ def gathered_bilinear_eval_df(
         qx_lo = jnp.pad(qx_lo, (0, npad))
         qy_hi = jnp.pad(qy_hi, (0, npad))
         qy_lo = jnp.pad(qy_lo, (0, npad))
-    xi, txh, txl = fused_index_frac_df(
-        x_hi, x_lo, qx_hi, qx_lo, interpret=interpret
+    kernel_ok = (
+        _plan(x_hi.shape[0]) is not None and _plan(y_hi.shape[0]) is not None
     )
-    yi, tyh, tyl = fused_index_frac_df(
-        y_hi, y_lo, qy_hi, qy_lo, interpret=interpret
-    )
-    packed = pack_bilinear_rows_df(z_hi, z_lo)
+    if kernel_ok:
+        def tpu_frac(a, b, c, d):
+            xi, txh, txl = fused_index_frac_df(
+                x_hi, x_lo, a, b, interpret=interpret
+            )
+            yi, tyh, tyl = fused_index_frac_df(
+                y_hi, y_lo, c, d, interpret=interpret
+            )
+            return xi, txh, txl, yi, tyh, tyl
+
+        def xla_frac(a, b, c, d):
+            xi, txh, txl = _df_index_frac_xla(x_hi, x_lo, a, b)
+            yi, tyh, tyl = _df_index_frac_xla(y_hi, y_lo, c, d)
+            return xi, txh, txl, yi, tyh, tyl
+
+        xi, txh, txl, yi, tyh, tyl = jax.lax.platform_dependent(
+            qx_hi, qx_lo, qy_hi, qy_lo, tpu=tpu_frac, default=xla_frac
+        )
+    else:
+        xi, txh, txl = _df_index_frac_xla(x_hi, x_lo, qx_hi, qx_lo)
+        yi, tyh, tyl = _df_index_frac_xla(y_hi, y_lo, qy_hi, qy_lo)
     rows = jnp.take(packed, xi * (ny - 1) + yi, axis=0)
 
     def mosaic(rows, a1, a2, a3, a4):
@@ -778,10 +831,7 @@ def gathered_bilinear_eval_df(
             rw, a1, a2, a3, a4, r
         ),
     )
-    return (
-        hi[:nq].reshape((nq,) + trailing),
-        lo[:nq].reshape((nq,) + trailing),
-    )
+    return hi[:nq], lo[:nq]
 
 
 # -- DF bicubic gather route (f64-grade tensor-product cubic) -----------------
@@ -908,6 +958,19 @@ def gathered_bicubic_eval_df(
     halves here (``pack_bicubic_rows_df`` pads blocks internally).
     f64-grade tensor-product cubic on f32 hardware; the beyond-reference
     flagship 2-D strategy's "matching f64 accuracy" story."""
+    packed = pack_bicubic_rows_df(rows_hi, rows_lo, r)
+    return gathered_bicubic_eval_df_packed(
+        x_hi, x_lo, y_hi, y_lo, packed, qx_hi, qx_lo, qy_hi, qy_lo,
+        r=r, interpret=interpret,
+    )
+
+
+def gathered_bicubic_eval_df_packed(
+    x_hi, x_lo, y_hi, y_lo, packed, qx_hi, qx_lo, qy_hi, qy_lo,
+    r=1, interpret=False,
+):
+    """The bicubic DF gather route from a PREPACKED ``(cells, 32*bp)``
+    table (see gathered_bank_eval_df_packed)."""
     ny1 = y_hi.shape[0] - 1
     nq = qx_hi.shape[0]
     npad = -(-nq // 512) * 512 - nq
@@ -944,7 +1007,6 @@ def gathered_bicubic_eval_df(
         xi, txh, txl = _df_index_frac_xla(x_hi, x_lo, qx_hi, qx_lo)
         yi, tyh, tyl = _df_index_frac_xla(y_hi, y_lo, qy_hi, qy_lo)
 
-    packed = pack_bicubic_rows_df(rows_hi, rows_lo, r)
     rows = jnp.take(packed, xi * ny1 + yi, axis=0)
     bp = packed.shape[1] // 32
 

@@ -223,36 +223,29 @@ class DoubleFloatEvaluator(_BucketedEvaluator):
 
         from .ops.partition import sharded_df_eval
         from .ops.pallas_eval import _plan
-        from .ops.pallas_eval_df import (
-            eval_xla_df,
-            eval_xla_df_banked,
-            gathered_bank_eval_df,
-        )
+        from .ops.pallas_eval_df import eval_xla_df
 
         if self._bank_shape:
-            if _plan(n) is not None:
-                # banked gather route on TPU: DF (idx, t) kernel + ONE
-                # packed (hi, lo) row gather + XLA DF tail (f64-grade on
-                # chip: tests/test_tpu_parity.py::
-                # test_df_gathered_bank_f64_grade_on_chip)
-                def runb(qh, ql):
-                    return jax.lax.platform_dependent(
-                        qh, ql,
-                        tpu=lambda qh, ql: gathered_bank_eval_df(
-                            *self._pairs, qh, ql
-                        ),
-                        default=lambda qh, ql: eval_xla_df_banked(
-                            *self._pairs, qh, ql
-                        ),
-                    )
+            # banked gather route: DF (idx, t) kernel + ONE packed
+            # (hi, lo) row gather + Mosaic/XLA DF tail.  The table is
+            # packed ONCE here and passed as a jit ARGUMENT — packing
+            # per call would re-concatenate a table that can reach
+            # hundreds of MB, and closure-capturing it ships it with
+            # every (remote) compile.
+            from .ops.pallas_eval_df import (
+                gathered_bank_eval_df_packed,
+                pack_bank_rows_df,
+            )
 
-                self._run = jax.jit(runb)
-            else:
-                # axes beyond the windowed plan: pure-XLA DF form
-                self._run = jax.jit(
-                    lambda qh, ql: eval_xla_df_banked(*self._pairs, qh, ql)
+            xh, xl = self._pairs[0], self._pairs[1]
+            self._packed = jax.jit(pack_bank_rows_df)(*self._pairs[2:8])
+            self._run = jax.jit(
+                lambda packed, qh, ql: gathered_bank_eval_df_packed(
+                    xh, xl, packed, bank, qh, ql
                 )
-        else:
+            )
+            self._run_extra = (self._packed,)
+        elif _plan(n) is not None:
 
             def run(qh, ql):
                 return jax.lax.platform_dependent(
@@ -262,13 +255,20 @@ class DoubleFloatEvaluator(_BucketedEvaluator):
                 )
 
             self._run = jax.jit(run)
+        else:
+            # scalar axis beyond the windowed plan: plain-XLA DF form
+            self._run = jax.jit(
+                lambda qh, ql: eval_xla_df(*self._pairs, qh, ql)
+            )
 
     def warmup(self):
         import numpy as np
 
         for b in self._buckets:
             q = np.full(b, self._x0)
-            hi, lo = self._run(*_split_q(q))
+            hi, lo = self._run(
+                *getattr(self, "_run_extra", ()), *_split_q(q)
+            )
             jax.block_until_ready((hi, lo))
         return self
 
@@ -309,7 +309,9 @@ class DoubleFloatEvaluator(_BucketedEvaluator):
                 chunk = np.concatenate(
                     [chunk, np.full(bsz - chunk.shape[0], self._x0)]
                 )
-            hi, lo = self._run(*_split_q(chunk))
+            hi, lo = self._run(
+                *getattr(self, "_run_extra", ()), *_split_q(chunk)
+            )
             outs.append(df_to_f64(hi, lo))
         res = np.concatenate(outs)[:n]
         return res.reshape(q.shape + self._bank_shape)
@@ -364,12 +366,6 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
         from .errors import BuilderValueError
         from .models.strategies.bicubic import BicubicStrategy
         from .ops.df import df_from_f64
-        from .ops.pallas_eval import _plan
-        from .ops.pallas_eval_df import (
-            eval_xla_df_2d,
-            gathered_bicubic_eval_df,
-            gathered_bilinear_eval_df,
-        )
 
         super().__init__(interp, max_batch, buckets)
         self._trailing = tuple(interp.data.shape[2:])
@@ -384,58 +380,63 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
         y64 = np.asarray(interp.y, np.float64)
         self._xr = (float(x64[0]), float(x64[-1]))
         self._yr = (float(y64[0]), float(y64[-1]))
-        kernel_ok = (
-            _plan(x64.shape[0]) is not None
-            and _plan(y64.shape[0]) is not None
-        )
+        r = 1
+        for s in self._trailing:
+            r *= s
+        # large (hi, lo) tables are packed ONCE here and passed as jit
+        # ARGUMENTS — per-call packing repeats GB-scale copies and
+        # closure capture ships the table with every (remote) compile
         if isinstance(interp.strategy, BicubicStrategy):
             # f64-grade tensor-product cubic: split the PRE-SCALED f64
             # cell table (build the Interp2D eagerly in f64 on CPU)
+            from .ops.pallas_eval_df import (
+                gathered_bicubic_eval_df_packed,
+                pack_bicubic_rows_df,
+            )
+
             if interp.strategy.layout != "cell":
                 raise BuilderValueError(
                     "DoubleFloatEvaluator2D supports the bicubic cell "
                     "layout only (raise config.bicubic_pack_max_elems)"
                 )
-            r = 1
-            for s in self._trailing:
-                r *= s
             pairs = []
             for v in (x64, y64):
                 pairs.extend(df_from_f64(v))
-            pairs.extend(
-                df_from_f64(np.asarray(interp.strategy.rows, np.float64))
-            )
             self._pairs = pairs
+            rows_pair = df_from_f64(
+                np.asarray(interp.strategy.rows, np.float64)
+            )
+            self._packed = jax.jit(
+                lambda h, l: pack_bicubic_rows_df(h, l, r)
+            )(*rows_pair)
+            self._run_extra = (self._packed,)
             self._run = jax.jit(
-                lambda a, b, c, d: gathered_bicubic_eval_df(
-                    *self._pairs, a, b, c, d, r=r
+                lambda packed, a, b, c, d: gathered_bicubic_eval_df_packed(
+                    *self._pairs, packed, a, b, c, d, r=r
                 )
             )
             return
+        from .ops.pallas_eval_df import (
+            gathered_bilinear_eval_df_packed,
+            pack_bilinear_rows_df,
+        )
+
         pairs = []
-        for v in (x64, y64, np.asarray(interp.data, np.float64)):
+        for v in (x64, y64):
             pairs.extend(df_from_f64(v))
         self._pairs = pairs
-        if kernel_ok:
+        z_pair = df_from_f64(np.asarray(interp.data, np.float64))
+        ny = y64.shape[0]
+        self._packed = jax.jit(pack_bilinear_rows_df)(*z_pair)
+        self._run_extra = (self._packed,)
 
-            def run(qxh, qxl, qyh, qyl):
-                return jax.lax.platform_dependent(
-                    qxh, qxl, qyh, qyl,
-                    tpu=lambda a, b, c, d: gathered_bilinear_eval_df(
-                        *self._pairs, a, b, c, d
-                    ),
-                    default=lambda a, b, c, d: eval_xla_df_2d(
-                        *self._pairs, a, b, c, d
-                    ),
-                )
-
-            self._run = jax.jit(run)
-        else:
-            self._run = jax.jit(
-                lambda qxh, qxl, qyh, qyl: eval_xla_df_2d(
-                    *self._pairs, qxh, qxl, qyh, qyl
-                )
+        def run(packed, qxh, qxl, qyh, qyl):
+            hi, lo = gathered_bilinear_eval_df_packed(
+                *self._pairs, packed, ny, r, qxh, qxl, qyh, qyl
             )
+            return hi, lo
+
+        self._run = jax.jit(run)
 
     def __call__(self, xs, ys):
         import numpy as np
@@ -497,6 +498,9 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
                 pad = bsz - cx.shape[0]
                 cx = np.concatenate([cx, np.full(pad, self._xr[0])])
                 cy = np.concatenate([cy, np.full(pad, self._yr[0])])
-            hi, lo = self._run(*df_from_f64(cx), *df_from_f64(cy))
+            hi, lo = self._run(
+                *getattr(self, "_run_extra", ()),
+                *df_from_f64(cx), *df_from_f64(cy),
+            )
             outs.append(df_to_f64(hi, lo))
         return np.concatenate(outs)[:n].reshape(qx.shape + self._trailing)

@@ -62,7 +62,7 @@ _STRATEGY_CODECS = {
             {"rows": s.rows},
         ),
         lambda meta, arrs: BicubicStrategy(
-            jnp.asarray(arrs["rows"]),
+            _bicubic_rows_from_checkpoint(jnp.asarray(arrs["rows"])),
             extrapolate=meta["extrapolate"],
             bc_x=meta.get("bc_x", "not_a_knot"),
             bc_y=meta.get("bc_y", "not_a_knot"),
@@ -77,6 +77,33 @@ _STRATEGY_CODECS = {
         lambda meta, arrs: Bilinear(extrapolate=meta["extrapolate"]),
     ),
 }
+
+
+def _bicubic_rows_from_checkpoint(rows):
+    """Accept both bicubic cell-row formats.
+
+    Round-2 checkpoints stored ``(cells, 16r+4)`` rows: RAW corner
+    derivatives plus the 4 interval-endpoint channels.  The current
+    layout is ``(cells, 16r)`` with derivatives PRE-SCALED by the
+    cell's interval widths and no endpoints (the widths are recoverable
+    from the legacy endpoint channels, so old checkpoints convert
+    exactly instead of silently evaluating unscaled derivatives as
+    scaled ones)."""
+    w = rows.shape[1]
+    if w % 16 != 4:
+        return rows  # current 16r layout
+    r = (w - 4) // 16
+    dx = (rows[:, 16 * r + 1] - rows[:, 16 * r + 0])[:, None]
+    dy = (rows[:, 16 * r + 3] - rows[:, 16 * r + 2])[:, None]
+    return jnp.concatenate(
+        [
+            rows[:, 0 * r * 4 : 4 * r],
+            rows[:, 4 * r : 8 * r] * dx,
+            rows[:, 8 * r : 12 * r] * dy,
+            rows[:, 12 * r : 16 * r] * (dx * dy),
+        ],
+        axis=1,
+    )
 
 
 def register_strategy_codec(name, cls, encode, decode):

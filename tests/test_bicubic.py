@@ -337,3 +337,72 @@ class TestBicubicLayouts:
             np.asarray(back.interp_array(qx, qy)),
             np.asarray(itp.interp_array(qx, qy)),
         )
+
+
+def test_legacy_checkpoint_rows_convert(tmp_path):
+    """Round-3 review regression: round-2 checkpoints stored (16r+4)
+    unscaled rows with endpoint channels; they must convert exactly to
+    the pre-scaled 16r layout on load (silently evaluating unscaled
+    derivatives as scaled ones was the failure mode)."""
+    import json
+
+    from ndarray_interp_tpu.models.strategies.bicubic import (
+        _solve_axis0,
+        _solve_axis1,
+    )
+    from ndarray_interp_tpu.utils import checkpoint
+
+    x, y, z, rng = fixture(trailing=(2,), seed=51)
+    itp = build(x, y, z)  # current layout, the reference values
+
+    # reconstruct the round-2 row format: raw corner state + endpoints
+    xj, yj, zj = jnp.asarray(x), jnp.asarray(y), jnp.asarray(z)
+    kx = _solve_axis0(xj, zj, "not_a_knot")
+    ky = _solve_axis1(yj, zj, "not_a_knot")
+    kxy = _solve_axis1(yj, kx, "not_a_knot")
+    nx, ny = z.shape[0], z.shape[1]
+    r = z.shape[2]
+    blocks = [
+        np.stack(
+            [g[:-1, :-1], g[:-1, 1:], g[1:, :-1], g[1:, 1:]], axis=2
+        ).reshape(nx - 1, ny - 1, 4 * r)
+        for g in (np.asarray(zj), np.asarray(kx), np.asarray(ky),
+                  np.asarray(kxy))
+    ]
+    ends = np.stack(
+        [
+            np.broadcast_to(x[:-1, None], (nx - 1, ny - 1)),
+            np.broadcast_to(x[1:, None], (nx - 1, ny - 1)),
+            np.broadcast_to(y[None, :-1], (nx - 1, ny - 1)),
+            np.broadcast_to(y[None, 1:], (nx - 1, ny - 1)),
+        ],
+        axis=-1,
+    )
+    legacy = np.concatenate(blocks + [ends], axis=-1).reshape(
+        (nx - 1) * (ny - 1), 16 * r + 4
+    )
+
+    p = tmp_path / "legacy_bicubic.npz"
+    header = {
+        "kind": "interp2d",
+        "strategy": "bicubic",
+        "strategy_meta": {"extrapolate": True},  # round-2 meta shape
+    }
+    np.savez(
+        p,
+        x=x, y=y, data=z,
+        strategy_rows=legacy,
+        __header__=np.frombuffer(
+            json.dumps(header).encode(), dtype=np.uint8
+        ),
+    )
+    back = checkpoint.load(p)
+    assert back.strategy.rows.shape[1] == 16 * r
+    qx = rng.uniform(x[0], x[-1], 50)
+    qy = rng.uniform(y[0], y[-1], 50)
+    np.testing.assert_allclose(
+        np.asarray(back.interp_array(qx, qy)),
+        np.asarray(itp.interp_array(qx, qy)),
+        rtol=1e-12,
+        atol=1e-12,
+    )

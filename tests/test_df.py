@@ -286,7 +286,7 @@ def test_banked_df_evaluator_matches_f64_oracle():
         .strategy(CubicSpline().extrapolate(True))
         .build()
     )
-    ev = DoubleFloatEvaluator(itp, max_batch=1024)
+    ev = DoubleFloatEvaluator(itp, max_batch=1024).warmup()
     q = rng.uniform(float(x[0]) - 1, float(x[-1]) + 1, 500)
     got = ev(q)
     assert got.shape == (500, bank)

@@ -307,3 +307,41 @@ def test_f64_axis_on_cpu():
         jax.jit(_eval_xla)(x, make_interval_table(x, d, a, b), q)
     )
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_boundary_aligned_pad_shard_owns_nothing():
+    """Round-3 review regression: when (n-1) % S == 0 with spare pad
+    shards, the first pad shard's window STARTS at x[n-1] — its value
+    range must not overlap the d_last shard's right-clamp ownership
+    (previously double-counted every query >= x[n-1])."""
+    mesh = _mesh()
+    n = 13  # S = 2, d_last = 5, shard 6 starts exactly at x[12] = x[n-1]
+    rng = np.random.default_rng(61)
+    x = jnp.asarray(np.cumsum(rng.uniform(0.2, 1.0, n)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=n - 1).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=n - 1).astype(np.float32))
+    q = jnp.asarray(
+        np.float32(
+            [float(x[-1]), float(x[-1]) + 1.0, float(x[-1]) - 1e-3,
+             float(x[0]), float(x[n // 2])]
+        )
+    )
+    shards = pack_knot_shards(x, d, a, b, 8)
+    got = np.asarray(
+        jax.jit(
+            lambda *s: sharded_knot_eval(*s, mesh=mesh, n=n, axis="knot")
+        )(*shards, q)
+    )
+    want = np.asarray(
+        jax.jit(_eval_xla)(x, make_interval_table(x, d, a, b), q)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-5)
+
+
+def test_mesh_size_mismatch_rejected():
+    mesh = _mesh()
+    x, d, a, b, q = _problem(100, 16, seed=63)
+    shards = pack_knot_shards(x, d, a, b, 4)  # packed for 4, mesh has 8
+    with pytest.raises(AssertionError, match="packed for 4"):
+        sharded_knot_eval(*shards, q, mesh=mesh, n=100, axis="knot")
