@@ -503,6 +503,43 @@ def main():
             "BASELINE.json config 3 + :5 (f64-grade)",
         )
 
+    # NS3d: bicubic at f64 grade — DF cell-row gather route
+    if on_tpu and not args.quick:
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            gathered_bicubic_eval_df_packed,
+            pack_bicubic_rows_df,
+        )
+
+        r3d = g_shape[2]
+        rows_pair = df_from_f64(
+            np.asarray(itp3b.strategy.rows, np.float64)
+        )
+        packed3d = jax.jit(
+            lambda h, l: pack_bicubic_rows_df(h, l, r3d)
+        )(*(jnp.asarray(v) for v in rows_pair))
+        xy_pairs = []
+        for v in (
+            np.arange(g_shape[0], dtype=np.float64),
+            np.arange(g_shape[1], dtype=np.float64),
+        ):
+            xy_pairs.extend(jnp.asarray(w) for w in df_from_f64(v))
+
+        def df3d_run(a, b, c, d, packed):
+            return gathered_bicubic_eval_df_packed(
+                *xy_pairs, packed, a, b, c, d, r=r3d
+            )
+
+        t = device_timer(
+            df3d_run, (qx3h, qx3l, qy3h, qy3l, packed3d), var=0, links=2
+        )
+        record(
+            f"NS3d: bicubic {g_shape} DF EVAL (f64-grade), {qn//1000}k "
+            "2-D queries (device)",
+            t,
+            qn,
+            "beyond-reference + BASELINE.json:5",
+        )
+
     # NS4: Akima + PCHIP through the strategy protocol
     for name, s in (("akima", Akima()), ("pchip", Pchip())):
         k_fn = jax.jit(
