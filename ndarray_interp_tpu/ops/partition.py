@@ -325,3 +325,103 @@ def sharded_banked_eval(interpret: bool = False):
     return _bank_query_vmap(
         _bank_query_cp(functools.partial(_banked_core, interpret=interpret))
     )
+
+
+# -- DF gather routes (round 3): query-axis rules, tables replicate -----------
+
+
+def _df_route_cp(core, n_reps, n_qs, rule, factors):
+    """custom_partitioning for DF gather routes: ``n_reps`` replicated
+    leading operands (knot pairs + the prepacked table), ``n_qs``
+    query-sharded flat operands, tuple (hi, lo) outputs sharded over the
+    query axis.  Zero communication: every query's row lives in the
+    replicated table."""
+
+    @custom_partitioning
+    def cp(*args):
+        return core(*args)
+
+    def _q_axes(arg_shapes):
+        q_spec = _spec(arg_shapes[n_reps])
+        return q_spec[0] if len(q_spec) >= 1 else None
+
+    def partition(mesh, arg_shapes, result_shape):
+        qa = _q_axes(arg_shapes)
+        q_sh = NamedSharding(mesh, P(qa))
+        arg_sh = tuple(
+            NamedSharding(mesh, P(*([None] * len(arg_shapes[i].shape))))
+            for i in range(n_reps)
+        ) + (q_sh,) * n_qs
+        out_ndim = len(result_shape[0].shape)
+        out_sh = NamedSharding(mesh, P(qa, *([None] * (out_ndim - 1))))
+
+        def lower(*args):
+            return core(*args)
+
+        return mesh, lower, (out_sh, out_sh), arg_sh
+
+    def infer(mesh, arg_shapes, result_shape):
+        qa = _q_axes(arg_shapes)
+        out_ndim = len(result_shape[0].shape)
+        out_sh = NamedSharding(mesh, P(qa, *([None] * (out_ndim - 1))))
+        return (out_sh, out_sh)
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+        need_replication_factors=factors,
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_df_banked_packed(bank: int, interpret: bool = False):
+    """Query-sharded DF banked gather route from a prepacked table."""
+    from .pallas_eval_df import gathered_bank_eval_df_packed
+
+    return _df_route_cp(
+        lambda xh, xl, packed, qh, ql: gathered_bank_eval_df_packed(
+            xh, xl, packed, bank, qh, ql, interpret=interpret
+        ),
+        n_reps=3,
+        n_qs=2,
+        rule="n, n, m c, q, q -> q b, q b",
+        factors=("n", "m", "c", "b"),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_df_bilinear_packed(ny: int, r: int, interpret: bool = False):
+    """Query-sharded DF bilinear gather route from a prepacked table."""
+    from .pallas_eval_df import gathered_bilinear_eval_df_packed
+
+    return _df_route_cp(
+        lambda xh, xl, yh, yl, packed, a, b, c, d:
+            gathered_bilinear_eval_df_packed(
+                xh, xl, yh, yl, packed, ny, r, a, b, c, d,
+                interpret=interpret,
+            ),
+        n_reps=5,
+        n_qs=4,
+        rule="n, n, p, p, m c, q, q, q, q -> q b, q b",
+        factors=("n", "p", "m", "c", "b"),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_df_bicubic_packed(r: int, interpret: bool = False):
+    """Query-sharded DF bicubic gather route from a prepacked table."""
+    from .pallas_eval_df import gathered_bicubic_eval_df_packed
+
+    return _df_route_cp(
+        lambda xh, xl, yh, yl, packed, a, b, c, d:
+            gathered_bicubic_eval_df_packed(
+                xh, xl, yh, yl, packed, a, b, c, d, r=r,
+                interpret=interpret,
+            ),
+        n_reps=5,
+        n_qs=4,
+        rule="n, n, p, p, m c, q, q, q, q -> q b, q b",
+        factors=("n", "p", "m", "c", "b"),
+    )

@@ -232,17 +232,14 @@ class DoubleFloatEvaluator(_BucketedEvaluator):
             # per call would re-concatenate a table that can reach
             # hundreds of MB, and closure-capturing it ships it with
             # every (remote) compile.
-            from .ops.pallas_eval_df import (
-                gathered_bank_eval_df_packed,
-                pack_bank_rows_df,
-            )
+            from .ops.pallas_eval_df import pack_bank_rows_df
+            from .ops.partition import sharded_df_banked_packed
 
             xh, xl = self._pairs[0], self._pairs[1]
             self._packed = jax.jit(pack_bank_rows_df)(*self._pairs[2:8])
+            route = sharded_df_banked_packed(bank)
             self._run = jax.jit(
-                lambda packed, qh, ql: gathered_bank_eval_df_packed(
-                    xh, xl, packed, bank, qh, ql
-                )
+                lambda packed, qh, ql: route(xh, xl, packed, qh, ql)
             )
             self._run_extra = (self._packed,)
         elif _plan(n) is not None:
@@ -389,10 +386,7 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
         if isinstance(interp.strategy, BicubicStrategy):
             # f64-grade tensor-product cubic: split the PRE-SCALED f64
             # cell table (build the Interp2D eagerly in f64 on CPU)
-            from .ops.pallas_eval_df import (
-                gathered_bicubic_eval_df_packed,
-                pack_bicubic_rows_df,
-            )
+            from .ops.pallas_eval_df import pack_bicubic_rows_df
 
             if interp.strategy.layout != "cell":
                 raise BuilderValueError(
@@ -410,16 +404,16 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
                 lambda h, l: pack_bicubic_rows_df(h, l, r)
             )(*rows_pair)
             self._run_extra = (self._packed,)
+            from .ops.partition import sharded_df_bicubic_packed
+
+            route = sharded_df_bicubic_packed(r)
             self._run = jax.jit(
-                lambda packed, a, b, c, d: gathered_bicubic_eval_df_packed(
-                    *self._pairs, packed, a, b, c, d, r=r
+                lambda packed, a, b, c, d: route(
+                    *self._pairs, packed, a, b, c, d
                 )
             )
             return
-        from .ops.pallas_eval_df import (
-            gathered_bilinear_eval_df_packed,
-            pack_bilinear_rows_df,
-        )
+        from .ops.pallas_eval_df import pack_bilinear_rows_df
 
         pairs = []
         for v in (x64, y64):
@@ -430,11 +424,12 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
         self._packed = jax.jit(pack_bilinear_rows_df)(*z_pair)
         self._run_extra = (self._packed,)
 
+        from .ops.partition import sharded_df_bilinear_packed
+
+        route = sharded_df_bilinear_packed(ny, r)
+
         def run(packed, qxh, qxl, qyh, qyl):
-            hi, lo = gathered_bilinear_eval_df_packed(
-                *self._pairs, packed, ny, r, qxh, qxl, qyh, qyl
-            )
-            return hi, lo
+            return route(*self._pairs, packed, qxh, qxl, qyh, qyl)
 
         self._run = jax.jit(run)
 

@@ -370,3 +370,73 @@ def test_gathered_vmap_partial_batching():
         np.testing.assert_allclose(
             np.asarray(out), want, rtol=1e-5, atol=1e-5
         )
+
+
+def test_df_gather_routes_under_mesh(mesh):
+    """Round 3: the DF gather routes carry query-axis partition rules
+    (tables replicate, zero communication) — sharded outputs equal the
+    unsharded XLA formulation."""
+    from ndarray_interp_tpu.ops.df import df_from_f64, df_to_f64
+    from ndarray_interp_tpu.ops.pallas_eval_df import (
+        eval_xla_df_banked,
+        pack_bank_rows_df,
+        pack_bilinear_rows_df,
+        eval_xla_df_2d,
+    )
+    from ndarray_interp_tpu.ops.partition import (
+        sharded_df_banked_packed,
+        sharded_df_bilinear_packed,
+    )
+
+    rng = np.random.default_rng(71)
+    mesh1 = make_mesh(8, axis_names=("query",))
+    q_sh = NamedSharding(mesh1, P("query"))
+
+    # banked
+    n, bank, nq = 64, 16, 2048
+    x64 = np.linspace(0.0, 1.0, n)
+    d64 = rng.normal(size=(n, bank))
+    a64 = rng.normal(size=(n - 1, bank))
+    b64 = rng.normal(size=(n - 1, bank))
+    q64 = rng.uniform(-0.1, 1.1, nq)
+    pairs = []
+    for v in (x64, d64, a64, b64):
+        pairs.extend(jnp.asarray(w) for w in df_from_f64(v))
+    packed = pack_bank_rows_df(*pairs[2:8])
+    qh, ql = (jnp.asarray(w) for w in df_from_f64(q64))
+    qh_s = jax.device_put(qh, q_sh)
+    ql_s = jax.device_put(ql, q_sh)
+    hi, lo = jax.jit(sharded_df_banked_packed(bank, True))(
+        pairs[0], pairs[1], packed, qh_s, ql_s
+    )
+    assert hi.sharding.spec[0] == "query", hi.sharding
+    whi, wlo = eval_xla_df_banked(*pairs, qh, ql)
+    np.testing.assert_allclose(
+        df_to_f64(hi, lo), df_to_f64(whi, wlo), rtol=1e-5, atol=1e-5
+    )
+
+    # bilinear
+    nx, ny = 48, 40
+    x64 = np.cumsum(rng.uniform(0.1, 1.0, nx))
+    y64 = np.cumsum(rng.uniform(0.1, 1.0, ny))
+    z64 = rng.normal(size=(nx, ny))
+    qx64 = rng.uniform(x64[0], x64[-1], nq)
+    qy64 = rng.uniform(y64[0], y64[-1], nq)
+    p2 = []
+    for v in (x64, y64, z64):
+        p2.extend(jnp.asarray(w) for w in df_from_f64(v))
+    packed2 = pack_bilinear_rows_df(p2[4], p2[5])
+    qxp = [jax.device_put(jnp.asarray(w), q_sh) for w in df_from_f64(qx64)]
+    qyp = [jax.device_put(jnp.asarray(w), q_sh) for w in df_from_f64(qy64)]
+    hi2, lo2 = jax.jit(sharded_df_bilinear_packed(ny, 1, True))(
+        p2[0], p2[1], p2[2], p2[3], packed2, *qxp, *qyp
+    )
+    assert hi2.sharding.spec[0] == "query", hi2.sharding
+    w2h, w2l = eval_xla_df_2d(
+        *p2, *(jnp.asarray(w) for w in df_from_f64(qx64)),
+        *(jnp.asarray(w) for w in df_from_f64(qy64)),
+    )
+    np.testing.assert_allclose(
+        df_to_f64(hi2, lo2).ravel(), df_to_f64(w2h, w2l).ravel(),
+        rtol=1e-5, atol=1e-5,
+    )
