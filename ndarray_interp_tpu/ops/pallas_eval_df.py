@@ -623,6 +623,9 @@ def banked_df_tail(rows, th, tl, interpret=False):
     f32-grade there (ops/df.py); Mosaic is exact."""
     nq, ch = rows.shape
     bp = ch // 8
+    # bq=512 is the VMEM ceiling: at 1024 the blocks + the DF tail's
+    # live EFT temporaries hit 21.5 MB scoped (measured OOM) — same
+    # structural cap as the banked kernel's Br (docs/ROADMAP.md)
     bq = 512
     assert nq % bq == 0, "pad idx/t to a 512 multiple before the gather"
     nb = nq // bq
