@@ -2,6 +2,7 @@ from ..ops.knotshard import (
     max_sharded_knots,
     pack_knot_shards,
     place_knot_shards,
+    shard_interp1d_knots,
     sharded_knot_eval,
 )
 from .sharding import (
@@ -19,6 +20,7 @@ __all__ = [
     "pack_knot_shards",
     "place_knot_shards",
     "shard_interp1d",
+    "shard_interp1d_knots",
     "shard_interp2d",
     "shard_queries",
     "sharded_eval_1d",

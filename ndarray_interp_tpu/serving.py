@@ -42,6 +42,9 @@ class _BucketedEvaluator:
         self._buckets = sorted(buckets or _default_buckets(max_batch))
         self._max = self._buckets[-1]
         self._donate = bool(donate)
+        # extra leading device-array arguments for self._run (e.g. a
+        # prepacked DF table) — always defined so call sites stay uniform
+        self._run_extra = ()
 
     def _bucket(self, n: int) -> int:
         i = bisect.bisect_left(self._buckets, n)
@@ -264,7 +267,7 @@ class DoubleFloatEvaluator(_BucketedEvaluator):
         for b in self._buckets:
             q = np.full(b, self._x0)
             hi, lo = self._run(
-                *getattr(self, "_run_extra", ()), *_split_q(q)
+                *self._run_extra, *_split_q(q)
             )
             jax.block_until_ready((hi, lo))
         return self
@@ -307,7 +310,7 @@ class DoubleFloatEvaluator(_BucketedEvaluator):
                     [chunk, np.full(bsz - chunk.shape[0], self._x0)]
                 )
             hi, lo = self._run(
-                *getattr(self, "_run_extra", ()), *_split_q(chunk)
+                *self._run_extra, *_split_q(chunk)
             )
             outs.append(df_to_f64(hi, lo))
         res = np.concatenate(outs)[:n]
@@ -349,13 +352,19 @@ def eval_into_donated(interp, queries, out):
 
 
 class DoubleFloatEvaluator2D(_BucketedEvaluator):
-    """2-D analogue of :class:`DoubleFloatEvaluator`: f64-grade bilinear
-    serving on f32 hardware.  On TPU (both axes within the windowed
-    plan) queries run the DF gather route — two DF (idx, t) kernels +
-    ONE packed (hi, lo) corner-row gather + a Mosaic DF tail
-    (``gathered_bilinear_eval_df``); elsewhere the plain-XLA DF
-    formulation.  Trailing (bank) dims supported; build the Interp2D
-    eagerly in f64 on CPU."""
+    """2-D analogue of :class:`DoubleFloatEvaluator`: f64-grade serving
+    on f32 hardware for Bilinear AND Bicubic strategies.
+
+    Both run the prepacked DF gather routes through their
+    ``custom_partitioning`` wrappers (``ops/partition.py``): DF (idx, t)
+    passes (Pallas kernels on TPU within the windowed plan, the XLA
+    DF-lexicographic form elsewhere) + ONE packed (hi, lo) row gather +
+    a Mosaic DF tail on TPU / the guarded XLA tail off it.  The packed
+    table is built ONCE at construction and kept on device (~8-10x the
+    grid's f64 memory for bilinear, 2x the f32 cell table for bicubic) —
+    on every backend, including CPU-only hosts.  Trailing (bank) dims
+    supported; build the Interp2D eagerly in f64 on CPU; periodic
+    bicubic axes wrap in f64 on the host."""
 
     def __init__(self, interp, max_batch: int = 1 << 20, buckets=None):
         import numpy as np
@@ -494,7 +503,7 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
                 cx = np.concatenate([cx, np.full(pad, self._xr[0])])
                 cy = np.concatenate([cy, np.full(pad, self._yr[0])])
             hi, lo = self._run(
-                *getattr(self, "_run_extra", ()),
+                *self._run_extra,
                 *df_from_f64(cx), *df_from_f64(cy),
             )
             outs.append(df_to_f64(hi, lo))

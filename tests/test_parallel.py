@@ -440,3 +440,45 @@ def test_df_gather_routes_under_mesh(mesh):
         df_to_f64(hi2, lo2).ravel(), df_to_f64(w2h, w2l).ravel(),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_df_bicubic_route_under_mesh():
+    """The bicubic DF partition rule, exercised with query-sharded
+    inputs (the banked/bilinear rules have their own case above)."""
+    from ndarray_interp_tpu.ops.df import df_from_f64, df_to_f64
+    from ndarray_interp_tpu.ops.pallas_eval_df import (
+        gathered_bicubic_eval_df,
+        pack_bicubic_rows_df,
+    )
+    from ndarray_interp_tpu.ops.partition import sharded_df_bicubic_packed
+
+    rng = np.random.default_rng(73)
+    mesh1 = make_mesh(8, axis_names=("query",))
+    q_sh = NamedSharding(mesh1, P("query"))
+    nx, ny, r, nq = 40, 32, 3, 2048
+    x64 = np.cumsum(rng.uniform(0.1, 1.0, nx))
+    y64 = np.cumsum(rng.uniform(0.1, 1.0, ny))
+    # pre-scaled cell rows in f64 (as the evaluator feeds them)
+    rows64 = rng.normal(size=((nx - 1) * (ny - 1), 16 * r))
+    qx64 = rng.uniform(x64[0], x64[-1], nq)
+    qy64 = rng.uniform(y64[0], y64[-1], nq)
+    pairs = []
+    for v in (x64, y64):
+        pairs.extend(jnp.asarray(w) for w in df_from_f64(v))
+    rows_pair = tuple(jnp.asarray(w) for w in df_from_f64(rows64))
+    packed = pack_bicubic_rows_df(*rows_pair, r)
+    qxp = [jax.device_put(jnp.asarray(w), q_sh) for w in df_from_f64(qx64)]
+    qyp = [jax.device_put(jnp.asarray(w), q_sh) for w in df_from_f64(qy64)]
+    hi, lo = jax.jit(sharded_df_bicubic_packed(r, True))(
+        *pairs, packed, *qxp, *qyp
+    )
+    assert hi.sharding.spec[0] == "query", hi.sharding
+    whi, wlo = gathered_bicubic_eval_df(
+        *pairs, *rows_pair,
+        *(jnp.asarray(w) for w in df_from_f64(qx64)),
+        *(jnp.asarray(w) for w in df_from_f64(qy64)),
+        r=r,
+    )
+    np.testing.assert_allclose(
+        df_to_f64(hi, lo), df_to_f64(whi, wlo), rtol=1e-5, atol=1e-5
+    )
