@@ -53,6 +53,31 @@ def main():
     print(f"double-float vs f64 oracle, max scale-relative error: {rel:.2e}")
     assert rel < 1e-9
 
+    # 2-D: f64-grade bicubic serving (round 3) — same pattern, the
+    # evaluator splits the strategy's pre-scaled cell table once
+    from ndarray_interp_tpu.interp2d import Bicubic, Interp2D
+    from ndarray_interp_tpu.serving import DoubleFloatEvaluator2D
+
+    gx = np.cumsum(rng.uniform(0.2, 1.0, 48))
+    gy = np.cumsum(rng.uniform(0.2, 1.0, 40))
+    gz = rng.normal(size=(48, 40, 4))
+    itp2 = (
+        Interp2D.builder(jnp.asarray(gz))
+        .x(jnp.asarray(gx))
+        .y(jnp.asarray(gy))
+        .strategy(Bicubic().extrapolate(True))
+        .build()
+    )
+    ev2 = DoubleFloatEvaluator2D(itp2, max_batch=1 << 15)
+    qx = rng.uniform(gx[0], gx[-1], 20_000)
+    qy = rng.uniform(gy[0], gy[-1], 20_000)
+    out2 = ev2(qx, qy)
+    want2 = np.asarray(itp2.interp_array(qx, qy))
+    scale2 = np.maximum(np.abs(want2), 0.01 * np.abs(want2).max())
+    rel2 = (np.abs(out2 - want2) / scale2).max()
+    print(f"double-float bicubic 2-D, max scale-relative error: {rel2:.2e}")
+    assert rel2 < 1e-9
+
 
 if __name__ == "__main__":
     main()
