@@ -98,6 +98,32 @@ def _hermite_scaled(y_l, y_r, K_l, K_r, t):
     )
 
 
+def _cell_tail_nested(g, tx, ty, r):
+    """Nested scaled-Hermite tail on flat gathered cell rows ``(Q, 16r)``
+    with ``tx``/``ty`` of shape ``(Q, 1)`` — the reference-ordered
+    arithmetic of the cell layout (elementwise identical to evaluating
+    on query-shaped arrays)."""
+
+    def block(i):  # corner quantity i, corners [11, 12, 21, 22]
+        base = 4 * r * i
+        return tuple(
+            g[:, base + c * r : base + (c + 1) * r] for c in range(4)
+        )
+
+    f11, f12, f21, f22 = block(0)
+    kx11, kx12, kx21, kx22 = block(1)
+    ky11, ky12, ky21, ky22 = block(2)
+    kxy11, kxy12, kxy21, kxy22 = block(3)
+    # interpolate f and ky*dy along x at both bracketing y-knots
+    # (kx*dx and kxy*dx*dy supply their pre-scaled x-derivatives),
+    # then Hermite along y
+    f_y1 = _hermite_scaled(f11, f21, kx11, kx21, tx)
+    f_y2 = _hermite_scaled(f12, f22, kx12, kx22, tx)
+    g_y1 = _hermite_scaled(ky11, ky21, kxy11, kxy21, tx)
+    g_y2 = _hermite_scaled(ky12, ky22, kxy12, kxy22, tx)
+    return _hermite_scaled(f_y1, f_y2, g_y1, g_y2, ty)
+
+
 def _index_frac(knots, q):
     """``(get_lower_index(q), t)``: the fused Pallas pass on TPU for
     eligible f32 axes, the XLA gather form elsewhere (same values, same
@@ -327,36 +353,29 @@ class BicubicStrategy(Interp2DStrategy):
         )
 
     def _eval_cell(self, data, xi, yi, tx, ty, qshape):
-        """ONE pre-scaled 16r-channel row gather + scaled Hermite tail."""
+        """ONE pre-scaled 16r-channel row gather + nested XLA Hermite tail.
+
+        The tail stays in XLA deliberately: a streaming Mosaic
+        weight-form tail (``ops.pallas_tail.bicubic_gathered_eval``)
+        was built and measured at 30.0 ms/1M on the NS3b workload vs
+        15.6 ms for this body (and 27.7 ms for a lane-packed variant) —
+        the kernel cannot undo the gather-fusion boundary (the gathered
+        GB is materialized either way) and adds its own block overheads,
+        so the re-stream analysis in docs/ROADMAP.md stands as the
+        route's floor.  The kernel remains in ops/pallas_tail.py as the
+        tested record."""
         ny = data.shape[1]
         trailing = data.shape[2:]
         r = 1
         for s in trailing:
             r *= s
-        g = jnp.take(self.rows, xi * (ny - 1) + yi, axis=0)  # (Q, 16r)
         out_shape = qshape + trailing
-
-        def block(i):  # corner quantity i, corners [11, 12, 21, 22]
-            base = 4 * r * i
-            return (
-                g[:, base + 0 * r : base + 1 * r].reshape(out_shape),
-                g[:, base + 1 * r : base + 2 * r].reshape(out_shape),
-                g[:, base + 2 * r : base + 3 * r].reshape(out_shape),
-                g[:, base + 3 * r : base + 4 * r].reshape(out_shape),
-            )
-
-        f11, f12, f21, f22 = block(0)
-        kx11, kx12, kx21, kx22 = block(1)
-        ky11, ky12, ky21, ky22 = block(2)
-        kxy11, kxy12, kxy21, kxy22 = block(3)
-        # interpolate f and ky*dy along x at both bracketing y-knots
-        # (kx*dx and kxy*dx*dy supply their pre-scaled x-derivatives),
-        # then Hermite along y
-        f_y1 = _hermite_scaled(f11, f21, kx11, kx21, tx)
-        f_y2 = _hermite_scaled(f12, f22, kx12, kx22, tx)
-        g_y1 = _hermite_scaled(ky11, ky21, kxy11, kxy21, tx)
-        g_y2 = _hermite_scaled(ky12, ky22, kxy12, kxy22, tx)
-        return _hermite_scaled(f_y1, f_y2, g_y1, g_y2, ty)
+        cell = (xi * (ny - 1) + yi).reshape(-1)
+        out = _cell_tail_nested(
+            jnp.take(self.rows, cell, axis=0),
+            tx.reshape(-1)[:, None], ty.reshape(-1)[:, None], r,
+        )
+        return out.reshape(out_shape)
 
     def _eval_node(self, data, xi, yi, tx, ty, qshape):
         """Memory-frugal route: 4 corner gathers from the node table."""

@@ -28,7 +28,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .df import df_add, df_div, df_mul, df_sub
+from .df import (
+    df_add,
+    df_div,
+    df_mul,
+    df_neg,
+    df_sub,
+    fast_two_sum,
+    two_prod,
+    two_sum,
+)
 from .pallas_eval import _dot3, _pack_windows, _plan, _split3
 
 
@@ -949,6 +958,182 @@ def bicubic_df_tail(rows, txh, txl, tyh, tyl, interpret=False):
     return outh, outl
 
 
+def _df_hermite_basis(t, one):
+    """The four scaled-Hermite weights as DF pairs: expanding
+    ``_df_hermite_scaled`` over its quantities (y_l, y_r, K_l, K_r)
+    gives  w_yl = u + p*d,  w_yr = t - p*d,  w_Kl = p*u,  w_Kr = -p*t
+    with u = 1-t, p = t*u, d = u-t (algebraically identical to the
+    nested form; DF rounding differs at ~2^-48)."""
+    u = df_sub(one, t)
+    d = df_sub(u, t)
+    p = df_mul(t, u)
+    pd = df_mul(p, d)
+    return (
+        df_add(u, pd),
+        df_sub(t, pd),
+        df_mul(p, u),
+        df_neg(df_mul(p, t)),
+    )
+
+
+def _df_bicubic_weights(tx, ty, one):
+    """The 16 tensor-product weights, one DF pair per cell-row block
+    ``b = 4*i + c`` (quantity i in [f, kx, ky, kxy], corner c in
+    [11, 12, 21, 22]): W[b] = Ax[i][cx] * Ay[i][cy] with cx = c>>1,
+    cy = c&1; Ax = (value, value, deriv, deriv)[i] x-basis, Ay the
+    y-basis — the closed form of the 5-Hermite nesting in
+    ``_df_bicubic_tail``."""
+    bx = _df_hermite_basis(tx, one)
+    by = _df_hermite_basis(ty, one)
+    w16 = []
+    for i in range(4):
+        ax = (bx[0], bx[1]) if i in (0, 2) else (bx[2], bx[3])
+        ay = (by[0], by[1]) if i in (0, 1) else (by[2], by[3])
+        for c in range(4):
+            w16.append(df_mul(ax[c >> 1], ay[c & 1]))
+    return w16
+
+
+def _df_bicubic_weight_tail(rows, txh, txl, tyh, tyl, bp):
+    """Weight-form DF bicubic tail body: per-query DF weights, one EFT
+    product per cell-row block, compensated sequential accumulation.
+
+    MEASURED NEGATIVE RESULT (round 3, NS3d 1M queries): 94.7 ms at
+    bq=256 vs 67.2 ms for the nested form (``_df_bicubic_tail``) — the
+    32 sub-lane (B, bp) row slices live lane-padded and the serial
+    compensated chain costs more than the weight algebra saves.  An
+    earlier lane-packed full-row form (one ``two_prod`` across the
+    whole (B, 32*bp) row + 5 tree levels) measured 52.3 ms but its
+    full-row temporaries exceed scoped VMEM at bq=512 (19.3–28.1 MB,
+    three forms measured) and its 16-piece sub-128-lane concats
+    relayout.  Kept (with tests) as the record; the route default is
+    tail="nested".  Hi products and hi sums are exact (EFT); residuals
+    accumulate in plain f32 at ~2^-48 of term scale — same grade as
+    the nested form, different last-bit rounding."""
+    b = rows.shape[0]
+    ch = rows.shape[1]
+    tx = (txh, txl)
+    ty = (tyh, tyl)
+    one = (jnp.ones_like(txh), jnp.zeros_like(txh))
+    w16 = _df_bicubic_weights(tx, ty, one)
+    from . import df as _dfmod
+
+    if _dfmod._GUARDED:
+        # XLA fallback: per-block (B, 1) x (B, bp) two_prods — the ONE
+        # broadcast pattern pinned safe against the XLA:CPU emitter's
+        # FMA contraction (two_prod materializes the broadcast through
+        # the integer domain internally).  Building lane-packed weight
+        # rows out of broadcast_to + concatenate instead collapses the
+        # Veltkamp splits below HLO no matter where the barriers go —
+        # measured 7e-8 for plain, bitcast-after-concat, AND
+        # materialize-per-piece variants, vs ~1e-13 for this form.
+        ps, es = [], []
+        for j in range(32):
+            w = w16[j % 16]
+            blk = rows[:, j * bp : (j + 1) * bp]
+            p, pe = two_prod(w[0], blk)
+            ps.append(p)
+            es.append(pe + w[1] * blk)
+        while len(ps) > 1:
+            nps, nes = [], []
+            for j in range(0, len(ps), 2):
+                s, se = two_sum(ps[j], ps[j + 1])
+                nps.append(s)
+                nes.append(es[j] + es[j + 1] + se)
+            ps, es = nps, nes
+        return fast_two_sum(ps[0], es[0])
+
+    # Mosaic: per-block broadcast EFT products + a compensated tree
+    # reduce.  Mosaic broadcasts (B, 1) weights against (B, bp) blocks
+    # natively (the nested tail leans on the same), the hi/lo block
+    # pair shares its weight's Veltkamp split, and nothing is
+    # concatenated: lane-packing the weights into full rows measured
+    # worse (52.3 ms NS3d — the 16-piece sub-128-lane concats and
+    # broadcast_to relayout) and its full-row temporaries OOM scoped
+    # VMEM at bq=512 (19.3-20.9 MB, two forms measured).
+    del ch
+
+    def split(a):  # Veltkamp (no guards: Mosaic preserves the EFTs)
+        c = a * jnp.asarray(4097.0, a.dtype)
+        hi = c - (c - a)
+        return hi, a - hi
+
+    # Sequential compensated accumulation, NOT a tree: sub-128-lane
+    # (B, bp) arrays are stored lane-padded in VMEM, so a tree keeping
+    # 2x32 of them live costs 28 MB scoped at bq=512 (measured OOM);
+    # the running (s, e) pair keeps ~4 live.  two_sum is exact in any
+    # association, so the order change costs nothing.
+    s = e = None
+    for bidx in range(16):
+        w = w16[bidx]
+        wh, wl = split(w[0])
+        for off in (0, 16):  # hi block, then its lo twin
+            j = bidx + off
+            blk = rows[:, j * bp : (j + 1) * bp]
+            p = w[0] * blk
+            bh, bl = split(blk)
+            err = ((wh * bh - p) + wh * bl + wl * bh) + wl * bl
+            err = err + w[1] * blk
+            if s is None:
+                s, e = p, err
+            else:
+                s, se = two_sum(s, p)
+                e = e + (err + se)
+    return fast_two_sum(s, e)
+
+
+def _df_bicubic_weight_kernel(
+    rows_ref, txh_ref, txl_ref, tyh_ref, tyl_ref, outh_ref, outl_ref, *, bp
+):
+    from .df import no_guard
+
+    with no_guard():
+        out = _df_bicubic_weight_tail(
+            rows_ref[:], txh_ref[:], txl_ref[:], tyh_ref[:], tyl_ref[:], bp
+        )
+        outh_ref[:] = out[0]
+        outl_ref[:] = out[1]
+
+
+def bicubic_df_tail_w(rows, txh, txl, tyh, tyl, interpret=False, bq=256):
+    """Weight-form streaming Mosaic DF bicubic tail (see
+    ``_df_bicubic_weight_tail``); same contract as ``bicubic_df_tail``.
+    bq=256: even with the sequential accumulation keeping ~4 live
+    (B, bp) arrays, the r=16 plan measures 17.46 MB scoped VMEM at
+    bq=512 (the 32 lane-padded row slices dominate) — one block size
+    down fits; the lane-packed full-row forms measured 19.3–28.1 MB
+    across three variants and are gone."""
+    nq, ch = rows.shape
+    bp = ch // 32
+    assert nq % bq == 0
+    nb = nq // bq
+    outh, outl = pl.pallas_call(
+        functools.partial(_df_bicubic_weight_kernel, bp=bp),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        + [
+            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        * 4,
+        out_specs=[
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        rows,
+        txh.reshape(nq, 1), txl.reshape(nq, 1),
+        tyh.reshape(nq, 1), tyl.reshape(nq, 1),
+    )
+    return outh, outl
+
+
 def gathered_bicubic_eval_df(
     x_hi, x_lo, y_hi, y_lo, rows_hi, rows_lo, qx_hi, qx_lo, qy_hi, qy_lo,
     r=1, interpret=False,
@@ -970,10 +1155,15 @@ def gathered_bicubic_eval_df(
 
 def gathered_bicubic_eval_df_packed(
     x_hi, x_lo, y_hi, y_lo, packed, qx_hi, qx_lo, qy_hi, qy_lo,
-    r=1, interpret=False,
+    r=1, interpret=False, tail="nested",
 ):
     """The bicubic DF gather route from a PREPACKED ``(cells, 32*bp)``
-    table (see gathered_bank_eval_df_packed)."""
+    table (see gathered_bank_eval_df_packed).  ``tail``: "nested" (the
+    5-Hermite nesting — the measured winner at 67.2 ms/1M on NS3d,
+    default) or "weight" (the per-block weight-form kernel — measured
+    94.7 ms/1M at bq=256: the 32 sub-lane row slices and the serial
+    accumulation chain lose more than the weight algebra saves; kept
+    with tests as the record)."""
     ny1 = y_hi.shape[0] - 1
     nq = qx_hi.shape[0]
     npad = -(-nq // 512) * 512 - nq
@@ -1012,9 +1202,10 @@ def gathered_bicubic_eval_df_packed(
 
     rows = jnp.take(packed, xi * ny1 + yi, axis=0)
     bp = packed.shape[1] // 32
+    tail_fn = bicubic_df_tail_w if tail == "weight" else bicubic_df_tail
 
     def mosaic(rows, a1, a2, a3, a4):
-        hi, lo = bicubic_df_tail(rows, a1, a2, a3, a4, interpret=interpret)
+        hi, lo = tail_fn(rows, a1, a2, a3, a4, interpret=interpret)
         return hi[:, :r], lo[:, :r]
 
     def xla(rw, a1, a2, a3, a4):

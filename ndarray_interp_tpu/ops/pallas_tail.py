@@ -215,6 +215,141 @@ def _bl_bwd(r, res, g):
 bilinear_gathered_eval.defvjp(_bl_fwd, _bl_bwd)
 
 
+# -- bicubic: weight-form streaming tail --------------------------------------
+
+
+def _bicubic_basis(t, one):
+    """Scaled-Hermite weights (w_yl, w_yr, w_Kl, w_Kr) of
+    ``bicubic._hermite_scaled`` in closed form: u + p*d, t - p*d, p*u,
+    -p*t with u = 1-t, p = t*u, d = u-t."""
+    u = one - t
+    p = t * u
+    pd = p * (u - t)
+    return (u + pd, t - pd, p * u, -(p * t))
+
+
+def _bicubic_weights(tx, ty, one):
+    """The 16 tensor-product weights, one per cell-row block
+    ``b = 4*i + c`` (quantity i in [f, kx, ky, kxy], corner c in
+    [11, 12, 21, 22]): W[b] = Ax[i][c>>1] * Ay[i][c&1] — the closed
+    form of the 5-Hermite nesting in ``BicubicStrategy._eval_cell``."""
+    bx = _bicubic_basis(tx, one)
+    by = _bicubic_basis(ty, one)
+    w16 = []
+    for i in range(4):
+        ax = (bx[0], bx[1]) if i in (0, 2) else (bx[2], bx[3])
+        ay = (by[0], by[1]) if i in (0, 1) else (by[2], by[3])
+        for c in range(4):
+            w16.append(ax[c >> 1] * ay[c & 1])
+    return w16
+
+
+def _bicubic_weight_kernel(rows_ref, tx_ref, ty_ref, out_ref, *, r):
+    """Weight-form bicubic tail: 16 per-query scalar weights, one
+    (B, 1)-broadcast multiply per block, sequential accumulation.
+
+    MEASURED NEGATIVE RESULT (round 3, NS3b 1M queries): this route
+    costs 30.0 ms vs 15.6 ms for the XLA nested tail (27.7 ms for a
+    lane-packed variant).  The kernel cannot undo the gather-fusion
+    boundary — the gathered GB is materialized as its input either
+    way — and the (B, r) sub-128-lane blocks pad to full lanes in
+    VMEM, so the tail re-streams MORE bytes than XLA's fused form.
+    Kept (with tests) as the record; the strategy does not route here."""
+    rows = rows_ref[:]  # (B, 16r)
+    tx = tx_ref[:]  # (B, 1)
+    ty = ty_ref[:]
+    one = jnp.float32(1.0)
+    w16 = _bicubic_weights(tx, ty, one)
+    # sequential accumulation: sub-128-lane (B, r) arrays live
+    # lane-padded in VMEM, so keeping all 16 products for a tree
+    # inflates the scoped footprint ~8x for r=16
+    out = w16[0] * rows[:, :r]
+    for b in range(1, 16):
+        out = out + w16[b] * rows[:, b * r : (b + 1) * r]
+    out_ref[:] = out
+
+
+def bicubic_weight_tail(rows, tx, ty, r, interpret=False, bq=512):
+    """Streaming Mosaic weight-form bicubic tail on gathered cell rows
+    ``(Q, 16r)`` (Q a multiple of bq; 16r lane-aligned works best).
+    Returns (Q, r) f32.  Summation order differs from the nested
+    Hermite (tree over blocks) — equal to ~1e-6 relative."""
+    nq, ch = rows.shape
+    assert nq % bq == 0, "pad cell/t to a block multiple before the gather"
+    nb = nq // bq
+    return pl.pallas_call(
+        functools.partial(_bicubic_weight_kernel, r=r),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bq, r), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nq, r), jnp.float32),
+        interpret=interpret,
+    )(rows, tx.reshape(nq, 1), ty.reshape(nq, 1))
+
+
+def _bicubic_weight_xla(rows, tx, ty, r):
+    """Weight-form bicubic tail in plain XLA (VJP of the gather route;
+    same math as the kernel, block-summed)."""
+    one = jnp.float32(1.0)
+    w16 = _bicubic_weights(tx[:, None], ty[:, None], one)
+    out = w16[0] * rows[:, :r]
+    for b in range(1, 16):
+        out = out + w16[b] * rows[:, b * r : (b + 1) * r]
+    return out
+
+
+def _bicubic_gathered_impl(rows_tbl, cell, tx, ty, r, interpret=False):
+    nq = cell.shape[0]
+    npad = -(-nq // 512) * 512 - nq
+    if npad:
+        cell = jnp.pad(cell, (0, npad))
+        tx = jnp.pad(tx, (0, npad))
+        ty = jnp.pad(ty, (0, npad))
+    rows = jnp.take(rows_tbl, cell, axis=0)
+    return bicubic_weight_tail(rows, tx, ty, r, interpret=interpret)[:nq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def bicubic_gathered_eval(rows_tbl, cell, tx, ty, r):
+    """Bicubic cell-gather route: ONE packed 16r-channel row gather +
+    the streaming weight-form Mosaic tail (``bicubic_weight_tail``).
+    rows_tbl: ((nx-1)*(ny-1), 16r) from ``bicubic.pack_bicubic_rows``;
+    cell/tx/ty flat.  Backward = VJP of the XLA weight form.
+
+    NOT routed by the strategy: measured 30.0 ms/1M on NS3b vs
+    15.6 ms for the XLA nested tail (see ``_bicubic_weight_kernel``)."""
+    return _bicubic_gathered_impl(rows_tbl, cell, tx, ty, r)
+
+
+def _bc_fwd(rows_tbl, cell, tx, ty, r):
+    out = _bicubic_gathered_impl(rows_tbl, cell, tx, ty, r)
+    return out, (rows_tbl, cell, tx, ty)
+
+
+def _bc_bwd(r, res, g):
+    import numpy as np
+
+    rows_tbl, cell, tx, ty = res
+    _, vjp = jax.vjp(
+        lambda rt, a, b: _bicubic_weight_xla(
+            jnp.take(rt, cell, axis=0), a, b, r
+        ),
+        rows_tbl, tx, ty,
+    )
+    gr, gx, gy = vjp(g)
+    gcell = np.zeros(cell.shape, dtype=jax.dtypes.float0)
+    return gr, gcell, gx, gy
+
+
+bicubic_gathered_eval.defvjp(_bc_fwd, _bc_bwd)
+
+
 @jax.custom_vjp
 def gathered_bank_eval(data2, a2, b2, idx, t):
     """Gather-route banked evaluation: ONE packed row gather -> streaming

@@ -603,3 +603,113 @@ class TestDFBicubicGatherRoute:
         period = x[-1] - x[0]
         wrapped = ev(qx + 2 * period, qy)
         np.testing.assert_allclose(wrapped, base, rtol=1e-6, atol=1e-9)
+
+
+class TestDFBicubicWeightTail:
+    """Round 3: the weight-form DF bicubic tail (lane-packed Mosaic
+    kernel + the per-block guarded-XLA twin).  The guarded-XLA test is
+    the CI-visible f64-grade gate (interpret mode rewrites the EFTs, so
+    the kernel itself is pinned on chip by test_tpu_parity)."""
+
+    def _fixture(self, B=512, r=16, seed=11):
+        rng = np.random.default_rng(seed)
+        rows64 = rng.normal(size=(B, 16 * r))
+        rh, rl = df_from_f64(rows64)
+        rows = jnp.concatenate([jnp.asarray(rh), jnp.asarray(rl)], axis=1)
+        tx64 = rng.uniform(-0.5, 1.5, B)
+        ty64 = rng.uniform(-0.5, 1.5, B)
+        txh, txl = (jnp.asarray(v) for v in df_from_f64(tx64))
+        tyh, tyl = (jnp.asarray(v) for v in df_from_f64(ty64))
+        return rows64, rows, tx64, ty64, (txh, txl, tyh, tyl)
+
+    @staticmethod
+    def _oracle(rows64, tx64, ty64, r):
+        def herm(y_l, y_r, K_l, K_r, t):
+            dy = y_r - y_l
+            a = K_l - dy
+            b = dy - K_r
+            return (1 - t) * y_l + t * y_r + t * (1 - t) * (
+                a * (1 - t) + b * t
+            )
+
+        B = rows64.shape[0]
+        g = rows64.reshape(B, 4, 4, r)
+        tx = tx64[:, None]
+        ty = ty64[:, None]
+        f_y1 = herm(g[:, 0, 0], g[:, 0, 2], g[:, 1, 0], g[:, 1, 2], tx)
+        f_y2 = herm(g[:, 0, 1], g[:, 0, 3], g[:, 1, 1], g[:, 1, 3], tx)
+        g_y1 = herm(g[:, 2, 0], g[:, 2, 2], g[:, 3, 0], g[:, 3, 2], tx)
+        g_y2 = herm(g[:, 2, 1], g[:, 2, 3], g[:, 3, 1], g[:, 3, 3], tx)
+        return herm(f_y1, f_y2, g_y1, g_y2, ty)
+
+    def test_guarded_xla_jit_f64_grade(self):
+        """The per-block two_prod form survives XLA:CPU jit at DF grade
+        (the lane-packed broadcast+concat form collapses the Veltkamp
+        splits below HLO — measured 7e-8 — which is why the body
+        branches on _GUARDED; see _df_bicubic_weight_tail)."""
+        import jax
+
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            _df_bicubic_weight_tail,
+        )
+
+        r = 16
+        rows64, rows, tx64, ty64, t = self._fixture(r=r)
+        hi, lo = jax.jit(
+            lambda rw, a, b, c, d: _df_bicubic_weight_tail(
+                rw, a[:, None], b[:, None], c[:, None], d[:, None], r
+            )
+        )(rows, *t)
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        want = self._oracle(rows64, tx64, ty64, r)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-12
+
+    @pytest.mark.parametrize("r", [8, 16])
+    def test_kernel_interpret_plumbing(self, r):
+        """Lane packing / tile streaming indexes the right blocks —
+        interpret-mode values are f32-grade (EFTs rewritten) but any
+        block mix-up would be O(1) wrong."""
+        from ndarray_interp_tpu.ops.pallas_eval_df import bicubic_df_tail_w
+
+        rows64, rows, tx64, ty64, t = self._fixture(r=r)
+        hi, lo = bicubic_df_tail_w(rows, *t, interpret=True)
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        want = self._oracle(rows64, tx64, ty64, r)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-5
+
+    def test_weight_route_interpret_matches_nested_route(self):
+        """gathered_bicubic_eval_df_packed(tail=weight) == (tail=nested)
+        through the full route (CPU falls to the same XLA branch; this
+        pins the tail switch plumbing)."""
+        import jax
+
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            gathered_bicubic_eval_df_packed,
+            pack_bicubic_rows_df,
+        )
+
+        rng = np.random.default_rng(12)
+        nx, ny, r = 12, 10, 3
+        x64 = np.cumsum(rng.uniform(0.2, 1.0, nx))
+        y64 = np.cumsum(rng.uniform(0.2, 1.0, ny))
+        rows64 = rng.normal(size=((nx - 1) * (ny - 1), 16 * r))
+        rh, rl = (jnp.asarray(v) for v in df_from_f64(rows64))
+        packed = pack_bicubic_rows_df(rh, rl, r)
+        qx = rng.uniform(x64[0], x64[-1], 200)
+        qy = rng.uniform(y64[0], y64[-1], 200)
+        args = []
+        for v in (x64, y64):
+            args.extend(jnp.asarray(w) for w in df_from_f64(v))
+        args.append(packed)
+        for v in (qx, qy):
+            args.extend(jnp.asarray(w) for w in df_from_f64(v))
+        out_w = jax.jit(
+            lambda *a: gathered_bicubic_eval_df_packed(*a, r=r, tail="weight")
+        )(*args)
+        out_n = jax.jit(
+            lambda *a: gathered_bicubic_eval_df_packed(*a, r=r, tail="nested")
+        )(*args)
+        for gw, gn in zip(out_w, out_n):
+            np.testing.assert_array_equal(np.asarray(gw), np.asarray(gn))

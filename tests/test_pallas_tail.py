@@ -232,3 +232,119 @@ def test_index_frac_bwd_matches_xla_grads():
     gx, gq = _index_frac_bwd((x, q, idx), (g_idx, 2.0 * t))
     np.testing.assert_allclose(np.asarray(gx), np.asarray(want[0]), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gq), np.asarray(want[1]), rtol=1e-5, atol=1e-5)
+
+
+# -- bicubic weight-form tail (round 3) ---------------------------------------
+
+
+def bc_fixture(nx=24, ny=20, r=8, nq=1024, seed=5, extrapolate=True):
+    from ndarray_interp_tpu.models.strategies.bicubic import Bicubic
+
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(np.cumsum(rng.uniform(0.2, 1.0, nx)).astype(np.float32))
+    y = jnp.asarray(np.cumsum(rng.uniform(0.2, 1.0, ny)).astype(np.float32))
+    data = jnp.asarray(rng.normal(size=(nx, ny, r)).astype(np.float32))
+    strat = Bicubic(extrapolate=extrapolate).build(x, y, data)
+    pad = 1.0 if extrapolate else 0.0
+    qx = jnp.asarray(
+        rng.uniform(float(x[0]) - pad, float(x[-1]) + pad, nq).astype(
+            np.float32
+        )
+    )
+    qy = jnp.asarray(
+        rng.uniform(float(y[0]) - pad, float(y[-1]) + pad, nq).astype(
+            np.float32
+        )
+    )
+    return x, y, data, strat.rows, qx, qy
+
+
+def _bc_cell_index(x, y, qx, qy, ny):
+    from ndarray_interp_tpu.ops.searchsorted import get_lower_index
+
+    xi = get_lower_index(x, qx)
+    yi = get_lower_index(y, qy)
+    tx = (qx - x[xi]) / (x[xi + 1] - x[xi])
+    ty = (qy - y[yi]) / (y[yi + 1] - y[yi])
+    return xi * (ny - 1) + yi, tx, ty
+
+
+def test_bicubic_weight_tail_matches_nested():
+    """The weight form is the closed form of the 5-Hermite nesting."""
+    from ndarray_interp_tpu.models.strategies.bicubic import _cell_tail_nested
+    from ndarray_interp_tpu.ops.pallas_tail import bicubic_weight_tail
+
+    x, y, data, rows_tbl, qx, qy = bc_fixture()
+    r = data.shape[2]
+    cell, tx, ty = _bc_cell_index(x, y, qx, qy, data.shape[1])
+    rows = jnp.take(rows_tbl, cell, axis=0)
+    got = bicubic_weight_tail(rows, tx, ty, r, interpret=True)
+    want = _cell_tail_nested(rows, tx[:, None], ty[:, None], r)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_bicubic_gathered_matches_strategy_oracle():
+    """End-to-end: the gather route equals the strategy's XLA path."""
+    from ndarray_interp_tpu.interp2d import Interp2D
+    from ndarray_interp_tpu.models.strategies.bicubic import Bicubic
+    from ndarray_interp_tpu.ops.pallas_tail import _bicubic_gathered_impl
+
+    x, y, data, rows_tbl, qx, qy = bc_fixture(extrapolate=False)
+    r = data.shape[2]
+    itp = (
+        Interp2D.builder(data).x(x).y(y).strategy(Bicubic()).build()
+    )
+    qx = jnp.clip(qx, float(x[0]), float(x[-1]))
+    qy = jnp.clip(qy, float(y[0]), float(y[-1]))
+    want = itp.interp_array(qx, qy)
+    cell, tx, ty = _bc_cell_index(x, y, qx, qy, data.shape[1])
+    got = _bicubic_gathered_impl(rows_tbl, cell, tx, ty, r, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want).reshape(got.shape),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_bicubic_weight_tail_unaligned_r():
+    """r with 16r not a multiple of 128 still runs (any r the packed
+    table carries; the strategy only ROUTES here when lane-aligned)."""
+    from ndarray_interp_tpu.models.strategies.bicubic import _cell_tail_nested
+    from ndarray_interp_tpu.ops.pallas_tail import bicubic_weight_tail
+
+    x, y, data, rows_tbl, qx, qy = bc_fixture(r=5, nq=512)
+    r = 5
+    cell, tx, ty = _bc_cell_index(x, y, qx, qy, data.shape[1])
+    rows = jnp.take(rows_tbl, cell, axis=0)
+    got = bicubic_weight_tail(rows, tx, ty, r, interpret=True)
+    want = _cell_tail_nested(rows, tx[:, None], ty[:, None], r)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_bicubic_bwd_matches_xla_grads():
+    from ndarray_interp_tpu.ops.pallas_tail import (
+        _bc_bwd,
+        _bicubic_weight_xla,
+    )
+
+    x, y, data, rows_tbl, qx, qy = bc_fixture(nq=128)
+    r = data.shape[2]
+    cell, tx, ty = _bc_cell_index(x, y, qx, qy, data.shape[1])
+    out = _bicubic_weight_xla(jnp.take(rows_tbl, cell, axis=0), tx, ty, r)
+    g = 2.0 * out
+
+    def loss(rows_tbl, tx, ty):
+        return jnp.sum(
+            _bicubic_weight_xla(jnp.take(rows_tbl, cell, axis=0), tx, ty, r)
+            ** 2
+        )
+
+    want = jax.grad(loss, argnums=(0, 1, 2))(rows_tbl, tx, ty)
+    gr, _, gx, gy = _bc_bwd(r, (rows_tbl, cell, tx, ty), g)
+    for a_, b_ in zip(want, (gr, gx, gy)):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), rtol=1e-4, atol=1e-4
+        )
