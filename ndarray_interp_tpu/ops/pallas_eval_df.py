@@ -1006,8 +1006,10 @@ def _df_bicubic_weight_tail(rows, txh, txl, tyh, tyl, bp):
     whole (B, 32*bp) row + 5 tree levels) measured 52.3 ms but its
     full-row temporaries exceed scoped VMEM at bq=512 (19.3–28.1 MB,
     three forms measured) and its 16-piece sub-128-lane concats
-    relayout.  Kept (with tests) as the record; the route default is
-    tail="nested".  Hi products and hi sums are exact (EFT); residuals
+    relayout.  The MXU one-hot weight-row build
+    (``_df_bicubic_weight_tail_mxu``, 55.8 ms, fits VMEM at bq=256)
+    fixed both and is the route default.  Kept (with tests) as the
+    record.  Hi products and hi sums are exact (EFT); residuals
     accumulate in plain f32 at ~2^-48 of term scale — same grade as
     the nested form, different last-bit rounding."""
     b = rows.shape[0]
@@ -1134,6 +1136,115 @@ def bicubic_df_tail_w(rows, txh, txl, tyh, tyl, interpret=False, bq=256):
     return outh, outl
 
 
+def _df_bicubic_weight_tail_mxu(rows, txh, txl, tyh, tyl, bp):
+    """Full-lane weight-form DF bicubic tail: MXU one-hot weight-row
+    build + ONE EFT product across the whole (B, 32*bp) row +
+    compensated halving tree.
+
+    The round-3 lane-packed full-row form measured 52.3 ms/1M on NS3d
+    (vs 67.2 nested) but built its (B, 32*bp) weight row by
+    concatenating 16 sub-128-lane ``broadcast_to`` pieces — a Mosaic
+    relayout — and its temporaries OOM'd scoped VMEM at bq=512.  Here
+    the weight row is ``W @ S``: W (B, 32) holds the per-block DF
+    weights (built by iota masks, no concat), S (32, 32*bp) is the 0/1
+    block-expansion matrix, and the matmul is EXACT (every column of S
+    has exactly one 1, so each output is a single w*1 product) — the
+    MXU does the relayout for free.  Arithmetic after that is
+    full-lane: ``two_prod`` over the whole row, then a halving tree of
+    ``two_sum`` (lane-aligned slices down to 128; sub-lane only at the
+    last two levels).  Hi products and hi sums are exact; residuals
+    accumulate in f32 at ~2^-48 of term scale (same grade as the
+    nested tail, different last-bit rounding).  Mosaic-only (the
+    guarded-XLA CPU twin stays ``_df_bicubic_weight_tail``)."""
+    b = rows.shape[0]
+    ch = rows.shape[1]
+    tx = (txh, txl)
+    ty = (tyh, tyl)
+    one = (jnp.ones_like(txh), jnp.zeros_like(txh))
+    w16 = _df_bicubic_weights(tx, ty, one)
+    iota32 = jax.lax.broadcasted_iota(jnp.int32, (b, 32), 1) % 16
+    wh = jnp.zeros((b, 32), jnp.float32)
+    wl = jnp.zeros((b, 32), jnp.float32)
+    for i in range(16):
+        m = iota32 == i
+        wh = jnp.where(m, w16[i][0], wh)
+        wl = jnp.where(m, w16[i][1], wl)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (32, ch), 1) // bp
+    blk = jax.lax.broadcasted_iota(jnp.int32, (32, ch), 0)
+    sel = (lane == blk).astype(jnp.float32)
+    # HIGHEST: the default f32 matmul is ONE bf16 MXU pass (measured
+    # 2.1e-3 rel err on chip); bf16x3 decomposes each f32 weight into
+    # three non-overlapping bf16 parts, and against a 0/1 matrix every
+    # part-product and the f32 accumulation are exact
+    wrow_h = jax.lax.dot(
+        wh, sel, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    wrow_l = jax.lax.dot(
+        wl, sel, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    p, pe = two_prod(wrow_h, rows)
+    e = pe + wrow_l * rows
+    # compensated halving tree: lane j of the half sums block (j//bp)
+    # with block (j//bp + nblocks/2) — hi rows fold onto their lo twins
+    # first, then quantities; two_sum keeps every hi sum exact
+    while p.shape[1] > bp:
+        h = p.shape[1] // 2
+        s, se = two_sum(p[:, :h], p[:, h:])
+        e = e[:, :h] + e[:, h:] + se
+        p = s
+    return fast_two_sum(p, e)
+
+
+def _df_bicubic_mxu_kernel(
+    rows_ref, txh_ref, txl_ref, tyh_ref, tyl_ref, outh_ref, outl_ref, *, bp
+):
+    from .df import no_guard
+
+    with no_guard():
+        out = _df_bicubic_weight_tail_mxu(
+            rows_ref[:], txh_ref[:], txl_ref[:], tyh_ref[:], tyl_ref[:], bp
+        )
+        outh_ref[:] = out[0]
+        outl_ref[:] = out[1]
+
+
+def bicubic_df_tail_mxu(rows, txh, txl, tyh, tyl, interpret=False, bq=256):
+    """Streaming Mosaic MXU weight-form DF bicubic tail (see
+    ``_df_bicubic_weight_tail_mxu``); same contract as
+    ``bicubic_df_tail``."""
+    nq, ch = rows.shape
+    bp = ch // 32
+    assert nq % bq == 0
+    nb = nq // bq
+    outh, outl = pl.pallas_call(
+        functools.partial(_df_bicubic_mxu_kernel, bp=bp),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        + [
+            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        * 4,
+        out_specs=[
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        rows,
+        txh.reshape(nq, 1), txl.reshape(nq, 1),
+        tyh.reshape(nq, 1), tyl.reshape(nq, 1),
+    )
+    return outh, outl
+
+
 def gathered_bicubic_eval_df(
     x_hi, x_lo, y_hi, y_lo, rows_hi, rows_lo, qx_hi, qx_lo, qy_hi, qy_lo,
     r=1, interpret=False,
@@ -1155,15 +1266,16 @@ def gathered_bicubic_eval_df(
 
 def gathered_bicubic_eval_df_packed(
     x_hi, x_lo, y_hi, y_lo, packed, qx_hi, qx_lo, qy_hi, qy_lo,
-    r=1, interpret=False, tail="nested",
+    r=1, interpret=False, tail="mxu",
 ):
     """The bicubic DF gather route from a PREPACKED ``(cells, 32*bp)``
-    table (see gathered_bank_eval_df_packed).  ``tail``: "nested" (the
-    5-Hermite nesting — the measured winner at 67.2 ms/1M on NS3d,
-    default) or "weight" (the per-block weight-form kernel — measured
-    94.7 ms/1M at bq=256: the 32 sub-lane row slices and the serial
-    accumulation chain lose more than the weight algebra saves; kept
-    with tests as the record)."""
+    table (see gathered_bank_eval_df_packed).
+
+    ``tail`` (NS3d 1M-query measurements, round 3): "mxu" (default —
+    the full-lane MXU weight-form kernel, 55.8 ms), "nested" (the
+    5-Hermite nesting, 67.2 ms — the pre-round-3 ship), or "weight"
+    (the per-block sequential form, 94.7 ms — kept with tests as the
+    record of why full-lane arithmetic matters)."""
     ny1 = y_hi.shape[0] - 1
     nq = qx_hi.shape[0]
     npad = -(-nq // 512) * 512 - nq
@@ -1202,7 +1314,11 @@ def gathered_bicubic_eval_df_packed(
 
     rows = jnp.take(packed, xi * ny1 + yi, axis=0)
     bp = packed.shape[1] // 32
-    tail_fn = bicubic_df_tail_w if tail == "weight" else bicubic_df_tail
+    tail_fn = {
+        "weight": bicubic_df_tail_w,
+        "mxu": bicubic_df_tail_mxu,
+        "nested": bicubic_df_tail,
+    }[tail]
 
     def mosaic(rows, a1, a2, a3, a4):
         hi, lo = tail_fn(rows, a1, a2, a3, a4, interpret=interpret)

@@ -666,14 +666,20 @@ class TestDFBicubicWeightTail:
         assert np.abs(got - want).max() / scale < 1e-12
 
     @pytest.mark.parametrize("r", [8, 16])
-    def test_kernel_interpret_plumbing(self, r):
-        """Lane packing / tile streaming indexes the right blocks —
-        interpret-mode values are f32-grade (EFTs rewritten) but any
-        block mix-up would be O(1) wrong."""
-        from ndarray_interp_tpu.ops.pallas_eval_df import bicubic_df_tail_w
+    @pytest.mark.parametrize("tail", ["weight", "mxu"])
+    def test_kernel_interpret_plumbing(self, r, tail):
+        """Lane packing / tile streaming / the MXU one-hot weight-row
+        build index the right blocks — interpret-mode values are
+        f32-grade (EFTs rewritten) but any block mix-up would be O(1)
+        wrong."""
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            bicubic_df_tail_mxu,
+            bicubic_df_tail_w,
+        )
 
+        fn = {"weight": bicubic_df_tail_w, "mxu": bicubic_df_tail_mxu}[tail]
         rows64, rows, tx64, ty64, t = self._fixture(r=r)
-        hi, lo = bicubic_df_tail_w(rows, *t, interpret=True)
+        hi, lo = fn(rows, *t, interpret=True)
         got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
         want = self._oracle(rows64, tx64, ty64, r)
         scale = np.abs(want).max()

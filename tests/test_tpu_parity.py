@@ -484,3 +484,43 @@ def test_df_gathered_bicubic_f64_grade_on_chip():
     scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
     rel = (np.abs(got - want) / scale).max()
     assert rel < 4e-12, rel
+
+
+def test_df_bicubic_mxu_tail_f64_grade_on_chip():
+    """Round 3: the MXU weight-form DF bicubic tail reaches DF grade on
+    chip.  Pins two Mosaic facts the CI (interpret/XLA) suite cannot:
+    the EFTs survive Mosaic, and the one-hot weight-row matmul at
+    Precision.HIGHEST is exact (the DEFAULT f32 matmul is one bf16 MXU
+    pass — measured 2.1e-3 rel err in this very tail)."""
+    from ndarray_interp_tpu.ops.df import df_from_f64
+    from ndarray_interp_tpu.ops.pallas_eval_df import bicubic_df_tail_mxu
+
+    rng = np.random.default_rng(11)
+    B, r = 512, 16
+    rows64 = rng.normal(size=(B, 16 * r))
+    rh, rl = df_from_f64(rows64)
+    rows = jnp.concatenate([jnp.asarray(rh), jnp.asarray(rl)], axis=1)
+    tx64 = rng.uniform(-0.5, 1.5, B)
+    ty64 = rng.uniform(-0.5, 1.5, B)
+    t = []
+    for v in (tx64, ty64):
+        t.extend(jnp.asarray(w) for w in df_from_f64(v))
+    hi, lo = jax.jit(bicubic_df_tail_mxu)(rows, *t)
+    got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+
+    def H(yl, yr, Kl, Kr, tq):
+        d = yr - yl
+        return (1 - tq) * yl + tq * yr + tq * (1 - tq) * (
+            (Kl - d) * (1 - tq) + (d - Kr) * tq
+        )
+
+    g = rows64.reshape(B, 4, 4, r)
+    tx = tx64[:, None]
+    ty = ty64[:, None]
+    f_y1 = H(g[:, 0, 0], g[:, 0, 2], g[:, 1, 0], g[:, 1, 2], tx)
+    f_y2 = H(g[:, 0, 1], g[:, 0, 3], g[:, 1, 1], g[:, 1, 3], tx)
+    g_y1 = H(g[:, 2, 0], g[:, 2, 2], g[:, 3, 0], g[:, 3, 2], tx)
+    g_y2 = H(g[:, 2, 1], g[:, 2, 3], g[:, 3, 1], g[:, 3, 3], tx)
+    want = H(f_y1, f_y2, g_y1, g_y2, ty)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-12, rel
