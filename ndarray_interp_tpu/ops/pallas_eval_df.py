@@ -1145,50 +1145,89 @@ def _df_bicubic_weight_tail_mxu(rows, txh, txl, tyh, tyl, bp):
     (vs 67.2 nested) but built its (B, 32*bp) weight row by
     concatenating 16 sub-128-lane ``broadcast_to`` pieces — a Mosaic
     relayout — and its temporaries OOM'd scoped VMEM at bq=512.  Here
-    the weight row is ``W @ S``: W (B, 32) holds the per-block DF
-    weights (built by iota masks, no concat), S (32, 32*bp) is the 0/1
-    block-expansion matrix, and the matmul is EXACT (every column of S
-    has exactly one 1, so each output is a single w*1 product) — the
-    MXU does the relayout for free.  Arithmetic after that is
-    full-lane: ``two_prod`` over the whole row, then a halving tree of
-    ``two_sum`` (lane-aligned slices down to 128; sub-lane only at the
-    last two levels).  Hi products and hi sums are exact; residuals
-    accumulate in f32 at ~2^-48 of term scale (same grade as the
-    nested tail, different last-bit rounding).  Mosaic-only (the
-    guarded-XLA CPU twin stays ``_df_bicubic_weight_tail``)."""
+    every widening step is a 0/1 one-hot matmul, EXACT at
+    ``Precision.HIGHEST`` (each output column has exactly one 1, so it
+    is a single w*1 product) — the MXU does the relayouts the concats
+    paid for: (B, 1) Hermite bases → (B, 4) → (B, 16) block weights
+    (one (B, 16) DF product for all 16) → the (B, 16*bp) hi-half
+    weight row.  The EFT ``two_prod`` runs on the HI half of the
+    gathered row only (the lo twins are 2^-24-scale, so plain-f32
+    ``w_hi*row_lo`` already lands at ~2^-48 of term scale), followed
+    by a compensated halving tree of ``two_sum`` (lane-aligned slices
+    down to 128; sub-lane only at the last level).  Hi products and
+    hi sums are exact; residuals accumulate in f32 at ~2^-48 of term
+    scale (same grade as the nested tail, different last-bit
+    rounding).  Mosaic-only (the guarded-XLA CPU twin stays
+    ``_df_bicubic_weight_tail``)."""
     b = rows.shape[0]
-    ch = rows.shape[1]
     tx = (txh, txl)
     ty = (tyh, tyl)
     one = (jnp.ones_like(txh), jnp.zeros_like(txh))
-    w16 = _df_bicubic_weights(tx, ty, one)
-    iota32 = jax.lax.broadcasted_iota(jnp.int32, (b, 32), 1) % 16
-    wh = jnp.zeros((b, 32), jnp.float32)
-    wl = jnp.zeros((b, 32), jnp.float32)
-    for i in range(16):
-        m = iota32 == i
-        wh = jnp.where(m, w16[i][0], wh)
-        wl = jnp.where(m, w16[i][1], wl)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (32, ch), 1) // bp
-    blk = jax.lax.broadcasted_iota(jnp.int32, (32, ch), 0)
+
+    # per-query DF Hermite bases on (B, 1) columns (~10 DF ops each —
+    # unavoidable scalar work), then IMMEDIATELY vectorize: everything
+    # from here on runs on (B, 4)/(B, 16) tiles or full-lane rows.
+    # The first shipped form computed all 16 block weights as separate
+    # (B, 1) DF chains (~30 DF ops, each op paying a full 128-lane
+    # tile) — that alone cost ~1/4 of the kernel.
+    bx = _df_hermite_basis(tx, one)
+    by = _df_hermite_basis(ty, one)
+
+    def basis_row(basis, part):
+        i4 = jax.lax.broadcasted_iota(jnp.int32, (b, 4), 1)
+        return jnp.where(
+            i4 == 0,
+            basis[0][part],
+            jnp.where(
+                i4 == 1,
+                basis[1][part],
+                jnp.where(i4 == 2, basis[2][part], basis[3][part]),
+            ),
+        )
+
+    # HIGHEST everywhere: the default f32 matmul is ONE bf16 MXU pass
+    # (measured 2.1e-3 rel err on chip); bf16x3 decomposes each f32
+    # operand into three non-overlapping parts, and against a 0/1
+    # matrix every part-product and the f32 accumulation are exact
+    def onehot_dot(a, sel):
+        return jax.lax.dot(
+            a, sel, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    # expand the 4-weight bases to the 16 blocks b = 4i + c
+    # (quantity i, corner c): x-basis index = (c>>1) + 2*(i in {1,3}),
+    # y-basis index = (c&1) + 2*(i in {2,3}) — 0/1 matrices, exact
+    # built from iota (Pallas kernels cannot capture constant arrays):
+    # block j = 4i + c → x-basis index (c//2) + 2*[i odd] (kx/kxy take
+    # the derivative weights), y-basis index (c%2) + 2*[i >= 2]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (4, 16), 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (4, 16), 0)
+    qi = jj // 4
+    cc = jj % 4
+    px = ((cc // 2 + 2 * (qi % 2)) == kk).astype(jnp.float32)
+    py = ((cc % 2 + 2 * (qi // 2)) == kk).astype(jnp.float32)
+    ax = tuple(onehot_dot(basis_row(bx, k), px) for k in (0, 1))
+    ay = tuple(onehot_dot(basis_row(by, k), py) for k in (0, 1))
+    w_h, w_l = df_mul(ax, ay)  # one (B, 16) DF product for all blocks
+
+    half = 16 * bp
+    lane = jax.lax.broadcasted_iota(jnp.int32, (16, half), 1) // bp
+    blk = jax.lax.broadcasted_iota(jnp.int32, (16, half), 0)
     sel = (lane == blk).astype(jnp.float32)
-    # HIGHEST: the default f32 matmul is ONE bf16 MXU pass (measured
-    # 2.1e-3 rel err on chip); bf16x3 decomposes each f32 weight into
-    # three non-overlapping bf16 parts, and against a 0/1 matrix every
-    # part-product and the f32 accumulation are exact
-    wrow_h = jax.lax.dot(
-        wh, sel, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    wrow_l = jax.lax.dot(
-        wl, sel, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    p, pe = two_prod(wrow_h, rows)
-    e = pe + wrow_l * rows
+    wrow_h = onehot_dot(w_h, sel)
+    wrow_l = onehot_dot(w_l, sel)
+
+    # EFT product on the HI half only: the lo twins are 2^-24-scale,
+    # so w_hi*row_lo in plain f32 already lands at ~2^-48 of term
+    # scale and w_lo*row_lo is negligible — same grade as running
+    # two_prod across the full row, at half the EFT width
+    rows_hi = rows[:, :half]
+    rows_lo = rows[:, half:]
+    p, pe = two_prod(wrow_h, rows_hi)
+    e = pe + wrow_l * rows_hi + wrow_h * rows_lo
     # compensated halving tree: lane j of the half sums block (j//bp)
-    # with block (j//bp + nblocks/2) — hi rows fold onto their lo twins
-    # first, then quantities; two_sum keeps every hi sum exact
+    # with block (j//bp + nblocks/2); two_sum keeps every hi sum exact
     while p.shape[1] > bp:
         h = p.shape[1] // 2
         s, se = two_sum(p[:, :h], p[:, h:])
@@ -1210,10 +1249,11 @@ def _df_bicubic_mxu_kernel(
         outl_ref[:] = out[1]
 
 
-def bicubic_df_tail_mxu(rows, txh, txl, tyh, tyl, interpret=False, bq=256):
+def bicubic_df_tail_mxu(rows, txh, txl, tyh, tyl, interpret=False, bq=512):
     """Streaming Mosaic MXU weight-form DF bicubic tail (see
     ``_df_bicubic_weight_tail_mxu``); same contract as
-    ``bicubic_df_tail``."""
+    ``bicubic_df_tail``.  bq=512 fits scoped VMEM with the half-width
+    EFT (the full-width form OOM'd there and ran at 256)."""
     nq, ch = rows.shape
     bp = ch // 32
     assert nq % bq == 0
@@ -1272,10 +1312,12 @@ def gathered_bicubic_eval_df_packed(
     table (see gathered_bank_eval_df_packed).
 
     ``tail`` (NS3d 1M-query measurements, round 3): "mxu" (default —
-    the full-lane MXU weight-form kernel, 55.8 ms), "nested" (the
-    5-Hermite nesting, 67.2 ms — the pre-round-3 ship), or "weight"
-    (the per-block sequential form, 94.7 ms — kept with tests as the
-    record of why full-lane arithmetic matters)."""
+    the full-lane MXU weight-form kernel: 47.8 ms with the one-hot
+    basis expansion + hi-half EFT at bq=512; its first form measured
+    55.8 at bq=256), "nested" (the 5-Hermite nesting, 67.2 ms — the
+    pre-round-3 ship), or "weight" (the per-block sequential form,
+    94.7 ms — kept with tests as the record of why full-lane
+    arithmetic matters)."""
     ny1 = y_hi.shape[0] - 1
     nq = qx_hi.shape[0]
     npad = -(-nq // 512) * 512 - nq
