@@ -849,6 +849,40 @@ def gathered_bilinear_eval_df_packed(
 # -- DF bicubic gather route (f64-grade tensor-product cubic) -----------------
 
 
+def _df_index_frac_2d(
+    x_hi, x_lo, y_hi, y_lo, qx_hi, qx_lo, qy_hi, qy_lo, interpret=False
+):
+    """Both axes' DF ``(idx, t)`` passes: the Pallas DF kernels on TPU
+    when both knot counts fit a windowed plan, the XLA DF-lexicographic
+    form elsewhere (identical selection, see ``_df_index_frac_xla``)."""
+    from .pallas_eval import _plan
+
+    kernel_ok = (
+        _plan(x_hi.shape[0]) is not None and _plan(y_hi.shape[0]) is not None
+    )
+    if kernel_ok:
+        def tpu_frac(a, b, c, d):
+            xi, txh, txl = fused_index_frac_df(
+                x_hi, x_lo, a, b, interpret=interpret
+            )
+            yi, tyh, tyl = fused_index_frac_df(
+                y_hi, y_lo, c, d, interpret=interpret
+            )
+            return xi, txh, txl, yi, tyh, tyl
+
+        def xla_frac(a, b, c, d):
+            xi, txh, txl = _df_index_frac_xla(x_hi, x_lo, a, b)
+            yi, tyh, tyl = _df_index_frac_xla(y_hi, y_lo, c, d)
+            return xi, txh, txl, yi, tyh, tyl
+
+        return jax.lax.platform_dependent(
+            qx_hi, qx_lo, qy_hi, qy_lo, tpu=tpu_frac, default=xla_frac
+        )
+    xi, txh, txl = _df_index_frac_xla(x_hi, x_lo, qx_hi, qx_lo)
+    yi, tyh, tyl = _df_index_frac_xla(y_hi, y_lo, qy_hi, qy_lo)
+    return xi, txh, txl, yi, tyh, tyl
+
+
 def _df_index_frac_xla(x_hi, x_lo, q_hi, q_lo):
     """XLA (idx, t-pair): DF-lexicographic index + DF fraction."""
     n = x_hi.shape[0]
@@ -1327,32 +1361,10 @@ def gathered_bicubic_eval_df_packed(
         qy_hi = jnp.pad(qy_hi, (0, npad))
         qy_lo = jnp.pad(qy_lo, (0, npad))
 
-    from .pallas_eval import _plan
-
-    kernel_ok = (
-        _plan(x_hi.shape[0]) is not None and _plan(y_hi.shape[0]) is not None
+    xi, txh, txl, yi, tyh, tyl = _df_index_frac_2d(
+        x_hi, x_lo, y_hi, y_lo, qx_hi, qx_lo, qy_hi, qy_lo,
+        interpret=interpret,
     )
-    if kernel_ok:
-        def tpu_frac(a, b, c, d):
-            xi, txh, txl = fused_index_frac_df(
-                x_hi, x_lo, a, b, interpret=interpret
-            )
-            yi, tyh, tyl = fused_index_frac_df(
-                y_hi, y_lo, c, d, interpret=interpret
-            )
-            return xi, txh, txl, yi, tyh, tyl
-
-        def xla_frac(a, b, c, d):
-            xi, txh, txl = _df_index_frac_xla(x_hi, x_lo, a, b)
-            yi, tyh, tyl = _df_index_frac_xla(y_hi, y_lo, c, d)
-            return xi, txh, txl, yi, tyh, tyl
-
-        xi, txh, txl, yi, tyh, tyl = jax.lax.platform_dependent(
-            qx_hi, qx_lo, qy_hi, qy_lo, tpu=tpu_frac, default=xla_frac
-        )
-    else:
-        xi, txh, txl = _df_index_frac_xla(x_hi, x_lo, qx_hi, qx_lo)
-        yi, tyh, tyl = _df_index_frac_xla(y_hi, y_lo, qy_hi, qy_lo)
 
     rows = jnp.take(packed, xi * ny1 + yi, axis=0)
     bp = packed.shape[1] // 32
@@ -1376,3 +1388,108 @@ def gathered_bicubic_eval_df_packed(
         rows, txh, txl, tyh, tyl, tpu=mosaic, default=xla
     )
     return hi[:nq], lo[:nq]
+
+
+# -- DF bicubic NODE route (memory-frugal f64-grade) ---------------------------
+
+
+def pack_bicubic_nodes_df(nodes_hi, nodes_lo):
+    """DF node table ``(nx*ny, 2*(4r+2))``: the (hi, lo) split of the
+    memory-frugal bicubic node rows (``models/strategies/bicubic.
+    pack_bicubic_nodes`` — raw unscaled ``[f | kx | ky | kxy]`` plus the
+    node's own DF ``(x, y)``), hi half then lo half.  2x the f32 node
+    table ≈ the grid's f64 memory — the f64-grade route for grids whose
+    cell table (17x data, 2x again for DF) would not fit."""
+    return jnp.concatenate([nodes_hi, nodes_lo], axis=1)
+
+
+def _df_hermite_dx(y_l, y_r, k_l, k_r, dx, t, one):
+    """DF Hermite with UNSCALED derivatives and an explicit DF interval
+    width: ``a = k_l*dx - dy``, ``b = dy - k_r*dx`` — the node-layout
+    arithmetic (``models/strategies/bicubic._hermite``) in error-free
+    transforms."""
+    dy = df_sub(y_r, y_l)
+    a = df_sub(df_mul(k_l, dx), dy)
+    b = df_sub(dy, df_mul(k_r, dx))
+    omt = df_sub(one, t)
+    return df_add(
+        df_add(df_mul(omt, y_l), df_mul(t, y_r)),
+        df_mul(df_mul(t, omt), df_add(df_mul(a, omt), df_mul(b, t))),
+    )
+
+
+def gathered_bicubic_nodes_eval_df(
+    x_hi, x_lo, y_hi, y_lo, packed, qx_hi, qx_lo, qy_hi, qy_lo,
+    r=1, interpret=False, chunk=65536,
+):
+    """DF bicubic from the memory-frugal NODE table: two DF (idx, t)
+    passes + FOUR (hi, lo) node-row gathers + a guarded-XLA DF tail that
+    scales derivatives by the DF interval widths read from the gathered
+    corner coordinates.
+
+    The f64-grade route for grids past ``config.bicubic_pack_max_elems``
+    (the DF *cell* table is 2x the f32 one, so exactly the large grids
+    that need DF most are the ones the cell route cannot hold).  Slower
+    than the cell route by design: 4 row gathers instead of 1 (the
+    gather engine charges per row — docs/ROADMAP.md) and an XLA DF tail
+    whose optimization barriers pin (Q, r) intermediates to HBM on TPU
+    (cf. ``_df_xla_tail``'s measured 12x note) — memory is the axis this
+    route wins on.  The gather+tail runs in ``chunk``-query pieces under
+    ``lax.map``: the barriers keep every EFT intermediate live at once,
+    and the unchunked tail measured **59 GB** of HLO temp on the 1M-query
+    512x512x16 workload (v5e OOM) — chunking caps the live set at
+    ~chunk x channels x EFT depth.  Semantics anchor: the 2-D eval
+    contract of ``interp2d/mod.rs:175-196``; accuracy matches the cell
+    route (``tests/test_df.py::TestDFBicubicNodeRoute``)."""
+    ny = y_hi.shape[0]
+    nq = qx_hi.shape[0]
+    xi, txh, txl, yi, tyh, tyl = _df_index_frac_2d(
+        x_hi, x_lo, y_hi, y_lo, qx_hi, qx_lo, qy_hi, qy_lo,
+        interpret=interpret,
+    )
+    c = packed.shape[1] // 2
+
+    def tail_chunk(args):
+        xi, txh, txl, yi, tyh, tyl = args
+
+        def node(ix, iy):
+            g = jnp.take(packed, ix * ny + iy, axis=0)
+            hi, lo = g[:, :c], g[:, c:]
+
+            def blk(i):
+                return (
+                    hi[:, i * r : (i + 1) * r],
+                    lo[:, i * r : (i + 1) * r],
+                )
+
+            def coord(j):
+                s = slice(4 * r + j, 4 * r + j + 1)
+                return (hi[:, s], lo[:, s])
+
+            return blk(0), blk(1), blk(2), blk(3), coord(0), coord(1)
+
+        f11, kx11, ky11, kxy11, x1, y1 = node(xi, yi)
+        f12, kx12, ky12, kxy12, _, y2 = node(xi, yi + 1)
+        f21, kx21, ky21, kxy21, x2, _ = node(xi + 1, yi)
+        f22, kx22, ky22, kxy22, _, _ = node(xi + 1, yi + 1)
+        dx = df_sub(x2, x1)
+        dy = df_sub(y2, y1)
+        tx = (txh[:, None], txl[:, None])
+        ty = (tyh[:, None], tyl[:, None])
+        one = (jnp.ones_like(tx[0]), jnp.zeros_like(tx[0]))
+        f_y1 = _df_hermite_dx(f11, f21, kx11, kx21, dx, tx, one)
+        f_y2 = _df_hermite_dx(f12, f22, kx12, kx22, dx, tx, one)
+        g_y1 = _df_hermite_dx(ky11, ky21, kxy11, kxy21, dx, tx, one)
+        g_y2 = _df_hermite_dx(ky12, ky22, kxy12, kxy22, dx, tx, one)
+        return _df_hermite_dx(f_y1, f_y2, g_y1, g_y2, dy, ty, one)
+
+    if nq <= chunk:
+        hi, lo = tail_chunk((xi, txh, txl, yi, tyh, tyl))
+        return hi[:nq], lo[:nq]
+    npad = -(-nq // chunk) * chunk - nq
+    parts = tuple(
+        jnp.pad(v, (0, npad)).reshape(-1, chunk)
+        for v in (xi, txh, txl, yi, tyh, tyl)
+    )
+    hi, lo = jax.lax.map(tail_chunk, parts)
+    return hi.reshape(-1, r)[:nq], lo.reshape(-1, r)[:nq]

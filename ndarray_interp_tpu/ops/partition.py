@@ -425,3 +425,21 @@ def sharded_df_bicubic_packed(r: int, interpret: bool = False):
         rule="n, n, p, p, m c, q, q, q, q -> q b, q b",
         factors=("n", "p", "m", "c", "b"),
     )
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_df_bicubic_nodes(r: int, interpret: bool = False):
+    """Query-sharded DF bicubic NODE route (memory-frugal f64-grade)."""
+    from .pallas_eval_df import gathered_bicubic_nodes_eval_df
+
+    return _df_route_cp(
+        lambda xh, xl, yh, yl, packed, a, b, c, d:
+            gathered_bicubic_nodes_eval_df(
+                xh, xl, yh, yl, packed, a, b, c, d, r=r,
+                interpret=interpret,
+            ),
+        n_reps=5,
+        n_qs=4,
+        rule="n, n, p, p, m c, q, q, q, q -> q b, q b",
+        factors=("n", "p", "m", "c", "b"),
+    )

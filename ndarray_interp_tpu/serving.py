@@ -361,15 +361,16 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
     DF-lexicographic form elsewhere) + ONE packed (hi, lo) row gather +
     a Mosaic DF tail on TPU / the guarded XLA tail off it.  The packed
     table is built ONCE at construction and kept on device (~8-10x the
-    grid's f64 memory for bilinear, 2x the f32 cell table for bicubic) —
-    on every backend, including CPU-only hosts.  Trailing (bank) dims
-    supported; build the Interp2D eagerly in f64 on CPU; periodic
-    bicubic axes wrap in f64 on the host."""
+    grid's f64 memory for bilinear, 2x the f32 cell table for bicubic;
+    bicubic grids past ``config.bicubic_pack_max_elems`` use the
+    memory-frugal NODE table instead — ≈ the grid's f64 memory, 4
+    gathers/query) — on every backend, including CPU-only hosts.
+    Trailing (bank) dims supported; build the Interp2D eagerly in f64 on
+    CPU; periodic bicubic axes wrap in f64 on the host."""
 
     def __init__(self, interp, max_batch: int = 1 << 20, buckets=None):
         import numpy as np
 
-        from .errors import BuilderValueError
         from .models.strategies.bicubic import BicubicStrategy
         from .ops.df import df_from_f64
 
@@ -393,15 +394,12 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
         # ARGUMENTS — per-call packing repeats GB-scale copies and
         # closure capture ships the table with every (remote) compile
         if isinstance(interp.strategy, BicubicStrategy):
-            # f64-grade tensor-product cubic: split the PRE-SCALED f64
-            # cell table (build the Interp2D eagerly in f64 on CPU)
-            from .ops.pallas_eval_df import pack_bicubic_rows_df
-
-            if interp.strategy.layout != "cell":
-                raise BuilderValueError(
-                    "DoubleFloatEvaluator2D supports the bicubic cell "
-                    "layout only (raise config.bicubic_pack_max_elems)"
-                )
+            # f64-grade tensor-product cubic: split the f64 strategy
+            # table (build the Interp2D eagerly in f64 on CPU).  Cell
+            # layout: the PRE-SCALED 16r cell table, ONE gather/query.
+            # Node layout (grids past config.bicubic_pack_max_elems —
+            # exactly the grids whose 2x DF cell table cannot fit):
+            # the raw (4r+2)-channel node table, 4 gathers/query.
             pairs = []
             for v in (x64, y64):
                 pairs.extend(df_from_f64(v))
@@ -409,13 +407,21 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
             rows_pair = df_from_f64(
                 np.asarray(interp.strategy.rows, np.float64)
             )
-            self._packed = jax.jit(
-                lambda h, l: pack_bicubic_rows_df(h, l, r)
-            )(*rows_pair)
-            self._run_extra = (self._packed,)
-            from .ops.partition import sharded_df_bicubic_packed
+            if interp.strategy.layout == "cell":
+                from .ops.pallas_eval_df import pack_bicubic_rows_df
+                from .ops.partition import sharded_df_bicubic_packed
 
-            route = sharded_df_bicubic_packed(r)
+                self._packed = jax.jit(
+                    lambda h, l: pack_bicubic_rows_df(h, l, r)
+                )(*rows_pair)
+                route = sharded_df_bicubic_packed(r)
+            else:
+                from .ops.pallas_eval_df import pack_bicubic_nodes_df
+                from .ops.partition import sharded_df_bicubic_nodes
+
+                self._packed = jax.jit(pack_bicubic_nodes_df)(*rows_pair)
+                route = sharded_df_bicubic_nodes(r)
+            self._run_extra = (self._packed,)
             self._run = jax.jit(
                 lambda packed, a, b, c, d: route(
                     *self._pairs, packed, a, b, c, d

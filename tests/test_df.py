@@ -605,6 +605,155 @@ class TestDFBicubicGatherRoute:
         np.testing.assert_allclose(wrapped, base, rtol=1e-6, atol=1e-9)
 
 
+class TestDFBicubicNodeRoute:
+    """The memory-frugal f64-grade bicubic route: 4 DF node-row gathers
+    + guarded-XLA DF tail with in-tail derivative scaling.  Must match
+    the f64 node-layout strategy eval (and hence the cell route)."""
+
+    def _build(self, trailing=(), nx=18, ny=15, seed=41, monkeypatch=None):
+        from ndarray_interp_tpu import config
+        from ndarray_interp_tpu.interp2d import Bicubic, Interp2D
+
+        monkeypatch.setattr(config, "bicubic_pack_max_elems", 10)
+        rng = np.random.default_rng(seed)
+        x = np.cumsum(rng.uniform(0.2, 1.0, nx))
+        y = np.cumsum(rng.uniform(0.2, 1.0, ny))
+        z = rng.normal(size=(nx, ny) + trailing)
+        itp = (
+            Interp2D.builder(jnp.asarray(z))
+            .x(jnp.asarray(x))
+            .y(jnp.asarray(y))
+            .strategy(Bicubic().extrapolate(True))
+            .build()
+        )
+        assert itp.strategy.layout == "node"
+        assert itp.data.dtype == jnp.float64, "run with x64 (conftest)"
+        return itp, rng
+
+    @pytest.mark.parametrize("trailing", [(), (3,)])
+    def test_route_matches_f64_strategy(self, trailing, monkeypatch):
+        import jax
+
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            gathered_bicubic_nodes_eval_df,
+            pack_bicubic_nodes_df,
+        )
+
+        itp, rng = self._build(trailing=trailing, monkeypatch=monkeypatch)
+        r = 1
+        for s in trailing:
+            r *= s
+        x64 = np.asarray(itp.x, np.float64)
+        y64 = np.asarray(itp.y, np.float64)
+        rows64 = np.asarray(itp.strategy.rows, np.float64)
+        packed = pack_bicubic_nodes_df(*df_from_f64(rows64))
+        qx = rng.uniform(x64[0], x64[-1], 400)
+        qy = rng.uniform(y64[0], y64[-1], 400)
+        args = []
+        for v in (x64, y64):
+            args.extend(jnp.asarray(w) for w in df_from_f64(v))
+        args.append(packed)
+        for v in (qx, qy):
+            args.extend(jnp.asarray(w) for w in df_from_f64(v))
+        hi, lo = jax.jit(
+            lambda *a: gathered_bicubic_nodes_eval_df(*a, r=r)
+        )(*args)
+        got = df_to_f64(hi, lo).reshape((400,) + trailing)
+        want = np.asarray(itp.interp_array(qx, qy))  # f64 strategy eval
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
+        assert (np.abs(got - want) / scale).max() < 1e-9
+
+    def test_serving_evaluator_node_layout(self, monkeypatch):
+        from ndarray_interp_tpu.serving import DoubleFloatEvaluator2D
+
+        itp, rng = self._build(trailing=(2,), monkeypatch=monkeypatch)
+        ev = DoubleFloatEvaluator2D(itp, max_batch=512)
+        x64 = np.asarray(itp.x, np.float64)
+        y64 = np.asarray(itp.y, np.float64)
+        qx = rng.uniform(x64[0], x64[-1], 300)
+        qy = rng.uniform(y64[0], y64[-1], 300)
+        got = ev(qx, qy)
+        assert got.shape == (300, 2)
+        want = np.asarray(itp.interp_array(qx, qy))
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
+        assert (np.abs(got - want) / scale).max() < 1e-9
+
+    def test_chunked_tail_matches_unchunked(self, monkeypatch):
+        """The lax.map chunking (the 59 GB OOM fix) keeps f64 grade.
+
+        hi halves are bit-identical; lo halves differ in last-bit
+        rounding only (XLA:CPU compiles the loop body with different
+        fusion/contraction than the inlined tail — the EFT chain is
+        guarded either way, so the difference stays at ~2^-48 of value
+        scale, checked here against the f64 strategy oracle)."""
+        import jax
+
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            gathered_bicubic_nodes_eval_df,
+            pack_bicubic_nodes_df,
+        )
+
+        itp, rng = self._build(monkeypatch=monkeypatch)
+        x64 = np.asarray(itp.x, np.float64)
+        y64 = np.asarray(itp.y, np.float64)
+        rows64 = np.asarray(itp.strategy.rows, np.float64)
+        packed = pack_bicubic_nodes_df(*df_from_f64(rows64))
+        qx = rng.uniform(x64[0], x64[-1], 400)
+        qy = rng.uniform(y64[0], y64[-1], 400)
+        args = []
+        for v in (x64, y64):
+            args.extend(jnp.asarray(w) for w in df_from_f64(v))
+        args.append(packed)
+        for v in (qx, qy):
+            args.extend(jnp.asarray(w) for w in df_from_f64(v))
+        one_h, one_l = jax.jit(
+            lambda *a: gathered_bicubic_nodes_eval_df(*a, r=1)
+        )(*args)
+        chk_h, chk_l = jax.jit(
+            lambda *a: gathered_bicubic_nodes_eval_df(*a, r=1, chunk=64)
+        )(*args)
+        np.testing.assert_array_equal(np.asarray(one_h), np.asarray(chk_h))
+        want = np.asarray(itp.interp_array(qx, qy))
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
+        got = df_to_f64(chk_h, chk_l).reshape(400)
+        assert (np.abs(got - want) / scale).max() < 1e-9
+
+    def test_extrapolation_matches_strategy(self, monkeypatch):
+        """The node route extrapolates via the same clamped-cell
+        arithmetic as the strategy (extrapolate=True built above)."""
+        import jax
+
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            gathered_bicubic_nodes_eval_df,
+            pack_bicubic_nodes_df,
+        )
+
+        itp, rng = self._build(monkeypatch=monkeypatch)
+        x64 = np.asarray(itp.x, np.float64)
+        y64 = np.asarray(itp.y, np.float64)
+        rows64 = np.asarray(itp.strategy.rows, np.float64)
+        packed = pack_bicubic_nodes_df(*df_from_f64(rows64))
+        span_x = x64[-1] - x64[0]
+        qx = np.concatenate(
+            [x64[0] - rng.uniform(0, span_x / 4, 50),
+             x64[-1] + rng.uniform(0, span_x / 4, 50)]
+        )
+        qy = rng.uniform(y64[0], y64[-1], 100)
+        args = []
+        for v in (x64, y64):
+            args.extend(jnp.asarray(w) for w in df_from_f64(v))
+        args.append(packed)
+        for v in (qx, qy):
+            args.extend(jnp.asarray(w) for w in df_from_f64(v))
+        hi, lo = jax.jit(
+            lambda *a: gathered_bicubic_nodes_eval_df(*a, r=1)
+        )(*args)
+        got = df_to_f64(hi, lo).reshape(100)
+        want = np.asarray(itp.interp_array(qx, qy))
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
+        assert (np.abs(got - want) / scale).max() < 1e-9
+
+
 class TestDFBicubicWeightTail:
     """Round 3: the weight-form DF bicubic tail (lane-packed Mosaic
     kernel + the per-block guarded-XLA twin).  The guarded-XLA test is

@@ -482,3 +482,49 @@ def test_df_bicubic_route_under_mesh():
     np.testing.assert_allclose(
         df_to_f64(hi, lo), df_to_f64(whi, wlo), rtol=1e-5, atol=1e-5
     )
+
+
+def test_df_bicubic_node_route_under_mesh():
+    """The memory-frugal bicubic DF NODE partition rule with
+    query-sharded inputs vs the unsharded route."""
+    from ndarray_interp_tpu.ops.df import df_from_f64, df_to_f64
+    from ndarray_interp_tpu.ops.pallas_eval_df import (
+        gathered_bicubic_nodes_eval_df,
+        pack_bicubic_nodes_df,
+    )
+    from ndarray_interp_tpu.ops.partition import sharded_df_bicubic_nodes
+
+    rng = np.random.default_rng(74)
+    mesh1 = make_mesh(8, axis_names=("query",))
+    q_sh = NamedSharding(mesh1, P("query"))
+    nx, ny, r, nq = 24, 20, 3, 2048
+    x64 = np.cumsum(rng.uniform(0.1, 1.0, nx))
+    y64 = np.cumsum(rng.uniform(0.1, 1.0, ny))
+    # raw node rows [f | kx | ky | kxy | x | y] in f64 (as the
+    # evaluator feeds them from the node-layout strategy table)
+    rows64 = rng.normal(size=(nx * ny, 4 * r + 2))
+    rows64[:, 4 * r + 0] = np.repeat(x64, ny)
+    rows64[:, 4 * r + 1] = np.tile(y64, nx)
+    qx64 = rng.uniform(x64[0], x64[-1], nq)
+    qy64 = rng.uniform(y64[0], y64[-1], nq)
+    pairs = []
+    for v in (x64, y64):
+        pairs.extend(jnp.asarray(w) for w in df_from_f64(v))
+    packed = pack_bicubic_nodes_df(
+        *(jnp.asarray(w) for w in df_from_f64(rows64))
+    )
+    qxp = [jax.device_put(jnp.asarray(w), q_sh) for w in df_from_f64(qx64)]
+    qyp = [jax.device_put(jnp.asarray(w), q_sh) for w in df_from_f64(qy64)]
+    hi, lo = jax.jit(sharded_df_bicubic_nodes(r, True))(
+        *pairs, packed, *qxp, *qyp
+    )
+    assert hi.sharding.spec[0] == "query", hi.sharding
+    whi, wlo = gathered_bicubic_nodes_eval_df(
+        *pairs, packed,
+        *(jnp.asarray(w) for w in df_from_f64(qx64)),
+        *(jnp.asarray(w) for w in df_from_f64(qy64)),
+        r=r,
+    )
+    np.testing.assert_allclose(
+        df_to_f64(hi, lo), df_to_f64(whi, wlo), rtol=1e-5, atol=1e-5
+    )
