@@ -797,8 +797,6 @@ def gathered_bilinear_eval_df_packed(
 ):
     """The bilinear DF gather route from a PREPACKED corner table (see
     gathered_bank_eval_df_packed).  Returns flat (nq, r) pairs."""
-    from .pallas_eval import _plan
-
     nq = qx_hi.shape[0]
     npad = -(-nq // 512) * 512 - nq
     if npad:
@@ -806,30 +804,10 @@ def gathered_bilinear_eval_df_packed(
         qx_lo = jnp.pad(qx_lo, (0, npad))
         qy_hi = jnp.pad(qy_hi, (0, npad))
         qy_lo = jnp.pad(qy_lo, (0, npad))
-    kernel_ok = (
-        _plan(x_hi.shape[0]) is not None and _plan(y_hi.shape[0]) is not None
+    xi, txh, txl, yi, tyh, tyl = _df_index_frac_2d(
+        x_hi, x_lo, y_hi, y_lo, qx_hi, qx_lo, qy_hi, qy_lo,
+        interpret=interpret,
     )
-    if kernel_ok:
-        def tpu_frac(a, b, c, d):
-            xi, txh, txl = fused_index_frac_df(
-                x_hi, x_lo, a, b, interpret=interpret
-            )
-            yi, tyh, tyl = fused_index_frac_df(
-                y_hi, y_lo, c, d, interpret=interpret
-            )
-            return xi, txh, txl, yi, tyh, tyl
-
-        def xla_frac(a, b, c, d):
-            xi, txh, txl = _df_index_frac_xla(x_hi, x_lo, a, b)
-            yi, tyh, tyl = _df_index_frac_xla(y_hi, y_lo, c, d)
-            return xi, txh, txl, yi, tyh, tyl
-
-        xi, txh, txl, yi, tyh, tyl = jax.lax.platform_dependent(
-            qx_hi, qx_lo, qy_hi, qy_lo, tpu=tpu_frac, default=xla_frac
-        )
-    else:
-        xi, txh, txl = _df_index_frac_xla(x_hi, x_lo, qx_hi, qx_lo)
-        yi, tyh, tyl = _df_index_frac_xla(y_hi, y_lo, qy_hi, qy_lo)
     rows = jnp.take(packed, xi * (ny - 1) + yi, axis=0)
 
     def mosaic(rows, a1, a2, a3, a4):
@@ -1405,16 +1383,11 @@ def pack_bicubic_nodes_df(nodes_hi, nodes_lo):
 
 def _df_hermite_dx(y_l, y_r, k_l, k_r, dx, t, one):
     """DF Hermite with UNSCALED derivatives and an explicit DF interval
-    width: ``a = k_l*dx - dy``, ``b = dy - k_r*dx`` — the node-layout
-    arithmetic (``models/strategies/bicubic._hermite``) in error-free
-    transforms."""
-    dy = df_sub(y_r, y_l)
-    a = df_sub(df_mul(k_l, dx), dy)
-    b = df_sub(dy, df_mul(k_r, dx))
-    omt = df_sub(one, t)
-    return df_add(
-        df_add(df_mul(omt, y_l), df_mul(t, y_r)),
-        df_mul(df_mul(t, omt), df_add(df_mul(a, omt), df_mul(b, t))),
+    width — the node-layout arithmetic
+    (``models/strategies/bicubic._hermite``): scale the derivatives,
+    then the shared pre-scaled EFT chain (``_df_hermite_scaled``)."""
+    return _df_hermite_scaled(
+        y_l, y_r, df_mul(k_l, dx), df_mul(k_r, dx), t, one
     )
 
 
