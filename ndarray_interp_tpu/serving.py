@@ -351,6 +351,32 @@ def eval_into_donated(interp, queries, out):
     return _donated_run_1d(interp, queries, out)
 
 
+_donated_run_2d = jax.jit(
+    lambda interp, xs, ys, out: interp.strategy.eval(interp, xs, ys),
+    donate_argnums=(3,),
+)
+
+
+def eval_into_donated_2d(interp, xs, ys, out):
+    """2-D analogue of :func:`eval_into_donated`: the donated
+    device-buffer form of the reference's 2-D ``interp_array_into``
+    (``interp2d/mod.rs:234-253``).  ``xs.shape == ys.shape`` enforced
+    as in ``interp_array`` (``interp2d/mod.rs:189-192``); ``out`` must
+    have shape ``xs.shape + data.shape[2:]`` and is donated — do not
+    use it afterwards."""
+    if tuple(xs.shape) != tuple(ys.shape):
+        raise ValueError(
+            f"`xs.shape` and `ys.shape` do not match: {tuple(xs.shape)} "
+            f"vs {tuple(ys.shape)}"
+        )
+    expect = tuple(xs.shape) + tuple(interp.data.shape[2:])
+    if tuple(out.shape) != expect:
+        raise ValueError(
+            f"output buffer has shape {tuple(out.shape)}, expected {expect}"
+        )
+    return _donated_run_2d(interp, xs, ys, out)
+
+
 class DoubleFloatEvaluator2D(_BucketedEvaluator):
     """2-D analogue of :class:`DoubleFloatEvaluator`: f64-grade serving
     on f32 hardware for Bilinear AND Bicubic strategies.

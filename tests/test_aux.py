@@ -336,6 +336,30 @@ def test_eval_into_donated_matches_interp_array():
         eval_into_donated(itp, q, jnp.zeros((5, 4), data.dtype))
 
 
+def test_eval_into_donated_2d_matches_interp_array():
+    import warnings
+
+    from ndarray_interp_tpu.interp2d import Interp2D
+    from ndarray_interp_tpu.serving import eval_into_donated_2d
+
+    rng = np.random.default_rng(22)
+    data = jnp.asarray(rng.normal(size=(20, 16, 3)))
+    itp = Interp2D.builder(data).build()  # default Bilinear
+    xs = jnp.asarray(rng.uniform(0, 19, 80))
+    ys = jnp.asarray(rng.uniform(0, 15, 80))
+    out = jnp.zeros((80, 3), data.dtype)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # CPU backends warn on donation
+        got = eval_into_donated_2d(itp, xs, ys, out)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(itp.interp_array(xs, ys)), atol=1e-14
+    )
+    with pytest.raises(ValueError):
+        eval_into_donated_2d(itp, xs, ys, jnp.zeros((5, 3), data.dtype))
+    with pytest.raises(ValueError):
+        eval_into_donated_2d(itp, xs, ys[:7], out)
+
+
 def test_df_evaluator_warmup():
     from ndarray_interp_tpu.serving import DoubleFloatEvaluator
 

@@ -331,6 +331,36 @@ def test_eval_into_donated_aliases_buffer():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
 
 
+def test_eval_into_donated_2d_aliases_buffer():
+    """The 2-D donated variant reuses the donated storage likewise."""
+    from ndarray_interp_tpu.models.interp2d import Interp2D
+    from ndarray_interp_tpu.models.strategies.bilinear import Bilinear
+    from ndarray_interp_tpu.serving import eval_into_donated_2d
+
+    rng = np.random.default_rng(11)
+    data = jnp.asarray(rng.normal(size=(48, 40, 8)).astype(np.float32))
+    x = jnp.arange(48, dtype=jnp.float32)
+    y = jnp.arange(40, dtype=jnp.float32)
+    # new_unchecked: the eager builder's validation pays a relay RTT
+    # per op on this backend (cf. test_eval_into_donated_aliases_buffer)
+    itp = Interp2D.new_unchecked(x, y, data, Bilinear(extrapolate=True))
+    xs = jnp.asarray(rng.uniform(0, 47, 4096).astype(np.float32))
+    ys = jnp.asarray(rng.uniform(0, 39, 4096).astype(np.float32))
+    out = jnp.zeros((4096, 8), jnp.float32)
+    out.block_until_ready()
+    try:
+        ptr_before = out.unsafe_buffer_pointer()
+    except Exception as e:  # relay backends may not expose raw pointers
+        pytest.skip(f"unsafe_buffer_pointer unavailable: {e}")
+    got = eval_into_donated_2d(itp, xs, ys, out)
+    got.block_until_ready()
+    assert got.unsafe_buffer_pointer() == ptr_before
+    want = np.asarray(
+        jax.jit(lambda i, a, b: i.strategy.eval(i, a, b))(itp, xs, ys)
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+
 def test_df_gathered_bank_f64_grade_on_chip():
     """VERDICT r2 task 3: the DF banked gather route (DF index kernel +
     packed (hi,lo) gather + XLA DF tail) reaches f64 grade on chip at
