@@ -112,15 +112,10 @@ def _local_index_frac(kloc, q, idx_max):
         x_l = kloc[idx]
         x_r = kloc[idx + 1]
         return idx, (q - x_l) / (x_r - x_l)
-    method = "compare_all" if n_loc <= 16384 else "scan"
-    idx = jnp.clip(
-        jnp.searchsorted(kloc, q, side="right", method=method).astype(
-            jnp.int32
-        )
-        - 1,
-        0,
-        idx_max,
-    )
+    from .searchsorted import get_lower_index
+
+    # shared clamp-to-[0, n-2] search; idx_max <= n_loc - 2 always
+    idx = jnp.minimum(get_lower_index(kloc, q), idx_max)
     x_l = kloc[idx]
     x_r = kloc[idx + 1]
     return idx, (q - x_l) / (x_r - x_l)

@@ -388,12 +388,21 @@ def fused_index_frac(knots, q):
     (``cubic_spline.rs:818`` / ``linear.rs:29-37`` via calc_frac).
 
     ``t`` is differentiable (the index is integer/non-diff); the backward
-    pass is the VJP of the XLA formulation with the interval fixed."""
-    return _index_frac_impl(knots, q)
+    pass is the VJP of the XLA formulation with the interval fixed.
+    Under a mesh the query axis partitions with zero communication
+    (``partition.sharded_index_frac`` — same inversion as
+    ``fused_eval_1d``); under ``vmap`` batched queries flatten."""
+    return _index_frac_sharded(knots, q)
+
+
+def _index_frac_sharded(knots, q, interpret=False):
+    from .partition import sharded_index_frac
+
+    return sharded_index_frac(bool(interpret))(knots, q)
 
 
 def _index_frac_fwd(knots, q):
-    idx, t = _index_frac_impl(knots, q)
+    idx, t = _index_frac_sharded(knots, q)
     return (idx, t), (knots, q, idx)
 
 

@@ -187,6 +187,78 @@ def _lower_index_cp(interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
+def _index_frac_cp(interpret: bool):
+    from .pallas_eval import _index_frac_impl
+
+    @custom_partitioning
+    def cp(knots, q):
+        return _index_frac_impl(knots, q, interpret=interpret)
+
+    def partition(mesh, arg_shapes, result_shape):
+        del result_shape
+        q_spec = _spec(arg_shapes[1])
+        q_sh = NamedSharding(mesh, q_spec)
+        arg_sh = (NamedSharding(mesh, P()), q_sh)
+
+        def lower(knots, q):
+            return _index_frac_impl(knots, q, interpret=interpret)
+
+        return mesh, lower, (q_sh, q_sh), arg_sh
+
+    def infer(mesh, arg_shapes, result_shape):
+        del result_shape
+        q_sh = NamedSharding(mesh, _spec(arg_shapes[1]))
+        return (q_sh, q_sh)
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="n, q -> q, q",
+        need_replication_factors=("n",),
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_index_frac(interpret: bool = False):
+    """Sharding- and vmap-compatible wrapper of the fused (idx, t) pass
+    (cf. ``sharded_fused_eval`` — same inversion: ``fused_index_frac``'s
+    custom_vjp primal routes through this wrapper, so every strategy
+    using the one-pass search keeps zero-communication query sharding)."""
+    from .searchsorted import get_lower_index
+
+    cp = _index_frac_cp(interpret)
+
+    def _xla_frac(knots, q):
+        idx = get_lower_index(knots, q)
+        x_l = knots[idx]
+        x_r = knots[idx + 1]
+        return idx, (q - x_l) / (x_r - x_l)
+
+    @jax.custom_batching.custom_vmap
+    def f(knots, q):
+        return cp(knots, q)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, knots, q):
+        kb, qb = in_batched
+        if kb:
+            idx, t = jax.vmap(
+                _xla_frac,
+                in_axes=(0, 0 if qb else None),
+                axis_size=axis_size,
+            )(knots, q)
+            return (idx, t), (True, True)
+        idx, t = f(knots, q.reshape(-1))
+        return (
+            (idx.reshape(axis_size, -1), t.reshape(axis_size, -1)),
+            (True, True),
+        )
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
 def sharded_lower_index(interpret: bool = False):
     from .searchsorted import get_lower_index
 

@@ -324,7 +324,11 @@ def _split_q(q64):
 
 
 _donated_run_1d = jax.jit(
-    lambda interp, queries, out: interp.strategy.eval(interp, queries),
+    # flatten first: strategy eval paths assume flat queries (the
+    # public interp_array does the same via its driver)
+    lambda interp, queries, out: interp.strategy.eval(
+        interp, queries.reshape(-1)
+    ).reshape(tuple(queries.shape) + tuple(interp.data.shape[1:])),
     donate_argnums=(2,),
 )
 
@@ -352,7 +356,9 @@ def eval_into_donated(interp, queries, out):
 
 
 _donated_run_2d = jax.jit(
-    lambda interp, xs, ys, out: interp.strategy.eval(interp, xs, ys),
+    lambda interp, xs, ys, out: interp.strategy.eval(
+        interp, xs.reshape(-1), ys.reshape(-1)
+    ).reshape(tuple(xs.shape) + tuple(interp.data.shape[2:])),
     donate_argnums=(3,),
 )
 

@@ -184,16 +184,22 @@ def _resolve_codec(sname, allow_custom_import=False):
                     pass
             modname, _, rest = modname.rpartition(".")
             qual = f"{rest}.{qual}"
+        unresolved = TypeError(
+            f"cannot resolve strategy class for {sname!r}: its module "
+            "is not imported. Import the module defining the strategy "
+            "(or call register_strategy_codec) before load(); or pass "
+            "load(path, allow_custom_import=True) if you trust the "
+            "checkpoint"
+        )
         if obj is None:
-            raise TypeError(
-                f"cannot resolve strategy class for {sname!r}: its module "
-                "is not imported. Import the module defining the strategy "
-                "(or call register_strategy_codec) before load(); or pass "
-                "load(path, allow_custom_import=True) if you trust the "
-                "checkpoint"
-            )
+            raise unresolved
         for part in qual.split("."):
-            obj = getattr(obj, part)
+            # a parent package may be imported while the defining
+            # submodule is not — keep the actionable message
+            try:
+                obj = getattr(obj, part)
+            except AttributeError:
+                raise unresolved from None
         register_strategy_codec(
             sname, obj,
             lambda s: s.checkpoint_encode(),

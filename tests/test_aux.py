@@ -334,6 +334,14 @@ def test_eval_into_donated_matches_interp_array():
     )
     with pytest.raises(ValueError):
         eval_into_donated(itp, q, jnp.zeros((5, 4), data.dtype))
+    # N-D query arrays: output = queries.shape + trailing (mod.rs:219-226)
+    q2 = q.reshape(25, 4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got2 = eval_into_donated(itp, q2, jnp.zeros((25, 4, 4), data.dtype))
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(itp.interp_array(q2)), atol=1e-14
+    )
 
 
 def test_eval_into_donated_2d_matches_interp_array():
@@ -358,6 +366,17 @@ def test_eval_into_donated_2d_matches_interp_array():
         eval_into_donated_2d(itp, xs, ys, jnp.zeros((5, 3), data.dtype))
     with pytest.raises(ValueError):
         eval_into_donated_2d(itp, xs, ys[:7], out)
+    # N-D query arrays flatten internally (interp2d/mod.rs:255-284)
+    xs2 = xs.reshape(8, 10)
+    ys2 = ys.reshape(8, 10)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got2 = eval_into_donated_2d(
+            itp, xs2, ys2, jnp.zeros((8, 10, 3), data.dtype)
+        )
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(itp.interp_array(xs2, ys2)), atol=1e-14
+    )
 
 
 def test_df_evaluator_warmup():
@@ -404,6 +423,25 @@ class TestCheckpointCustomImportSafety:
         )
         with pytest.raises(TypeError, match="not imported"):
             checkpoint.load(p)
+
+    def test_load_refuses_when_only_parent_package_imported(self, tmp_path):
+        # parent package imported, defining SUBMODULE not: still the
+        # curated "not imported" message, not a raw AttributeError
+        import sys
+        import types
+
+        from ndarray_interp_tpu.utils import checkpoint
+
+        pkg = types.ModuleType("ndi_fake_parent_pkg")
+        sys.modules["ndi_fake_parent_pkg"] = pkg
+        try:
+            p = self._save_with_fake_custom_name(
+                tmp_path, "custom:ndi_fake_parent_pkg.strategies.MyStrat"
+            )
+            with pytest.raises(TypeError, match="not imported"):
+                checkpoint.load(p)
+        finally:
+            sys.modules.pop("ndi_fake_parent_pkg", None)
 
     def test_load_resolves_from_already_imported_module(self, tmp_path):
         # module already in sys.modules: no import is needed, loads fine

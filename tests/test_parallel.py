@@ -158,6 +158,27 @@ def test_fused_lower_index_under_mesh():
     )
 
 
+def test_fused_index_frac_under_mesh():
+    """The one-pass (idx, t) kernel partitions over the query axis —
+    the pass every f32 gather-route strategy (cubic wide-bank, bicubic)
+    runs before its row gather."""
+    from ndarray_interp_tpu.ops.partition import sharded_index_frac
+    from ndarray_interp_tpu.ops.searchsorted import get_lower_index
+
+    x, _, q = _fused_fixture()
+    mesh1 = make_mesh(8, axis_names=("query",))
+    qs = jax.device_put(q, NamedSharding(mesh1, P("query")))
+    idx, t = jax.jit(sharded_index_frac(True))(x, qs)
+    assert idx.sharding.spec == P("query")
+    assert t.sharding.spec == P("query")
+    want_idx = get_lower_index(x, q)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+    x_l = np.asarray(x)[np.asarray(want_idx)]
+    x_r = np.asarray(x)[np.asarray(want_idx) + 1]
+    want_t = (np.asarray(q) - x_l) / (x_r - x_l)
+    np.testing.assert_allclose(np.asarray(t), want_t, rtol=1e-6, atol=1e-6)
+
+
 def test_banked_kernel_under_mesh(mesh):
     """banked_eval partitions (query x bank) with zero communication."""
     from ndarray_interp_tpu.ops.partition import (
