@@ -286,6 +286,34 @@ def main():
             "bench_interp2d.rs:12-84",
         )
 
+        # beyond-reference: native bicubic (node-state nested Hermite)
+        from ndarray_interp_tpu.models.strategies.bicubic import (
+            _solve_axis0,
+            _solve_axis1,
+        )
+        from ndarray_interp_tpu.native import eval_bicubic
+
+        gj = jnp.asarray(grid)
+        xh = np.asarray(itp2.x, np.float64)
+        yh = np.asarray(itp2.y, np.float64)
+        kxh = np.asarray(_solve_axis0(jnp.asarray(xh), gj, "not_a_knot"))
+        kyh = np.asarray(_solve_axis1(jnp.asarray(yh), gj, "not_a_knot"))
+        kxyh = np.asarray(
+            _solve_axis1(jnp.asarray(yh), jnp.asarray(kxh), "not_a_knot")
+        )
+        t = timer(
+            lambda: eval_bicubic(
+                xh, yh, grid, kxh, kyh, kxyh, qx, qy, False
+            ),
+            reps=reps,
+        )
+        record(
+            "2D bicubic 100x100 10k (native batched, beyond-ref)",
+            t,
+            10_000,
+            "models/strategies/bicubic.py",
+        )
+
     itp2v = fast_build_2d(jnp.asarray(rng.uniform(0, 1, (100, 100, 5)), dtype))
     t = device_timer(
         f2, (itp2v, jnp.asarray(qx, dtype), jnp.asarray(qy, dtype)), links=32

@@ -93,6 +93,16 @@ def _load():
     _lib.ndi_eval_bilinear_f32.argtypes = [
         pf, pf, pf, c_i64, c_i64, c_i64, pf, pf, c_i64, pf, c_int,
     ]
+    _lib.ndi_eval_bicubic_f64.restype = c_i64
+    _lib.ndi_eval_bicubic_f64.argtypes = [
+        pd, pd, pd, pd, pd, pd, c_i64, c_i64, c_i64, pd, pd, c_i64, pd,
+        c_int,
+    ]
+    _lib.ndi_eval_bicubic_f32.restype = c_i64
+    _lib.ndi_eval_bicubic_f32.argtypes = [
+        pf, pf, pf, pf, pf, pf, c_i64, c_i64, c_i64, pf, pf, c_i64, pf,
+        c_int,
+    ]
     HAVE_NATIVE = True
     return _lib
 
@@ -176,6 +186,38 @@ def eval_bilinear(x, y, z, qx, qy, extrapolate: bool):
         _ptr(qxc), _ptr(qyc), qxc.shape[0], _ptr(out), int(extrapolate),
     )
     return out.reshape(np.shape(qx) + z.shape[2:]), int(rc)
+
+
+def eval_bicubic(x, y, f, kx, ky, kxy, qx, qy, extrapolate: bool):
+    """Tensor-product cubic (beyond-reference Bicubic) on the host.
+
+    ``f`` is the ``(nx, ny, *trailing)`` grid; ``kx``/``ky``/``kxy`` its
+    spline derivative grids (the strategy's node state — build them with
+    the same batched solves as ``models/strategies/bicubic.Bicubic``).
+    Returns ``(out, oob_code)``: positive = 1-based x OOB index,
+    negative = y, 0 = ok (mirroring :func:`eval_bilinear`)."""
+    lib = _load()
+    dt = np.float64 if np.result_type(x, y, f) == np.float64 else np.float32
+    x = _prep(x, dt)
+    y = _prep(y, dt)
+    fc = _prep(f, dt).reshape(f.shape[0], f.shape[1], -1)
+    kxc = _prep(kx, dt).reshape(fc.shape)
+    kyc = _prep(ky, dt).reshape(fc.shape)
+    kxyc = _prep(kxy, dt).reshape(fc.shape)
+    qxc = _prep(np.atleast_1d(qx), dt).reshape(-1)
+    qyc = _prep(np.atleast_1d(qy), dt).reshape(-1)
+    out = np.empty((qxc.shape[0], fc.shape[2]), dt)
+    fn = (
+        lib.ndi_eval_bicubic_f64
+        if dt == np.float64
+        else lib.ndi_eval_bicubic_f32
+    )
+    rc = fn(
+        _ptr(x), _ptr(y), _ptr(fc), _ptr(kxc), _ptr(kyc), _ptr(kxyc),
+        x.shape[0], y.shape[0], fc.shape[2], _ptr(qxc), _ptr(qyc),
+        qxc.shape[0], _ptr(out), int(extrapolate),
+    )
+    return out.reshape(np.shape(qx) + f.shape[2:]), int(rc)
 
 
 def cubic_build(x, y, left_kind, left_val, right_kind, right_val):

@@ -492,6 +492,64 @@ int64_t eval_bilinear(const T* x, const T* yax, const T* z, int64_t nx,
   return 0;
 }
 
+// Bicubic (tensor-product cubic spline): two lookups + the nested
+// scaled-Hermite patch on the four corner states [f | kx | ky | kxy]
+// (the beyond-reference 2-D strategy; same arithmetic as the node
+// layout of models/strategies/bicubic.py::_eval_node, itself the
+// symmetric 1-D form of cubic_spline.rs:818-828 applied three times).
+template <typename T>
+inline T hermite_d(T yl, T yr, T kl, T kr, T d, T t) {
+  const T dy = yr - yl;
+  const T a = kl * d - dy;
+  const T b = dy - kr * d;
+  const T one = T(1);
+  return (one - t) * yl + t * yr + t * (one - t) * (a * (one - t) + b * t);
+}
+
+template <typename T>
+int64_t eval_bicubic(const T* x, const T* yax, const T* f, const T* kx,
+                     const T* ky, const T* kxy, int64_t nx, int64_t ny,
+                     int64_t trailing, const T* qx, const T* qy, int64_t m,
+                     T* out, int extrapolate) {
+  if (!extrapolate) {
+    // abort-before-write semantics (docs/PARITY.md); x errors positive,
+    // y errors negative (matching eval_bilinear's contract)
+    for (int64_t i = 0; i < m; ++i) {
+      if (!(x[0] <= qx[i] && qx[i] <= x[nx - 1])) return i + 1;
+      if (!(yax[0] <= qy[i] && qy[i] <= yax[ny - 1])) return -(i + 1);
+    }
+  }
+#pragma omp parallel for schedule(static) if (m * (trailing + 16) > 1 << 15)
+  for (int64_t i = 0; i < m; ++i) {
+    const T qxi = qx[i], qyi = qy[i];
+    const int64_t xi = lower_index(x, nx, qxi);
+    const int64_t yi = lower_index(yax, ny, qyi);
+    const T dx = x[xi + 1] - x[xi];
+    const T dyv = yax[yi + 1] - yax[yi];
+    const T tx = (qxi - x[xi]) / dx;
+    const T ty = (qyi - yax[yi]) / dyv;
+    const int64_t i11 = (xi * ny + yi) * trailing;
+    const int64_t i12 = i11 + trailing;
+    const int64_t i21 = i11 + ny * trailing;
+    const int64_t i22 = i21 + trailing;
+    T* o = out + i * trailing;
+    for (int64_t k = 0; k < trailing; ++k) {
+      // interpolate f and ky along x at both bracketing y-knots
+      // (kx / kxy supply the x-derivatives), then Hermite along y
+      const T f_y1 = hermite_d(f[i11 + k], f[i21 + k], kx[i11 + k],
+                               kx[i21 + k], dx, tx);
+      const T f_y2 = hermite_d(f[i12 + k], f[i22 + k], kx[i12 + k],
+                               kx[i22 + k], dx, tx);
+      const T k_y1 = hermite_d(ky[i11 + k], ky[i21 + k], kxy[i11 + k],
+                               kxy[i21 + k], dx, tx);
+      const T k_y2 = hermite_d(ky[i12 + k], ky[i22 + k], kxy[i12 + k],
+                               kxy[i22 + k], dx, tx);
+      o[k] = hermite_d(f_y1, f_y2, k_y1, k_y2, dyv, ty);
+    }
+  }
+  return 0;
+}
+
 // Monotonic classification over diffs (role of monotonic_prop,
 // vector_extensions.rs:40-53).  0 rising-strict, 1 rising, 2
 // falling-strict, 3 falling, 4 not-monotonic.
@@ -761,6 +819,24 @@ int64_t ndi_eval_hermite_f32(const float* x, const float* y, const float* a,
   return eval_hermite(x, y, a, b, n, trailing, q, m, out, mode);
 }
 
+int64_t ndi_eval_bicubic_f64(const double* x, const double* y,
+                             const double* f, const double* kx,
+                             const double* ky, const double* kxy, int64_t nx,
+                             int64_t ny, int64_t trailing, const double* qx,
+                             const double* qy, int64_t m, double* out,
+                             int extrapolate) {
+  return eval_bicubic(x, y, f, kx, ky, kxy, nx, ny, trailing, qx, qy, m, out,
+                      extrapolate);
+}
+int64_t ndi_eval_bicubic_f32(const float* x, const float* y, const float* f,
+                             const float* kx, const float* ky,
+                             const float* kxy, int64_t nx, int64_t ny,
+                             int64_t trailing, const float* qx,
+                             const float* qy, int64_t m, float* out,
+                             int extrapolate) {
+  return eval_bicubic(x, y, f, kx, ky, kxy, nx, ny, trailing, qx, qy, m, out,
+                      extrapolate);
+}
 int64_t ndi_eval_bilinear_f64(const double* x, const double* y,
                               const double* z, int64_t nx, int64_t ny,
                               int64_t trailing, const double* qx,

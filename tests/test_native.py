@@ -214,3 +214,61 @@ def test_lower_index_nan_safe():
     # extrapolate=False: NaN is an OOB abort, 1-based index of the bad query
     out, rc = native.eval_linear(x, y, np.array([1.0, np.nan]), False)
     assert rc == 2
+
+
+def test_native_bicubic_matches_jax():
+    """Native bicubic (node-state nested Hermite) == the jax Bicubic
+    strategy, including extrapolation; OOB codes mirror bilinear's."""
+    from ndarray_interp_tpu.interp2d import Bicubic
+    from ndarray_interp_tpu.models.strategies.bicubic import (
+        _solve_axis0,
+        _solve_axis1,
+    )
+
+    rng = np.random.default_rng(17)
+    nx, ny = 14, 11
+    x = np.cumsum(rng.uniform(0.3, 1.0, nx))
+    y = np.cumsum(rng.uniform(0.3, 1.0, ny))
+    for trailing in [(), (3,)]:
+        z = rng.normal(size=(nx, ny) + trailing)
+        itp = (
+            Interp2D.builder(jnp.asarray(z))
+            .x(jnp.asarray(x))
+            .y(jnp.asarray(y))
+            .strategy(Bicubic().extrapolate(True))
+            .build()
+        )
+        zj = jnp.asarray(z)
+        kx = np.asarray(_solve_axis0(jnp.asarray(x), zj, "not_a_knot"))
+        ky = np.asarray(_solve_axis1(jnp.asarray(y), zj, "not_a_knot"))
+        kxy = np.asarray(
+            _solve_axis1(jnp.asarray(y), jnp.asarray(kx), "not_a_knot")
+        )
+        span = x[-1] - x[0]
+        qx = rng.uniform(x[0] - span / 4, x[-1] + span / 4, 200)
+        qy = rng.uniform(y[0], y[-1], 200)
+        out, rc = native.eval_bicubic(x, y, z, kx, ky, kxy, qx, qy, True)
+        assert rc == 0
+        want = np.asarray(itp.interp_array(qx, qy))
+        np.testing.assert_allclose(out, want, rtol=1e-10, atol=1e-10)
+    # OOB codes: positive 1-based for x, negative for y; no partial write
+    z = rng.normal(size=(nx, ny))
+    kx = np.asarray(
+        _solve_axis0(jnp.asarray(x), jnp.asarray(z), "not_a_knot")
+    )
+    ky = np.asarray(
+        _solve_axis1(jnp.asarray(y), jnp.asarray(z), "not_a_knot")
+    )
+    kxy = np.asarray(
+        _solve_axis1(jnp.asarray(y), jnp.asarray(kx), "not_a_knot")
+    )
+    _, rc = native.eval_bicubic(
+        x, y, z, kx, ky, kxy,
+        np.array([x[1], x[-1] + 1.0]), np.array([y[1], y[1]]), False,
+    )
+    assert rc == 2
+    _, rc = native.eval_bicubic(
+        x, y, z, kx, ky, kxy,
+        np.array([x[1], x[1]]), np.array([y[0] - 1.0, y[1]]), False,
+    )
+    assert rc == -1
