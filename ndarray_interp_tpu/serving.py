@@ -480,6 +480,19 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
 
         self._run = jax.jit(run)
 
+    def warmup(self):
+        """Precompile every bucket (one trace + compile each)."""
+        import numpy as np
+
+        for b in self._buckets:
+            qx = np.full(b, self._xr[0])
+            qy = np.full(b, self._yr[0])
+            hi, lo = self._run(
+                *self._run_extra, *_split_q(qx), *_split_q(qy)
+            )
+            jax.block_until_ready((hi, lo))
+        return self
+
     def __call__(self, xs, ys):
         import numpy as np
 

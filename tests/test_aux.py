@@ -392,6 +392,18 @@ def test_df_evaluator_warmup():
     assert out.shape == (77,) and np.isfinite(out).all()
 
 
+def test_df_evaluator_2d_warmup():
+    from ndarray_interp_tpu.interp2d import Interp2D
+    from ndarray_interp_tpu.serving import DoubleFloatEvaluator2D
+
+    rng = np.random.default_rng(43)
+    z = jnp.asarray(rng.normal(size=(12, 10)))
+    itp = Interp2D.builder(z).build()  # default Bilinear
+    ev = DoubleFloatEvaluator2D(itp, max_batch=512).warmup()
+    out = ev(rng.uniform(0, 11, 77), rng.uniform(0, 9, 77))
+    assert out.shape == (77,) and np.isfinite(out).all()
+
+
 class TestCheckpointCustomImportSafety:
     """load() must not import modules named by the checkpoint header
     unless the caller opts in (ADVICE r2, medium)."""
