@@ -178,6 +178,28 @@ def test_interp_view_array():
     assert interp.interp_scalar(4.75) == 1.25
 
 
+def test_interp_array_with_different_repr():
+    # tests/interp1d.rs:197-205 — queries passed as a view; the Python
+    # analogues are non-contiguous numpy views and plain nested lists
+    interp = Interp1D.builder(
+        jnp.array([1.0, 2.0, 3.0, 4.0, 5.0, 5.0, 4.0, 3.0, 2.0, 1.0])
+    ).build()
+    q = np.array([[1.0, 2.0, 9.0], [4.0, 5.0, 7.5]])
+    want = np.array([[2.0, 3.0, 1.0], [5.0, 5.0, 2.5]])
+    np.testing.assert_array_equal(np.asarray(interp.interp_array(q)), want)
+    # strided (non-contiguous) view of a wider buffer
+    wide = np.zeros((2, 6))
+    wide[:, ::2] = q
+    np.testing.assert_array_equal(
+        np.asarray(interp.interp_array(wide[:, ::2])), want
+    )
+    # plain nested lists
+    np.testing.assert_array_equal(
+        np.asarray(interp.interp_array([[1.0, 2.0, 9.0], [4.0, 5.0, 7.5]])),
+        want,
+    )
+
+
 def test_interp_multi_fn():
     # tests/interp1d.rs:157-195
     data = jnp.array(
