@@ -82,6 +82,20 @@ def main():
     )
     print(f"DF bicubic NODE route, 1M q: {t_node*1e3:.2f} ms")
 
+    def run_node_pair(a, b, c, d, tbl):
+        return gathered_bicubic_nodes_eval_df(
+            *pairs, tbl, a, b, c, d, r=r, fetch="pair"
+        )
+
+    t_pair = device_timer(
+        run_node_pair, (qxh, qxl, qyh, qyl, packed_node),
+        var=0, links=2, reps=3,
+    )
+    print(
+        f"DF bicubic NODE route (pair fetch), 1M q: {t_pair*1e3:.2f} ms "
+        f"— does a (2, 2c) slice charge 1 row or 2?"
+    )
+
     def run_cell(a, b, c, d, tbl):
         return gathered_bicubic_eval_df_packed(
             *pairs, tbl, a, b, c, d, r=r

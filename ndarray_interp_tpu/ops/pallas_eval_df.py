@@ -1393,7 +1393,7 @@ def _df_hermite_dx(y_l, y_r, k_l, k_r, dx, t, one):
 
 def gathered_bicubic_nodes_eval_df(
     x_hi, x_lo, y_hi, y_lo, packed, qx_hi, qx_lo, qy_hi, qy_lo,
-    r=1, interpret=False, chunk=65536,
+    r=1, interpret=False, chunk=65536, fetch="quad",
 ):
     """DF bicubic from the memory-frugal NODE table: two DF (idx, t)
     passes + FOUR (hi, lo) node-row gathers + a guarded-XLA DF tail that
@@ -1411,9 +1411,13 @@ def gathered_bicubic_nodes_eval_df(
     ``lax.map``: the barriers keep every EFT intermediate live at once,
     and the unchunked tail measured **59 GB** of HLO temp on the 1M-query
     512x512x16 workload (v5e OOM) — chunking caps the live set at
-    ~chunk x channels x EFT depth.  Semantics anchor: the 2-D eval
-    contract of ``interp2d/mod.rs:175-196``; accuracy matches the cell
-    route (``tests/test_df.py::TestDFBicubicNodeRoute``)."""
+    ~chunk x channels x EFT depth.  ``fetch="pair"`` fetches the two
+    y-adjacent nodes of each x-row with ONE (2, 2c)-sliced gather —
+    2 gathers/query instead of 4, identical values (whether the gather
+    engine charges 1 or 2 rows per slice is pending measurement).
+    Semantics anchor: the 2-D eval contract of
+    ``interp2d/mod.rs:175-196``; accuracy matches the cell route
+    (``tests/test_df.py::TestDFBicubicNodeRoute``)."""
     ny = y_hi.shape[0]
     nq = qx_hi.shape[0]
     xi, txh, txl, yi, tyh, tyl = _df_index_frac_2d(
@@ -1425,8 +1429,7 @@ def gathered_bicubic_nodes_eval_df(
     def tail_chunk(args):
         xi, txh, txl, yi, tyh, tyl = args
 
-        def node(ix, iy):
-            g = jnp.take(packed, ix * ny + iy, axis=0)
+        def unpack(g):
             hi, lo = g[:, :c], g[:, c:]
 
             def blk(i):
@@ -1441,10 +1444,37 @@ def gathered_bicubic_nodes_eval_df(
 
             return blk(0), blk(1), blk(2), blk(3), coord(0), coord(1)
 
-        f11, kx11, ky11, kxy11, x1, y1 = node(xi, yi)
-        f12, kx12, ky12, kxy12, _, y2 = node(xi, yi + 1)
-        f21, kx21, ky21, kxy21, x2, _ = node(xi + 1, yi)
-        f22, kx22, ky22, kxy22, _, _ = node(xi + 1, yi + 1)
+        if fetch == "pair":
+            # ONE (2, 2c)-sliced gather per x-node fetches BOTH
+            # y-adjacent node rows (indices ix*ny+iy and +1 are
+            # consecutive): 2 gathers/query instead of 4.  Values
+            # identical to the quad fetch (tested); whether the TPU
+            # gather engine charges one row or two per 2-row slice is
+            # the pending on-chip measurement (docs/ROADMAP.md).
+            w = packed.shape[1]
+
+            def pair(start):
+                g2 = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(
+                        packed, (s, jnp.zeros((), s.dtype)), (2, w)
+                    )
+                )(start)
+                return unpack(g2[:, 0, :]), unpack(g2[:, 1, :])
+
+            n11, n12 = pair(xi * ny + yi)
+            n21, n22 = pair((xi + 1) * ny + yi)
+        else:
+            def node(ix, iy):
+                return unpack(jnp.take(packed, ix * ny + iy, axis=0))
+
+            n11 = node(xi, yi)
+            n12 = node(xi, yi + 1)
+            n21 = node(xi + 1, yi)
+            n22 = node(xi + 1, yi + 1)
+        f11, kx11, ky11, kxy11, x1, y1 = n11
+        f12, kx12, ky12, kxy12, _, y2 = n12
+        f21, kx21, ky21, kxy21, x2, _ = n21
+        f22, kx22, ky22, kxy22, _, _ = n22
         dx = df_sub(x2, x1)
         dy = df_sub(y2, y1)
         tx = (txh[:, None], txl[:, None])

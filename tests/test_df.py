@@ -718,6 +718,39 @@ class TestDFBicubicNodeRoute:
         got = df_to_f64(chk_h, chk_l).reshape(400)
         assert (np.abs(got - want) / scale).max() < 1e-9
 
+    def test_pair_fetch_matches_quad(self, monkeypatch):
+        """fetch="pair" (one 2-row sliced gather per x-node) is
+        bit-identical to the 4-gather quad fetch."""
+        import jax
+
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            gathered_bicubic_nodes_eval_df,
+            pack_bicubic_nodes_df,
+        )
+
+        itp, rng = self._build(monkeypatch=monkeypatch)
+        x64 = np.asarray(itp.x, np.float64)
+        y64 = np.asarray(itp.y, np.float64)
+        rows64 = np.asarray(itp.strategy.rows, np.float64)
+        packed = pack_bicubic_nodes_df(*df_from_f64(rows64))
+        span = x64[-1] - x64[0]
+        qx = rng.uniform(x64[0] - span / 4, x64[-1] + span / 4, 400)
+        qy = rng.uniform(y64[0], y64[-1], 400)
+        args = []
+        for v in (x64, y64):
+            args.extend(jnp.asarray(w) for w in df_from_f64(v))
+        args.append(packed)
+        for v in (qx, qy):
+            args.extend(jnp.asarray(w) for w in df_from_f64(v))
+        qh, ql = jax.jit(
+            lambda *a: gathered_bicubic_nodes_eval_df(*a, r=1)
+        )(*args)
+        ph, pl = jax.jit(
+            lambda *a: gathered_bicubic_nodes_eval_df(*a, r=1, fetch="pair")
+        )(*args)
+        np.testing.assert_array_equal(np.asarray(qh), np.asarray(ph))
+        np.testing.assert_array_equal(np.asarray(ql), np.asarray(pl))
+
     def test_extrapolation_matches_strategy(self, monkeypatch):
         """The node route extrapolates via the same clamped-cell
         arithmetic as the strategy (extrapolate=True built above)."""
