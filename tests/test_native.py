@@ -272,3 +272,10 @@ def test_native_bicubic_matches_jax():
         np.array([x[1], x[1]]), np.array([y[0] - 1.0, y[1]]), False,
     )
     assert rc == -1
+
+
+def test_native_host_serving_example_runs():
+    import importlib
+
+    mod = importlib.import_module("examples.native_host_serving")
+    mod.main()  # asserts internally (rc == 0, scalar round-trip)
