@@ -14,6 +14,7 @@ from ..models.strategies.base import (
 from ..models.strategies.cubic import CubicSpline
 from ..models.strategies.hermite import Akima, Pchip
 from ..models.strategies.linear import Linear
+from ..models.strategies.step import Nearest
 from . import cubic_spline
 
 __all__ = [
@@ -26,5 +27,6 @@ __all__ = [
     "CubicSpline",
     "Akima",
     "Pchip",
+    "Nearest",
     "cubic_spline",
 ]

@@ -13,6 +13,7 @@ from .bilinear import Bilinear
 from .cubic import BoundaryCondition, CubicSpline, RowBoundary, SingleBoundary
 from .hermite import Akima, Pchip
 from .linear import Linear
+from .step import Nearest
 
 __all__ = [
     "Interp1DStrategy",
@@ -31,4 +32,5 @@ __all__ = [
     "RowBoundary",
     "SingleBoundary",
     "Linear",
+    "Nearest",
 ]

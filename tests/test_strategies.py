@@ -180,3 +180,117 @@ class TestCustomStrategy:
             interp = Interp1D.builder(data).strategy(cls()).build()
             r.append(np.asarray(jax.jit(lambda t, q: t(q))(interp, q)))
         np.testing.assert_array_equal(r[0], r[1])
+
+
+class TestNearest:
+    """First-class step family (the reference's own planned "more
+    interpolation strategies"; semantics pinned by SciPy interp1d)."""
+
+    @pytest.mark.parametrize(
+        "mode", ["nearest", "nearest-up", "previous", "next"]
+    )
+    def test_matches_scipy(self, mode):
+        from ndarray_interp_tpu.interp1d import Nearest
+
+        x, y, q = case(seed=11)
+        # keep queries strictly off midpoints so both tie rules agree
+        # with scipy on generic points; ties are pinned separately
+        itp = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Nearest(mode))
+            .build()
+        )
+        got = np.asarray(itp.interp_array(q))
+        ref = si.interp1d(x, y, kind=mode)(q)
+        np.testing.assert_allclose(got, ref, atol=0)
+
+    def test_midpoint_ties(self):
+        from ndarray_interp_tpu.interp1d import Nearest
+
+        x = np.array([0.0, 1.0, 2.0])
+        y = np.array([10.0, 20.0, 30.0])
+        mid = np.array([0.5, 1.5])
+        down = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Nearest("nearest"))
+            .build()
+        )
+        up = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Nearest("nearest-up"))
+            .build()
+        )
+        np.testing.assert_array_equal(
+            np.asarray(down.interp_array(mid)), [10.0, 20.0]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(up.interp_array(mid)), [20.0, 30.0]
+        )
+
+    def test_exact_knot_hits(self):
+        from ndarray_interp_tpu.interp1d import Nearest
+
+        x = np.array([0.0, 1.0, 2.0, 3.0])
+        y = np.array([1.0, 2.0, 3.0, 4.0])
+        for mode in ["nearest", "nearest-up", "previous", "next"]:
+            itp = (
+                Interp1D.builder(jnp.asarray(y))
+                .x(jnp.asarray(x))
+                .strategy(Nearest(mode))
+                .build()
+            )
+            np.testing.assert_array_equal(
+                np.asarray(itp.interp_array(x)), y, err_msg=mode
+            )
+
+    def test_oob_and_clamped_extrapolation(self):
+        from ndarray_interp_tpu.interp1d import Nearest
+
+        x = np.array([0.0, 1.0, 2.0])
+        y = np.array([10.0, 20.0, 30.0])
+        itp = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Nearest("nearest"))
+            .build()
+        )
+        with pytest.raises(OutOfBoundsError):
+            itp.interp(-0.5)
+        ex = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Nearest("nearest").extrapolate(True))
+            .build()
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ex.interp_array(np.array([-5.0, 7.0]))),
+            [10.0, 30.0],
+        )
+
+    def test_integer_data_stays_exact(self):
+        from ndarray_interp_tpu.interp1d import Nearest
+
+        y = jnp.asarray(np.array([1, 5, 9], np.int32))
+        itp = Interp1D.builder(y).strategy(Nearest("previous")).build()
+        out = np.asarray(itp.interp_array(np.array([0.9, 1.0, 1.9])))
+        np.testing.assert_array_equal(out, [1, 5, 5])
+
+    def test_jit_vmap_and_pytree(self):
+        from ndarray_interp_tpu.interp1d import Nearest
+
+        x, y, q = case(seed=13)
+        itp = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Nearest("nearest-up", extrapolate=True))
+            .build()
+        )
+        qj = jnp.asarray(q)
+        direct = np.asarray(itp(qj))
+        jitted = np.asarray(jax.jit(lambda t, qq: t(qq))(itp, qj))
+        np.testing.assert_array_equal(direct, jitted)
+        v = jax.vmap(lambda qq: itp(qq))(qj.reshape(4, -1))
+        np.testing.assert_array_equal(np.asarray(v).ravel(), direct)
