@@ -11,6 +11,7 @@ from ..models.strategies.base2d import (
 )
 from ..models.strategies.bicubic import Bicubic
 from ..models.strategies.bilinear import Bilinear
+from ..models.strategies.step import Nearest2D
 
 __all__ = [
     "Interp2D",
@@ -20,4 +21,5 @@ __all__ = [
     "PointwiseStrategy2D",
     "Bicubic",
     "Bilinear",
+    "Nearest2D",
 ]

@@ -13,7 +13,7 @@ from .bilinear import Bilinear
 from .cubic import BoundaryCondition, CubicSpline, RowBoundary, SingleBoundary
 from .hermite import Akima, Pchip
 from .linear import Linear
-from .step import Nearest
+from .step import Nearest, Nearest2D
 
 __all__ = [
     "Interp1DStrategy",
@@ -33,4 +33,5 @@ __all__ = [
     "SingleBoundary",
     "Linear",
     "Nearest",
+    "Nearest2D",
 ]

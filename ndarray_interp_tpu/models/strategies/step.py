@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax.tree_util import register_pytree_node_class
 
 from .base import Interp1DStrategy, Interp1DStrategyBuilder
+from .base2d import Interp2DStrategy, Interp2DStrategyBuilder
 
 _MODES = ("nearest", "nearest-up", "previous", "next")
 
@@ -77,3 +78,47 @@ class Nearest(Interp1DStrategy, Interp1DStrategyBuilder):
 
     def __repr__(self):
         return f"Nearest(mode={self.mode!r}, extrapolate={self.extrapolates})"
+
+
+@register_pytree_node_class
+class Nearest2D(Interp2DStrategy, Interp2DStrategyBuilder):
+    """Nearest-grid-node interpolation on a rectilinear grid (the 2-D
+    member of the step family; oracle: SciPy's
+    ``RegularGridInterpolator(method="nearest")``).
+
+    Per-axis midpoint ties go to the LEFT knot (the 1-D ``"nearest"``
+    rule).  Out-of-range queries error eagerly / NaN under jit unless
+    ``.extrapolate(True)``, which clamps to the border nodes.  One
+    ``get_lower_index`` pass per axis + a single node gather — integer
+    data stays exact."""
+
+    MINIMUM_DATA_LENGTH = 2
+
+    def __init__(self, extrapolate: bool = False):
+        self.extrapolates = bool(extrapolate)
+
+    def extrapolate(self, yes: bool = True) -> "Nearest2D":
+        return Nearest2D(extrapolate=yes)
+
+    def build(self, x, y, data):
+        return self
+
+    def eval(self, interp, xq, yq):
+        x, y, data = interp.x, interp.y, interp.data
+        xi, yi = interp.get_index_left_of(xq, yq)
+        px = jnp.where((xq - x[xi]) <= (x[xi + 1] - xq), xi, xi + 1)
+        py = jnp.where((yq - y[yi]) <= (y[yi + 1] - yq), yi, yi + 1)
+        ny = data.shape[1]
+        flat = data.reshape((-1,) + data.shape[2:])
+        return jnp.take(flat, px * ny + py, axis=0)
+
+    def tree_flatten(self):
+        return (), (self.extrapolates,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del children
+        return cls(extrapolate=aux[0])
+
+    def __repr__(self):
+        return f"Nearest2D(extrapolate={self.extrapolates})"

@@ -294,3 +294,73 @@ class TestNearest:
         np.testing.assert_array_equal(direct, jitted)
         v = jax.vmap(lambda qq: itp(qq))(qj.reshape(4, -1))
         np.testing.assert_array_equal(np.asarray(v).ravel(), direct)
+
+
+class TestNearest2D:
+    def test_matches_scipy_rgi(self):
+        from ndarray_interp_tpu.interp2d import Interp2D, Nearest2D
+
+        rng = np.random.default_rng(23)
+        x = np.sort(rng.uniform(0, 10, 15))
+        y = np.sort(rng.uniform(0, 8, 12))
+        z = rng.normal(size=(15, 12, 2))
+        itp = (
+            Interp2D.builder(jnp.asarray(z))
+            .x(jnp.asarray(x))
+            .y(jnp.asarray(y))
+            .strategy(Nearest2D())
+            .build()
+        )
+        qx = rng.uniform(x[0], x[-1], 400)
+        qy = rng.uniform(y[0], y[-1], 400)
+        got = np.asarray(itp.interp_array(qx, qy))
+        ref = si.RegularGridInterpolator((x, y), z, method="nearest")(
+            np.stack([qx, qy], axis=-1)
+        )
+        np.testing.assert_allclose(got, ref, atol=0)
+
+    def test_grid_node_hits_and_ties(self):
+        from ndarray_interp_tpu.interp2d import Interp2D, Nearest2D
+
+        x = np.array([0.0, 1.0, 2.0])
+        y = np.array([0.0, 2.0])
+        z = np.arange(6.0).reshape(3, 2)
+        itp = (
+            Interp2D.builder(jnp.asarray(z))
+            .x(jnp.asarray(x))
+            .y(jnp.asarray(y))
+            .strategy(Nearest2D())
+            .build()
+        )
+        # exact node hits
+        gx, gy = np.meshgrid(x, y, indexing="ij")
+        np.testing.assert_array_equal(
+            np.asarray(itp.interp_array(gx.ravel(), gy.ravel())), z.ravel()
+        )
+        # midpoint ties go LEFT on both axes
+        assert float(itp.interp_scalar(0.5, 1.0)) == z[0, 0]
+
+    def test_oob_and_clamped_extrapolation(self):
+        from ndarray_interp_tpu.errors import OutOfBoundsError
+        from ndarray_interp_tpu.interp2d import Interp2D, Nearest2D
+
+        z = jnp.asarray(np.arange(12.0).reshape(4, 3))
+        itp = Interp2D.builder(z).strategy(Nearest2D()).build()
+        with pytest.raises(OutOfBoundsError):
+            itp.interp(-1.0, 0.0)
+        ex = Interp2D.builder(z).strategy(Nearest2D(extrapolate=True)).build()
+        assert float(ex.interp_scalar(-5.0, -5.0)) == 0.0
+        assert float(ex.interp_scalar(99.0, 99.0)) == 11.0
+
+    def test_jit_matches_eager(self):
+        from ndarray_interp_tpu.interp2d import Interp2D, Nearest2D
+
+        rng = np.random.default_rng(27)
+        z = jnp.asarray(rng.normal(size=(9, 7)))
+        itp = Interp2D.builder(z).strategy(Nearest2D(extrapolate=True)).build()
+        qx = jnp.asarray(rng.uniform(0, 8, 50))
+        qy = jnp.asarray(rng.uniform(0, 6, 50))
+        np.testing.assert_array_equal(
+            np.asarray(jax.jit(lambda t, a, b: t(a, b))(itp, qx, qy)),
+            np.asarray(itp(qx, qy)),
+        )
