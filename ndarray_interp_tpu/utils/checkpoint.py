@@ -26,6 +26,7 @@ from ..models.strategies.bicubic import BicubicStrategy
 from ..models.strategies.bilinear import Bilinear, BilinearPacked
 from ..models.strategies.cubic import CubicSplineStrategy
 from ..models.strategies.linear import Linear
+from ..models.strategies.step import Nearest, Nearest2D
 
 _STRATEGY_CODECS = {
     "linear": (
@@ -68,6 +69,18 @@ _STRATEGY_CODECS = {
             bc_y=meta.get("bc_y", "not_a_knot"),
             layout=meta.get("layout", "cell"),
         ),
+    ),
+    "nearest": (
+        Nearest,
+        lambda s: ({"mode": s.mode, "extrapolate": s.extrapolates}, {}),
+        lambda meta, arrs: Nearest(
+            mode=meta["mode"], extrapolate=meta["extrapolate"]
+        ),
+    ),
+    "nearest2d": (
+        Nearest2D,
+        lambda s: ({"extrapolate": s.extrapolates}, {}),
+        lambda meta, arrs: Nearest2D(extrapolate=meta["extrapolate"]),
     ),
     # packed variant: rows are derived state — persist only the config and
     # re-pack from (x, y, data) on load

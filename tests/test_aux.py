@@ -548,3 +548,37 @@ class TestCheckpointCustomImportSafety:
         itp = Interp1D.builder(data).strategy(LocalStrategy()).build()
         with pytest.raises(TypeError, match="importable module"):
             checkpoint.save(tmp_path / "bad.npz", itp)
+
+
+def test_checkpoint_roundtrip_nearest_family(tmp_path):
+    from ndarray_interp_tpu.interp1d import Nearest
+    from ndarray_interp_tpu.interp2d import Interp2D, Nearest2D
+    from ndarray_interp_tpu.utils import checkpoint
+
+    rng = np.random.default_rng(63)
+    d = jnp.asarray(rng.normal(size=12))
+    itp = (
+        Interp1D.builder(d)
+        .strategy(Nearest("previous", extrapolate=True))
+        .build()
+    )
+    p = tmp_path / "nearest.npz"
+    checkpoint.save(p, itp)
+    back = checkpoint.load(p)
+    assert back.strategy.mode == "previous" and back.strategy.extrapolates
+    q = np.array([0.3, 5.7, 11.9])
+    np.testing.assert_array_equal(
+        np.asarray(back.interp_array(q)), np.asarray(itp.interp_array(q))
+    )
+    z = jnp.asarray(rng.normal(size=(8, 6)))
+    itp2 = Interp2D.builder(z).strategy(Nearest2D(extrapolate=True)).build()
+    p2 = tmp_path / "nearest2d.npz"
+    checkpoint.save(p2, itp2)
+    back2 = checkpoint.load(p2)
+    assert back2.strategy.extrapolates
+    qx = np.array([0.4, 9.6])
+    qy = np.array([0.2, 6.9])
+    np.testing.assert_array_equal(
+        np.asarray(back2.interp_array(qx, qy)),
+        np.asarray(itp2.interp_array(qx, qy)),
+    )
