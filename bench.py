@@ -91,6 +91,41 @@ def _supervise():
     here = Path(__file__).resolve()
     env = dict(os.environ)
     env["NDI_BENCH_CHILD"] = "1"
+    # quick reachability probe first: a wedged relay hangs device init
+    # at ~0% CPU indefinitely (seen live in round 3) — skip straight to
+    # the CPU fallback instead of burning the full accelerator timeout
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            env=dict(os.environ),
+            capture_output=True,
+            timeout=120,
+            check=True,
+        )
+        reachable = True
+    except Exception:
+        reachable = False
+    try:
+        if reachable:
+            out = subprocess.run(
+                [sys.executable, str(here)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=900,
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return 0
+    except subprocess.TimeoutExpired:
+        pass
+    # fallback: CPU backend, no relay plugin, scaled-down workload
+    # (NDI_BENCH_CPU_FALLBACK trims links/reps — the full chained
+    # workload exceeds 900 s on a 1-vCPU host)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["NDI_BENCH_CPU_FALLBACK"] = "1"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     try:
         out = subprocess.run(
             [sys.executable, str(here)],
@@ -103,29 +138,30 @@ def _supervise():
             if line.startswith("{"):
                 print(line)
                 return 0
+        sys.stderr.write(out.stderr[-2000:])
     except subprocess.TimeoutExpired:
         pass
-    # fallback: CPU backend, no relay plugin
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    out = subprocess.run(
-        [sys.executable, str(here)],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=900,
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("{"):
-            print(line)
-            return 0
-    sys.stderr.write(out.stderr[-2000:])
+    # last resort: the driver expects exactly one JSON line — emit an
+    # honest failure record rather than nothing
+    print(json.dumps({
+        "metric": "queries/sec/chip (1D cubic, 1M pts)",
+        "value": 0.0,
+        "unit": "queries/s",
+        "vs_baseline": 0.0,
+        "extra": {"error": "accelerator unreachable; cpu fallback "
+                           "failed/timed out"},
+    }))
     return 1
 
 
 def main():
+    import os
+
     n_knots = 2048
     n_q = 1_000_000
+    # CPU-fallback mode (accelerator unreachable): same workloads, fewer
+    # chained links/reps so the run fits the watchdog on a 1-vCPU host
+    cheap = bool(os.environ.get("NDI_BENCH_CPU_FALLBACK"))
 
     rng = np.random.default_rng(42)
     knots = np.linspace(0.0, 100.0, n_knots)
@@ -136,7 +172,9 @@ def main():
     import scipy.interpolate as si
 
     cs = si.CubicSpline(knots, values, bc_type="not-a-knot")
-    t_scipy = measure(lambda q: cs(q).sum(), queries, reps=5, warmup=1)
+    t_scipy = measure(
+        lambda q: cs(q).sum(), queries, reps=2 if cheap else 5, warmup=1
+    )
     scipy_qps = n_q / t_scipy
 
     # --- TPU (or default-backend) measurement -----------------------------
@@ -184,7 +222,10 @@ def main():
 
         return run
 
-    t_ours = measure_chained(eval_chain, 16, interp, q_d)
+    t_ours = measure_chained(
+        eval_chain, 4 if cheap else 16, interp, q_d,
+        reps=2 if cheap else 6,
+    )
     our_qps = n_q / t_ours
 
     # secondary: build time for a 10k-knot bank of 64 splines
@@ -204,7 +245,9 @@ def main():
 
         return run
 
-    t_build = measure_chained(build_chain, 8, xb, bank)
+    t_build = measure_chained(
+        build_chain, 2 if cheap else 8, xb, bank, reps=2 if cheap else 6
+    )
 
     # secondary: EVAL on the same 10k-knot x 64 bank (the wide-bank
     # gather route, VERDICT r1 item 4) — 256k queries scaled to /1M
@@ -233,7 +276,10 @@ def main():
 
         return run
 
-    t_bank = measure_chained(bank_eval_chain, 8, itp10, q10)
+    t_bank = measure_chained(
+        bank_eval_chain, 2 if cheap else 8, itp10, q10,
+        reps=2 if cheap else 6,
+    )
 
     result = {
         "metric": "queries/sec/chip (1D cubic, 1M pts)",
@@ -250,6 +296,11 @@ def main():
                 t_bank * 1e3 * (1_000_000 / nq10), 3
             ),
             "dtype": "float32",
+            **(
+                {"note": "accelerator unreachable - CPU-backend fallback "
+                         "measurement, not a TPU number"}
+                if cheap else {}
+            ),
         },
     }
     print(json.dumps(result))
