@@ -364,3 +364,13 @@ class TestNearest2D:
             np.asarray(jax.jit(lambda t, a, b: t(a, b))(itp, qx, qy)),
             np.asarray(itp(qx, qy)),
         )
+
+    def test_integer_grid_stays_exact(self):
+        # reference bilinear supports i32 grids (tests/interp2d.rs:26-34);
+        # nearest never does arithmetic on values, so i32 survives intact
+        from ndarray_interp_tpu.interp2d import Interp2D, Nearest2D
+
+        z = jnp.asarray(np.arange(20, dtype=np.int32).reshape(4, 5) * 7)
+        itp = Interp2D.builder(z).strategy(Nearest2D()).build()
+        out = np.asarray(itp.interp_array(np.array([0.2, 2.9]), np.array([0.9, 3.8])))
+        np.testing.assert_array_equal(out, [7 * 1, 7 * (3 * 5 + 4)])
