@@ -516,6 +516,89 @@ def test_df_gathered_bicubic_f64_grade_on_chip():
     assert rel < 4e-12, rel
 
 
+def test_df_bicubic_node_route_f64_grade_on_chip():
+    """Round 3 (late): the memory-frugal DF bicubic NODE route — 4 DF
+    node gathers + the chunked guarded-XLA DF tail — reaches DF grade
+    under jit on the XLA:TPU compiler surface, quad AND pair fetch."""
+    from ndarray_interp_tpu.ops.df import df_from_f64, df_to_f64
+    from ndarray_interp_tpu.ops.pallas_eval_df import (
+        gathered_bicubic_nodes_eval_df,
+        pack_bicubic_nodes_df,
+    )
+
+    rng = np.random.default_rng(16)
+    nx, ny, r, nq = 128, 96, 4, 32768
+
+    def rep(v):
+        return df_to_f64(*df_from_f64(v))
+
+    x64 = rep(np.cumsum(rng.uniform(0.05, 1.0, nx)))
+    y64 = rep(np.cumsum(rng.uniform(0.05, 1.0, ny)))
+    f = rep(rng.normal(size=(nx, ny, r)))
+    kx = rep(rng.normal(size=(nx, ny, r)))
+    ky = rep(rng.normal(size=(nx, ny, r)))
+    kxy = rep(rng.normal(size=(nx, ny, r)))
+    nodes64 = np.concatenate(
+        [
+            f.reshape(nx * ny, r),
+            kx.reshape(nx * ny, r),
+            ky.reshape(nx * ny, r),
+            kxy.reshape(nx * ny, r),
+            np.repeat(x64, ny)[:, None],
+            np.tile(y64, nx)[:, None],
+        ],
+        axis=1,
+    )
+    packed = pack_bicubic_nodes_df(
+        *(jnp.asarray(w) for w in df_from_f64(nodes64))
+    )
+    qx64 = rep(rng.uniform(x64[0], x64[-1], nq))
+    qy64 = rep(rng.uniform(y64[0], y64[-1], nq))
+    args = []
+    for v in (x64, y64):
+        args.extend(jnp.asarray(w) for w in df_from_f64(v))
+    args.append(packed)
+    for v in (qx64, qy64):
+        args.extend(jnp.asarray(w) for w in df_from_f64(v))
+
+    # numpy f64 oracle: unscaled node Hermite with explicit widths
+    xi = np.clip(np.searchsorted(x64, qx64, side="right") - 1, 0, nx - 2)
+    yi = np.clip(np.searchsorted(y64, qy64, side="right") - 1, 0, ny - 2)
+    dx = (x64[xi + 1] - x64[xi])[:, None]
+    dyv = (y64[yi + 1] - y64[yi])[:, None]
+    tx = ((qx64 - x64[xi]) / dx[:, 0])[:, None]
+    ty = ((qy64 - y64[yi]) / dyv[:, 0])[:, None]
+
+    def H(yl, yr, kl, kr, d, t):
+        dd = yr - yl
+        a = kl * d - dd
+        b = dd - kr * d
+        return (1 - t) * yl + t * yr + t * (1 - t) * (a * (1 - t) + b * t)
+
+    f_y1 = H(f[xi, yi], f[xi + 1, yi], kx[xi, yi], kx[xi + 1, yi], dx, tx)
+    f_y2 = H(
+        f[xi, yi + 1], f[xi + 1, yi + 1],
+        kx[xi, yi + 1], kx[xi + 1, yi + 1], dx, tx,
+    )
+    g_y1 = H(ky[xi, yi], ky[xi + 1, yi], kxy[xi, yi], kxy[xi + 1, yi], dx, tx)
+    g_y2 = H(
+        ky[xi, yi + 1], ky[xi + 1, yi + 1],
+        kxy[xi, yi + 1], kxy[xi + 1, yi + 1], dx, tx,
+    )
+    want = H(f_y1, f_y2, g_y1, g_y2, dyv, ty)
+    scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
+
+    for fetch in ("quad", "pair"):
+        hi, lo = jax.jit(
+            lambda *a, fetch=fetch: gathered_bicubic_nodes_eval_df(
+                *a, r=r, chunk=8192, fetch=fetch
+            )
+        )(*args)
+        got = df_to_f64(hi, lo)
+        rel = (np.abs(got - want) / scale).max()
+        assert rel < 4e-12, (fetch, rel)
+
+
 def test_df_bicubic_mxu_tail_f64_grade_on_chip():
     """Round 3: the MXU weight-form DF bicubic tail reaches DF grade on
     chip.  Pins two Mosaic facts the CI (interpret/XLA) suite cannot:
