@@ -288,18 +288,18 @@ def main():
 
         # beyond-reference: native bicubic (node-state nested Hermite)
         from ndarray_interp_tpu.models.strategies.bicubic import (
-            _solve_axis0,
-            _solve_axis1,
+            bicubic_node_grids,
         )
         from ndarray_interp_tpu.native import eval_bicubic
 
         gj = jnp.asarray(grid)
         xh = np.asarray(itp2.x, np.float64)
         yh = np.asarray(itp2.y, np.float64)
-        kxh = np.asarray(_solve_axis0(jnp.asarray(xh), gj, "not_a_knot"))
-        kyh = np.asarray(_solve_axis1(jnp.asarray(yh), gj, "not_a_knot"))
-        kxyh = np.asarray(
-            _solve_axis1(jnp.asarray(yh), jnp.asarray(kxh), "not_a_knot")
+        kxh, kyh, kxyh = (
+            np.asarray(g)
+            for g in bicubic_node_grids(
+                jnp.asarray(xh), jnp.asarray(yh), gj
+            )
         )
         t = timer(
             lambda: eval_bicubic(

@@ -50,20 +50,17 @@ def main():
     # batched solves the jax strategy uses, then serve natively
     import jax.numpy as jnp
 
-    from ndarray_interp_tpu.models.strategies.bicubic import (
-        _solve_axis0,
-        _solve_axis1,
-    )
+    from ndarray_interp_tpu.interp2d import bicubic_node_grids
 
     nx, ny = 200, 160
     gx = np.cumsum(rng.uniform(0.5, 1.5, nx))
     gy = np.cumsum(rng.uniform(0.5, 1.5, ny))
     z = rng.normal(size=(nx, ny))
-    zj = jnp.asarray(z)
-    kx = np.asarray(_solve_axis0(jnp.asarray(gx), zj, "not_a_knot"))
-    ky = np.asarray(_solve_axis1(jnp.asarray(gy), zj, "not_a_knot"))
-    kxy = np.asarray(
-        _solve_axis1(jnp.asarray(gy), jnp.asarray(kx), "not_a_knot")
+    kx, ky, kxy = (
+        np.asarray(g)
+        for g in bicubic_node_grids(
+            jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(z)
+        )
     )
     qx = rng.uniform(gx[0], gx[-1], 50_000)
     qy = rng.uniform(gy[0], gy[-1], 50_000)

@@ -9,7 +9,7 @@ from ..models.strategies.base2d import (
     Interp2DStrategyBuilder,
     PointwiseStrategy2D,
 )
-from ..models.strategies.bicubic import Bicubic
+from ..models.strategies.bicubic import Bicubic, bicubic_node_grids
 from ..models.strategies.bilinear import Bilinear
 from ..models.strategies.step import Nearest2D
 
@@ -20,6 +20,7 @@ __all__ = [
     "Interp2DStrategyBuilder",
     "PointwiseStrategy2D",
     "Bicubic",
+    "bicubic_node_grids",
     "Bilinear",
     "Nearest2D",
 ]

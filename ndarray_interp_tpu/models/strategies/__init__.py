@@ -8,7 +8,7 @@ from .base2d import (
     Interp2DStrategyBuilder,
     PointwiseStrategy2D,
 )
-from .bicubic import Bicubic, BicubicStrategy
+from .bicubic import Bicubic, BicubicStrategy, bicubic_node_grids
 from .bilinear import Bilinear
 from .cubic import BoundaryCondition, CubicSpline, RowBoundary, SingleBoundary
 from .hermite import Akima, Pchip
@@ -25,6 +25,7 @@ __all__ = [
     "Akima",
     "Bicubic",
     "BicubicStrategy",
+    "bicubic_node_grids",
     "Bilinear",
     "BoundaryCondition",
     "CubicSpline",

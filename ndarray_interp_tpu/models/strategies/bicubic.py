@@ -153,6 +153,19 @@ def _index_frac(knots, q):
     return xla(q)
 
 
+def bicubic_node_grids(x, y, data, bc_x="not_a_knot", bc_y="not_a_knot"):
+    """The bicubic node state ``(kx, ky, kxy)`` for ``data[(nx, ny, ...)]``
+    — the same batched spline solves ``Bicubic.build`` runs (d/dx along
+    axis 0, d/dy along axis 1, and the y-solve applied to ``kx`` for the
+    cross derivative).  Public so callers feeding the native host path
+    (``native.eval_bicubic``) or custom packers build the grids in ONE
+    place instead of re-deriving the solve order."""
+    kx = _solve_axis0(x, data, bc_x)
+    ky = _solve_axis1(y, data, bc_y)
+    kxy = _solve_axis1(y, kx, bc_y)
+    return kx, ky, kxy
+
+
 def pack_bicubic_rows(x, y, data, kx, ky, kxy):
     """Per-cell rows: the 16-value corner state (4 quantities x 4
     corners, trailing-flattened) with derivatives PRE-SCALED by their

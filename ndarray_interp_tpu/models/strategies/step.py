@@ -15,7 +15,12 @@ first-class.  Modes mirror SciPy's ``interp1d`` kinds (the oracle in
 Out-of-range queries follow the crate-wide contract: error eagerly /
 NaN under jit unless ``.extrapolate(True)``, in which case the step
 family clamps to the end values (constant extrapolation — the natural
-step-function limit; SciPy instead fills NaN).
+step-function limit; SciPy instead fills NaN).  NOTE the jit NaN mask
+applies to inexact outputs only (the driver contract,
+``models/interp1d.py::__call__``): INTEGER data — which this family
+keeps exact — cannot hold NaN, so under jit an out-of-range query on
+integer data returns the clamped end value even without extrapolate;
+use the eager API or ``eval_checked`` where integer OOB must error.
 
 Selection is one ``get_lower_index`` pass + an index pick — no
 arithmetic on data values, so integer data stays exact.
@@ -88,9 +93,10 @@ class Nearest2D(Interp2DStrategy, Interp2DStrategyBuilder):
 
     Per-axis midpoint ties go to the LEFT knot (the 1-D ``"nearest"``
     rule).  Out-of-range queries error eagerly / NaN under jit unless
-    ``.extrapolate(True)``, which clamps to the border nodes.  One
-    ``get_lower_index`` pass per axis + a single node gather — integer
-    data stays exact."""
+    ``.extrapolate(True)``, which clamps to the border nodes (jit NaN
+    masking is inexact-dtypes-only — integer grids clamp under jit; see
+    the module docstring).  One ``get_lower_index`` pass per axis + a
+    single node gather — integer data stays exact."""
 
     MINIMUM_DATA_LENGTH = 2
 

@@ -167,6 +167,16 @@ def eval_hermite(x, y, a, b, q, mode: int):
     return out.reshape(np.shape(q) + y.shape[1:]), int(rc)
 
 
+def _check_query_pair(qxc, qyc):
+    # the C++ loops read qy[i] for i in [0, len(qx)) — a silent OOB read
+    # on mismatched inputs without this guard
+    if qxc.shape != qyc.shape:
+        raise ValueError(
+            f"`xs.shape` and `ys.shape` do not match: {qxc.shape} vs "
+            f"{qyc.shape}"
+        )
+
+
 def eval_bilinear(x, y, z, qx, qy, extrapolate: bool):
     lib = _load()
     dt = np.float64 if np.result_type(x, y, z) == np.float64 else np.float32
@@ -175,6 +185,7 @@ def eval_bilinear(x, y, z, qx, qy, extrapolate: bool):
     zc = _prep(z, dt).reshape(z.shape[0], z.shape[1], -1)
     qxc = _prep(np.atleast_1d(qx), dt).reshape(-1)
     qyc = _prep(np.atleast_1d(qy), dt).reshape(-1)
+    _check_query_pair(qxc, qyc)
     out = np.empty((qxc.shape[0], zc.shape[2]), dt)
     fn = (
         lib.ndi_eval_bilinear_f64
@@ -206,6 +217,7 @@ def eval_bicubic(x, y, f, kx, ky, kxy, qx, qy, extrapolate: bool):
     kxyc = _prep(kxy, dt).reshape(fc.shape)
     qxc = _prep(np.atleast_1d(qx), dt).reshape(-1)
     qyc = _prep(np.atleast_1d(qy), dt).reshape(-1)
+    _check_query_pair(qxc, qyc)
     out = np.empty((qxc.shape[0], fc.shape[2]), dt)
     fn = (
         lib.ndi_eval_bicubic_f64

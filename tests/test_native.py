@@ -223,6 +223,7 @@ def test_native_bicubic_matches_jax():
     from ndarray_interp_tpu.models.strategies.bicubic import (
         _solve_axis0,
         _solve_axis1,
+        bicubic_node_grids,
     )
 
     rng = np.random.default_rng(17)
@@ -239,10 +240,13 @@ def test_native_bicubic_matches_jax():
             .build()
         )
         zj = jnp.asarray(z)
-        kx = np.asarray(_solve_axis0(jnp.asarray(x), zj, "not_a_knot"))
-        ky = np.asarray(_solve_axis1(jnp.asarray(y), zj, "not_a_knot"))
-        kxy = np.asarray(
-            _solve_axis1(jnp.asarray(y), jnp.asarray(kx), "not_a_knot")
+        kx, ky, kxy = (
+            np.asarray(g)
+            for g in bicubic_node_grids(jnp.asarray(x), jnp.asarray(y), zj)
+        )
+        # the public helper equals the private solves it wraps
+        np.testing.assert_array_equal(
+            kx, np.asarray(_solve_axis0(jnp.asarray(x), zj, "not_a_knot"))
         )
         span = x[-1] - x[0]
         qx = rng.uniform(x[0] - span / 4, x[-1] + span / 4, 200)
@@ -279,3 +283,17 @@ def test_native_host_serving_example_runs():
 
     mod = importlib.import_module("examples.native_host_serving")
     mod.main()  # asserts internally (rc == 0, scalar round-trip)
+
+
+def test_native_2d_query_length_mismatch_raises():
+    # the C++ loops index qy by qx's length — the wrapper must refuse
+    # mismatched pairs instead of reading out of bounds
+    x = np.linspace(0.0, 3.0, 4)
+    y = np.linspace(0.0, 2.0, 3)
+    z = np.zeros((4, 3))
+    with pytest.raises(ValueError, match="do not match"):
+        native.eval_bilinear(x, y, z, np.zeros(5), np.zeros(2), True)
+    with pytest.raises(ValueError, match="do not match"):
+        native.eval_bicubic(
+            x, y, z, z, z, z, np.zeros(5), np.zeros(2), True
+        )

@@ -159,12 +159,27 @@ def test_fused_cell_index_matches_reference_semantics():
     np.testing.assert_array_equal(np.asarray(ty), ty_ref.astype(np.float32))
 
 
-def test_index_frac_grad_falls_back_to_xla_vjp():
+def test_index_frac_grad_falls_back_to_xla_vjp(monkeypatch):
     """fused_index_frac's primal routes through the custom_partitioning
     wrapper (round 3); the custom_vjp wiring outside it must still
-    differentiate — bwd is the XLA VJP with the interval fixed."""
+    differentiate — bwd is the XLA VJP with the interval fixed.  The
+    primal is redirected to the interpret-mode wrapper so the forward
+    actually RUNS on the CPU backend (a bare try/skip would silently
+    skip everywhere: CPU can't run the compiled kernel and the TPU gate
+    deselects unmarked tests)."""
+    from ndarray_interp_tpu.ops import pallas_eval
     from ndarray_interp_tpu.ops.pallas_eval import fused_index_frac
     from ndarray_interp_tpu.ops.searchsorted import get_lower_index
+
+    # redirect the primal/fwd to interpret mode (same wrapper, same
+    # partition rules — only the pallas_call executes interpreted)
+    from ndarray_interp_tpu.ops.partition import sharded_index_frac
+
+    monkeypatch.setattr(
+        pallas_eval,
+        "_index_frac_sharded",
+        lambda knots, q, interpret=False: sharded_index_frac(True)(knots, q),
+    )
 
     knots, _, _ = make_case(64, "linspace")
     q = jnp.asarray(np.linspace(5.0, 95.0, 50, dtype=np.float32))
@@ -182,8 +197,5 @@ def test_index_frac_grad_falls_back_to_xla_vjp():
         _, t = fused_index_frac(knots, q)
         return jnp.sum(t ** 2)
 
-    try:
-        g = jax.grad(loss_fused)(q)
-    except Exception:
-        pytest.skip("fused kernel not executable on this backend")
+    g = jax.grad(loss_fused)(q)  # must RUN, not skip
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4)
