@@ -228,18 +228,10 @@ def _pack_windows(knots, data, a, b, w, c, wp, pad=None):
 
 def _eval_xla(knots, tbl, q):
     """Equivalent XLA formulation (correctness oracle + VJP + fallback)."""
+    from .searchsorted import get_lower_index
+
     n = knots.shape[0]
-    idx = jnp.clip(
-        jnp.searchsorted(
-            knots,
-            q,
-            side="right",
-            method="compare_all" if n <= 16384 else "scan",
-        ).astype(jnp.int32)
-        - 1,
-        0,
-        n - 2,
-    )
+    idx = get_lower_index(knots, q)  # platform-aware method choice
     rows = tbl[idx]
     x_l, x_r, y_l, y_r, a, b = (rows[..., i] for i in range(6))
     t = (q - x_l) / (x_r - x_l)

@@ -35,7 +35,10 @@ import jax.numpy as jnp
 # TPU: the O(Q·n) comparison network is branch-free VPU work that XLA fuses
 # without materializing the (Q, n) mask, while the O(Q·log n) binary search
 # issues log(n) dependent dynamic-slices.  Measured on v5e with 1M queries:
-# n=2048 compare_all 10.4 ms vs scan 86.9 ms.
+# n=2048 compare_all 10.4 ms vs scan 86.9 ms.  On CPU the SAME choice is
+# pathological — XLA:CPU executes the O(Q·n) compares for real (measured
+# 12.2 s vs 33 ms for the unrolled binary search at n=2048 × 1M) — so the
+# method is platform-dependent; every method returns identical indices.
 _COMPARE_ALL_MAX_KNOTS = 16384
 
 
@@ -49,15 +52,26 @@ def get_lower_index(knots, xq):
     Returns:
       int32 array shaped like ``xq`` with values in ``[0, n-2]``.
     """
+    import jax
+
     n = knots.shape[0]
-    method = "compare_all" if n <= _COMPARE_ALL_MAX_KNOTS else "scan"
-    idx = (
-        jnp.searchsorted(knots, xq, side="right", method=method).astype(
-            jnp.int32
-        )
-        - 1
+
+    def _ss(method):
+        def f(xq):
+            idx = (
+                jnp.searchsorted(
+                    knots, xq, side="right", method=method
+                ).astype(jnp.int32)
+                - 1
+            )
+            return jnp.clip(idx, 0, n - 2)
+
+        return f
+
+    tpu_method = "compare_all" if n <= _COMPARE_ALL_MAX_KNOTS else "scan"
+    return jax.lax.platform_dependent(
+        xq, tpu=_ss(tpu_method), default=_ss("scan_unrolled")
     )
-    return jnp.clip(idx, 0, n - 2)
 
 
 def is_in_range(knots, xq):
