@@ -262,12 +262,34 @@ def eval_xla_df(x_hi, x_lo, d_hi, d_lo, a_hi, a_lo, b_hi, b_lo, q_hi, q_lo):
     )
 
 
-def _df_lower_index(x_hi, x_lo, q_hi, q_lo, n):
-    """DF-lexicographic ``get_lower_index`` (compare-all form)."""
-    le = (x_hi[None, :] < q_hi[:, None]) | (
-        (x_hi[None, :] == q_hi[:, None]) & (x_lo[None, :] <= q_lo[:, None])
-    )
-    return jnp.clip(jnp.sum(le, axis=1).astype(jnp.int32) - 1, 0, n - 2)
+def _df_lower_index(x_hi, x_lo, q_hi, q_lo, n, block=None):
+    """DF-lexicographic ``get_lower_index`` (compare-all form).
+
+    The count needs the full lexicographic compare (hi, then lo on hi
+    ties), which has no ``searchsorted`` method — so it is O(Q·n).  The
+    (Q, n) mask is built in query blocks capped at ~64M elements: an
+    unblocked 1M-query × 16k-knot serving bucket would materialize a
+    16 GB bool mask on CPU backends (XLA fuses it away on TPU, where
+    the row-block split is harmless)."""
+    nq = q_hi.shape[0]
+
+    def count(qh, ql):
+        le = (x_hi[None, :] < qh[:, None]) | (
+            (x_hi[None, :] == qh[:, None]) & (x_lo[None, :] <= ql[:, None])
+        )
+        return jnp.clip(
+            jnp.sum(le, axis=1).astype(jnp.int32) - 1, 0, n - 2
+        )
+
+    if block is None:
+        block = max(1, (1 << 26) // max(int(n), 1))
+    if nq <= block:
+        return count(q_hi, q_lo)
+    npad = -(-nq // block) * block - nq
+    qh = jnp.pad(q_hi, (0, npad)).reshape(-1, block)
+    ql = jnp.pad(q_lo, (0, npad)).reshape(-1, block)
+    idx = jax.lax.map(lambda a: count(a[0], a[1]), (qh, ql))
+    return idx.reshape(-1)[:nq]
 
 
 def _df_calc_frac(x1, y1, x2, y2, q):

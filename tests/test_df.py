@@ -901,3 +901,25 @@ class TestDFBicubicWeightTail:
         )(*args)
         for gw, gn in zip(out_w, out_n):
             np.testing.assert_array_equal(np.asarray(gw), np.asarray(gn))
+
+
+def test_df_lower_index_blocked_matches_direct():
+    """The query-blocked (Q, n) mask (memory cap) is identical to the
+    direct compare-all form, including on hi-collision knots."""
+    import jax
+
+    from ndarray_interp_tpu.ops.pallas_eval_df import _df_lower_index
+
+    rng = np.random.default_rng(67)
+    n = 300
+    x64 = np.cumsum(rng.uniform(1e-9, 1e-7, n)) + 1.0  # f32-colliding knots
+    xh, xl = (np.asarray(v) for v in df_from_f64(x64))
+    q64 = np.sort(rng.choice(x64, 5000)) + rng.uniform(-1e-10, 1e-10, 5000)
+    qh, ql = (np.asarray(v) for v in df_from_f64(q64))
+    args = tuple(jnp.asarray(v) for v in (xh, xl, qh, ql))
+    direct = _df_lower_index(*args, n)
+    blocked = _df_lower_index(*args, n, block=700)  # forces 8 blocks + pad
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(blocked))
+    # oracle: exact f64 searchsorted
+    want = np.clip(np.searchsorted(x64, q64, side="right") - 1, 0, n - 2)
+    np.testing.assert_array_equal(np.asarray(direct), want)
