@@ -230,7 +230,6 @@ def _eval_xla(knots, tbl, q):
     """Equivalent XLA formulation (correctness oracle + VJP + fallback)."""
     from .searchsorted import get_lower_index
 
-    n = knots.shape[0]
     idx = get_lower_index(knots, q)  # platform-aware method choice
     rows = tbl[idx]
     x_l, x_r, y_l, y_r, a, b = (rows[..., i] for i in range(6))

@@ -227,12 +227,8 @@ def eval_xla_df(x_hi, x_lo, d_hi, d_lo, a_hi, a_lo, b_hi, b_lo, q_hi, q_lo):
     n = x_hi.shape[0]
     # DF-lexicographic searchsorted(side="right") - 1, clamped — matches
     # the kernel's two-level search and get_lower_index's clamp contract
-    le = (x_hi[None, :] < q_hi[:, None]) | (
-        (x_hi[None, :] == q_hi[:, None]) & (x_lo[None, :] <= q_lo[:, None])
-    )
-    idx = jnp.clip(
-        jnp.sum(le, axis=1).astype(jnp.int32) - 1, 0, n - 2
-    )
+    # (the shared blocked form caps the (Q, n) mask memory)
+    idx = _df_lower_index(x_hi, x_lo, q_hi, q_lo, n)
     pick = lambda v: (v[0][idx], v[1][idx])
     pick1 = lambda v: (v[0][idx + 1], v[1][idx + 1])
     x_l = pick((x_hi, x_lo))

@@ -68,9 +68,13 @@ def get_lower_index(knots, xq):
 
         return f
 
-    tpu_method = "compare_all" if n <= _COMPARE_ALL_MAX_KNOTS else "scan"
+    # the switch is scoped to the MEASURED platforms: TPU keeps
+    # compare_all (wins there), CPU takes the unrolled binary search
+    # (compare_all is 330x slower there); other backends (gpu, ...)
+    # keep the pre-change n-based choice — unmeasured, unchanged
+    default_method = "compare_all" if n <= _COMPARE_ALL_MAX_KNOTS else "scan"
     return jax.lax.platform_dependent(
-        xq, tpu=_ss(tpu_method), default=_ss("scan_unrolled")
+        xq, cpu=_ss("scan_unrolled"), default=_ss(default_method)
     )
 
 

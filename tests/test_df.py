@@ -914,7 +914,11 @@ def test_df_lower_index_blocked_matches_direct():
     n = 300
     x64 = np.cumsum(rng.uniform(1e-9, 1e-7, n)) + 1.0  # f32-colliding knots
     xh, xl = (np.asarray(v) for v in df_from_f64(x64))
-    q64 = np.sort(rng.choice(x64, 5000)) + rng.uniform(-1e-10, 1e-10, 5000)
+    # perturbation floor >> the ~7e-15 DF resolution at |x|~1: below it
+    # the exact DF-lexicographic compare may legitimately disagree with
+    # the unrounded-f64 oracle (seed-fragile otherwise)
+    delta = rng.uniform(1e-13, 1e-10, 5000) * rng.choice([-1.0, 1.0], 5000)
+    q64 = np.sort(rng.choice(x64, 5000)) + delta
     qh, ql = (np.asarray(v) for v in df_from_f64(q64))
     args = tuple(jnp.asarray(v) for v in (xh, xl, qh, ql))
     direct = _df_lower_index(*args, n)
