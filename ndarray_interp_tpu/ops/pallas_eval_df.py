@@ -1390,13 +1390,26 @@ def gathered_bicubic_eval_df_packed(
 
 
 def pack_bicubic_nodes_df(nodes_hi, nodes_lo):
-    """DF node table ``(nx*ny, 2*(4r+2))``: the (hi, lo) split of the
+    """DF node table ``(nx*ny, 8r+4)``: the (hi, lo) split of the
     memory-frugal bicubic node rows (``models/strategies/bicubic.
     pack_bicubic_nodes`` — raw unscaled ``[f | kx | ky | kxy]`` plus the
-    node's own DF ``(x, y)``), hi half then lo half.  2x the f32 node
-    table ≈ the grid's f64 memory — the f64-grade route for grids whose
-    cell table (17x data, 2x again for DF) would not fit."""
-    return jnp.concatenate([nodes_hi, nodes_lo], axis=1)
+    node's own DF ``(x, y)``), BLOCK-INTERLEAVED —
+    ``[f_hi|f_lo|kx_hi|kx_lo|ky_hi|ky_lo|kxy_hi|kxy_lo|x_hi,x_lo,y_hi,
+    y_lo]`` — so every slice the Mosaic tail kernel takes sits at a
+    multiple of ``r`` (at r=16 the coords land exactly on the 128-lane
+    tile boundary), at the same memory as a plain hi‖lo concat.  2x the
+    f32 node table ≈ the grid's f64 memory — the f64-grade route for
+    grids whose cell table (17x data, 2x again for DF) would not fit."""
+    c = nodes_hi.shape[1]
+    r = (c - 2) // 4
+    parts = []
+    for i in range(4):
+        parts.append(nodes_hi[:, i * r : (i + 1) * r])
+        parts.append(nodes_lo[:, i * r : (i + 1) * r])
+    for j in (0, 1):
+        parts.append(nodes_hi[:, 4 * r + j : 4 * r + j + 1])
+        parts.append(nodes_lo[:, 4 * r + j : 4 * r + j + 1])
+    return jnp.concatenate(parts, axis=1)
 
 
 def _df_hermite_dx(y_l, y_r, k_l, k_r, dx, t, one):
@@ -1409,66 +1422,158 @@ def _df_hermite_dx(y_l, y_r, k_l, k_r, dx, t, one):
     )
 
 
+def _df_node_tail(g11, g12, g21, g22, txh, txl, tyh, tyl, r):
+    """Shared DF node-route tail body (guarded XLA or Mosaic): unpack
+    the four block-interleaved node rows (``pack_bicubic_nodes_df``
+    layout), DF interval widths from the gathered corner coordinates,
+    derivative scaling in-tail, then the 5-Hermite nesting.  t args are
+    (B, 1) hi/lo columns."""
+
+    def unpack(g):
+        def blk(i):
+            return (
+                g[:, 2 * i * r : (2 * i + 1) * r],
+                g[:, (2 * i + 1) * r : (2 * i + 2) * r],
+            )
+
+        base = 8 * r
+
+        def coord(j):
+            s = base + 2 * j
+            return (g[:, s : s + 1], g[:, s + 1 : s + 2])
+
+        return blk(0), blk(1), blk(2), blk(3), coord(0), coord(1)
+
+    f11, kx11, ky11, kxy11, x1, y1 = unpack(g11)
+    f12, kx12, ky12, kxy12, _, y2 = unpack(g12)
+    f21, kx21, ky21, kxy21, x2, _ = unpack(g21)
+    f22, kx22, ky22, kxy22, _, _ = unpack(g22)
+    dx = df_sub(x2, x1)
+    dy = df_sub(y2, y1)
+    tx = (txh, txl)
+    ty = (tyh, tyl)
+    one = (jnp.ones_like(txh), jnp.zeros_like(txh))
+    f_y1 = _df_hermite_dx(f11, f21, kx11, kx21, dx, tx, one)
+    f_y2 = _df_hermite_dx(f12, f22, kx12, kx22, dx, tx, one)
+    g_y1 = _df_hermite_dx(ky11, ky21, kxy11, kxy21, dx, tx, one)
+    g_y2 = _df_hermite_dx(ky12, ky22, kxy12, kxy22, dx, tx, one)
+    return _df_hermite_dx(f_y1, f_y2, g_y1, g_y2, dy, ty, one)
+
+
+def _df_node_tail_kernel(
+    g11_ref, g12_ref, g21_ref, g22_ref,
+    txh_ref, txl_ref, tyh_ref, tyl_ref,
+    outh_ref, outl_ref, *, r,
+):
+    from .df import no_guard
+
+    with no_guard():
+        hi, lo = _df_node_tail(
+            g11_ref[:], g12_ref[:], g21_ref[:], g22_ref[:],
+            txh_ref[:], txl_ref[:], tyh_ref[:], tyl_ref[:], r,
+        )
+        outh_ref[:] = hi
+        outl_ref[:] = lo
+
+
+def bicubic_df_node_tail(
+    g11, g12, g21, g22, txh, txl, tyh, tyl, r, interpret=False, bq=256
+):
+    """Streaming Mosaic DF node-route tail: the four gathered node-row
+    arrays stream through VMEM once and the whole DF chain — interval
+    widths, derivative scaling, 5 Hermites — runs un-guarded on the VPU
+    (Mosaic preserves the EFTs; pinned on chip by
+    ``test_df_bicubic_node_route_f64_grade_on_chip``).
+
+    This replaces the guarded-XLA tail ON TPU, where the barriers pin
+    every EFT intermediate to HBM: the XLA node tail measured
+    **1,625 ms/1M queries** on the NS3d workload (512x512x16; 4.8 ms
+    index + 19 ms gathers of the 1650.7 total, chunk=65536; 1957 ms at
+    chunk=262144) — ~27 ms per pinned DF op round-trip.  The kernel
+    streams the same gathered bytes once."""
+    nq, ch = g11.shape
+    assert nq % bq == 0
+    nb = nq // bq
+    row_spec = pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bq, r), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    outh, outl = pl.pallas_call(
+        functools.partial(_df_node_tail_kernel, r=r),
+        grid=(nb,),
+        in_specs=[row_spec] * 4 + [t_spec] * 4,
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, r), jnp.float32),
+            jax.ShapeDtypeStruct((nq, r), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        g11, g12, g21, g22,
+        txh.reshape(nq, 1), txl.reshape(nq, 1),
+        tyh.reshape(nq, 1), tyl.reshape(nq, 1),
+    )
+    return outh, outl
+
+
 def gathered_bicubic_nodes_eval_df(
     x_hi, x_lo, y_hi, y_lo, packed, qx_hi, qx_lo, qy_hi, qy_lo,
-    r=1, interpret=False, chunk=65536, fetch="quad",
+    r=1, interpret=False, chunk=65536, fetch="quad", bq=256,
 ):
     """DF bicubic from the memory-frugal NODE table: two DF (idx, t)
-    passes + FOUR (hi, lo) node-row gathers + a guarded-XLA DF tail that
-    scales derivatives by the DF interval widths read from the gathered
-    corner coordinates.
+    passes + FOUR (hi, lo) node-row gathers + the DF tail that scales
+    derivatives by the DF interval widths read from the gathered corner
+    coordinates — on TPU a streaming Mosaic kernel
+    (``bicubic_df_node_tail``), elsewhere the guarded-XLA chain.
 
     The f64-grade route for grids past ``config.bicubic_pack_max_elems``
     (the DF *cell* table is 2x the f32 one, so exactly the large grids
     that need DF most are the ones the cell route cannot hold).  Slower
     than the cell route by design: 4 row gathers instead of 1 (the
-    gather engine charges per row — docs/ROADMAP.md) and an XLA DF tail
-    whose optimization barriers pin (Q, r) intermediates to HBM on TPU
-    (cf. ``_df_xla_tail``'s measured 12x note) — memory is the axis this
-    route wins on.  The gather+tail runs in ``chunk``-query pieces under
-    ``lax.map``: the barriers keep every EFT intermediate live at once,
-    and the unchunked tail measured **59 GB** of HLO temp on the 1M-query
-    512x512x16 workload (v5e OOM) — chunking caps the live set at
-    ~chunk x channels x EFT depth.  ``fetch="pair"`` fetches the two
-    y-adjacent nodes of each x-row with ONE (2, 2c)-sliced gather —
-    2 gathers/query instead of 4, identical values (whether the gather
-    engine charges 1 or 2 rows per slice is pending measurement).
+    gather engine charges per row — docs/ROADMAP.md); memory is the
+    axis this route wins on.  On TPU the tail streams the gathered rows
+    through VMEM once; the guarded-XLA tail's barriers pin every EFT
+    intermediate to HBM there (measured 1,625 ms/1M tail-only on NS3d —
+    see ``bicubic_df_node_tail``), so it remains the CPU/oracle path
+    only, run in ``chunk``-query pieces under ``lax.map``: the barriers
+    keep every EFT intermediate live at once, and the unchunked tail
+    measured **59 GB** of HLO temp on the 1M-query 512x512x16 workload
+    (v5e OOM) — chunking caps the live set at ~chunk x channels x EFT
+    depth.  ``fetch="pair"`` (XLA branch only) fetches the two
+    y-adjacent nodes of each x-row with ONE (2, w)-sliced gather —
+    2 gathers/query instead of 4, identical values; MEASURED NEGATIVE
+    on chip: 5,242.8 ms vs 1,650.7 quad on NS3d — the vmapped
+    dynamic-slice lowers to a far costlier access pattern than two flat
+    row gathers, so it stays a tested record, not a route.
     Semantics anchor: the 2-D eval contract of
     ``interp2d/mod.rs:175-196``; accuracy matches the cell route
     (``tests/test_df.py::TestDFBicubicNodeRoute``)."""
     ny = y_hi.shape[0]
     nq = qx_hi.shape[0]
+    npad = -(-nq // bq) * bq - nq
+    if npad:
+        qx_hi = jnp.pad(qx_hi, (0, npad))
+        qx_lo = jnp.pad(qx_lo, (0, npad))
+        qy_hi = jnp.pad(qy_hi, (0, npad))
+        qy_lo = jnp.pad(qy_lo, (0, npad))
     xi, txh, txl, yi, tyh, tyl = _df_index_frac_2d(
         x_hi, x_lo, y_hi, y_lo, qx_hi, qx_lo, qy_hi, qy_lo,
         interpret=interpret,
     )
-    c = packed.shape[1] // 2
+
+    def mosaic(xi, txh, txl, yi, tyh, tyl):
+        base = xi * ny + yi
+        g11 = jnp.take(packed, base, axis=0)
+        g12 = jnp.take(packed, base + 1, axis=0)
+        g21 = jnp.take(packed, base + ny, axis=0)
+        g22 = jnp.take(packed, base + ny + 1, axis=0)
+        return bicubic_df_node_tail(
+            g11, g12, g21, g22, txh, txl, tyh, tyl,
+            r=r, interpret=interpret, bq=bq,
+        )
 
     def tail_chunk(args):
         xi, txh, txl, yi, tyh, tyl = args
-
-        def unpack(g):
-            hi, lo = g[:, :c], g[:, c:]
-
-            def blk(i):
-                return (
-                    hi[:, i * r : (i + 1) * r],
-                    lo[:, i * r : (i + 1) * r],
-                )
-
-            def coord(j):
-                s = slice(4 * r + j, 4 * r + j + 1)
-                return (hi[:, s], lo[:, s])
-
-            return blk(0), blk(1), blk(2), blk(3), coord(0), coord(1)
-
         if fetch == "pair":
-            # ONE (2, 2c)-sliced gather per x-node fetches BOTH
-            # y-adjacent node rows (indices ix*ny+iy and +1 are
-            # consecutive): 2 gathers/query instead of 4.  Values
-            # identical to the quad fetch (tested); whether the TPU
-            # gather engine charges one row or two per 2-row slice is
-            # the pending on-chip measurement (docs/ROADMAP.md).
             w = packed.shape[1]
 
             def pair(start):
@@ -1477,40 +1582,39 @@ def gathered_bicubic_nodes_eval_df(
                         packed, (s, jnp.zeros((), s.dtype)), (2, w)
                     )
                 )(start)
-                return unpack(g2[:, 0, :]), unpack(g2[:, 1, :])
+                return g2[:, 0, :], g2[:, 1, :]
 
-            n11, n12 = pair(xi * ny + yi)
-            n21, n22 = pair((xi + 1) * ny + yi)
+            g11, g12 = pair(xi * ny + yi)
+            g21, g22 = pair((xi + 1) * ny + yi)
         else:
-            def node(ix, iy):
-                return unpack(jnp.take(packed, ix * ny + iy, axis=0))
+            base = xi * ny + yi
+            g11 = jnp.take(packed, base, axis=0)
+            g12 = jnp.take(packed, base + 1, axis=0)
+            g21 = jnp.take(packed, base + ny, axis=0)
+            g22 = jnp.take(packed, base + ny + 1, axis=0)
+        return _df_node_tail(
+            g11, g12, g21, g22,
+            txh[:, None], txl[:, None], tyh[:, None], tyl[:, None], r,
+        )
 
-            n11 = node(xi, yi)
-            n12 = node(xi, yi + 1)
-            n21 = node(xi + 1, yi)
-            n22 = node(xi + 1, yi + 1)
-        f11, kx11, ky11, kxy11, x1, y1 = n11
-        f12, kx12, ky12, kxy12, _, y2 = n12
-        f21, kx21, ky21, kxy21, x2, _ = n21
-        f22, kx22, ky22, kxy22, _, _ = n22
-        dx = df_sub(x2, x1)
-        dy = df_sub(y2, y1)
-        tx = (txh[:, None], txl[:, None])
-        ty = (tyh[:, None], tyl[:, None])
-        one = (jnp.ones_like(tx[0]), jnp.zeros_like(tx[0]))
-        f_y1 = _df_hermite_dx(f11, f21, kx11, kx21, dx, tx, one)
-        f_y2 = _df_hermite_dx(f12, f22, kx12, kx22, dx, tx, one)
-        g_y1 = _df_hermite_dx(ky11, ky21, kxy11, kxy21, dx, tx, one)
-        g_y2 = _df_hermite_dx(ky12, ky22, kxy12, kxy22, dx, tx, one)
-        return _df_hermite_dx(f_y1, f_y2, g_y1, g_y2, dy, ty, one)
+    def xla(xi, txh, txl, yi, tyh, tyl):
+        nqp = xi.shape[0]
+        if nqp <= chunk:
+            return tail_chunk((xi, txh, txl, yi, tyh, tyl))
+        cpad = -(-nqp // chunk) * chunk - nqp
+        parts = tuple(
+            jnp.pad(v, (0, cpad)).reshape(-1, chunk)
+            for v in (xi, txh, txl, yi, tyh, tyl)
+        )
+        hi, lo = jax.lax.map(tail_chunk, parts)
+        # chunk padding can exceed the bq padding the mosaic branch
+        # uses — slice back so both platform branches agree on shape
+        return hi.reshape(-1, r)[:nqp], lo.reshape(-1, r)[:nqp]
 
-    if nq <= chunk:
-        hi, lo = tail_chunk((xi, txh, txl, yi, tyh, tyl))
-        return hi[:nq], lo[:nq]
-    npad = -(-nq // chunk) * chunk - nq
-    parts = tuple(
-        jnp.pad(v, (0, npad)).reshape(-1, chunk)
-        for v in (xi, txh, txl, yi, tyh, tyl)
-    )
-    hi, lo = jax.lax.map(tail_chunk, parts)
-    return hi.reshape(-1, r)[:nq], lo.reshape(-1, r)[:nq]
+    if fetch == "pair":  # measured-negative record: always the XLA form
+        hi, lo = xla(xi, txh, txl, yi, tyh, tyl)
+    else:
+        hi, lo = jax.lax.platform_dependent(
+            xi, txh, txl, yi, tyh, tyl, tpu=mosaic, default=xla
+        )
+    return hi[:nq], lo[:nq]

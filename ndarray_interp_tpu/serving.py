@@ -431,7 +431,10 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
             # layout: the PRE-SCALED 16r cell table, ONE gather/query.
             # Node layout (grids past config.bicubic_pack_max_elems —
             # exactly the grids whose 2x DF cell table cannot fit):
-            # the raw (4r+2)-channel node table, 4 gathers/query.
+            # the block-interleaved (8r+4)-channel DF node table,
+            # 4 gathers/query + the streaming Mosaic tail on TPU
+            # (84.8 vs the cell route's 45.9 ms/1M on NS3d, at 3.9x
+            # less table memory — BASELINE.md round-3 late section).
             pairs = []
             for v in (x64, y64):
                 pairs.extend(df_from_f64(v))

@@ -607,8 +607,9 @@ class TestDFBicubicGatherRoute:
 
 class TestDFBicubicNodeRoute:
     """The memory-frugal f64-grade bicubic route: 4 DF node-row gathers
-    + guarded-XLA DF tail with in-tail derivative scaling.  Must match
-    the f64 node-layout strategy eval (and hence the cell route)."""
+    + the DF tail with in-tail derivative scaling (streaming Mosaic
+    kernel on TPU, guarded-XLA chain elsewhere).  Must match the f64
+    node-layout strategy eval (and hence the cell route)."""
 
     def _build(self, trailing=(), nx=18, ny=15, seed=41, monkeypatch=None):
         from ndarray_interp_tpu import config
@@ -785,6 +786,50 @@ class TestDFBicubicNodeRoute:
         want = np.asarray(itp.interp_array(qx, qy))
         scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
         assert (np.abs(got - want) / scale).max() < 1e-9
+
+
+    @pytest.mark.parametrize("r", [1, 16])
+    def test_node_tail_kernel_interpret_plumbing(self, r):
+        """The Mosaic node-tail kernel's block-interleaved slicing,
+        coord extraction, and tile streaming index the right channels —
+        interpret-mode values are f32-grade (EFTs rewritten) but any
+        block/coord mix-up would be O(1) wrong vs the guarded-XLA twin
+        (`_df_node_tail`) run on the same gathered rows."""
+        import jax
+
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            _df_node_tail,
+            bicubic_df_node_tail,
+            pack_bicubic_nodes_df,
+        )
+
+        rng = np.random.default_rng(7)
+        nn, nq, bq = 40, 512, 256
+        nodes64 = rng.normal(size=(nn, 4 * r + 2))
+        # coords: monotone x/y per node so dx, dy are well-scaled
+        nodes64[:, 4 * r + 0] = np.cumsum(rng.uniform(0.2, 1.0, nn))
+        nodes64[:, 4 * r + 1] = np.cumsum(rng.uniform(0.2, 1.0, nn))
+        packed = pack_bicubic_nodes_df(
+            *(jnp.asarray(v) for v in df_from_f64(nodes64))
+        )
+        idx = rng.integers(0, nn - 1, size=(4, nq))
+        g = [jnp.take(packed, jnp.asarray(i), axis=0) for i in idx]
+        t64 = rng.uniform(0, 1, size=(4, nq))
+        t = [jnp.asarray(v, jnp.float32) for v in t64]
+        hi, lo = bicubic_df_node_tail(
+            *g, *t, r=r, interpret=True, bq=bq
+        )
+        wh, wl = jax.jit(
+            lambda *a: _df_node_tail(
+                a[0], a[1], a[2], a[3],
+                a[4][:, None], a[5][:, None], a[6][:, None], a[7][:, None],
+                r,
+            )
+        )(*g, *t)
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        want = np.asarray(wh, np.float64) + np.asarray(wl, np.float64)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-5
 
 
 class TestDFBicubicWeightTail:

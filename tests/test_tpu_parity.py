@@ -518,8 +518,9 @@ def test_df_gathered_bicubic_f64_grade_on_chip():
 
 def test_df_bicubic_node_route_f64_grade_on_chip():
     """Round 3 (late): the memory-frugal DF bicubic NODE route — 4 DF
-    node gathers + the chunked guarded-XLA DF tail — reaches DF grade
-    under jit on the XLA:TPU compiler surface, quad AND pair fetch."""
+    node gathers + the streaming Mosaic tail (``bicubic_df_node_tail``;
+    quad fetch) — reaches DF grade on chip; the pair fetch pins the
+    chunked guarded-XLA twin on the XLA:TPU compiler surface."""
     from ndarray_interp_tpu.ops.df import df_from_f64, df_to_f64
     from ndarray_interp_tpu.ops.pallas_eval_df import (
         gathered_bicubic_nodes_eval_df,
