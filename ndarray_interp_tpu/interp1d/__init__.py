@@ -12,7 +12,7 @@ from ..models.strategies.base import (
     PointwiseStrategy,
 )
 from ..models.strategies.cubic import CubicSpline
-from ..models.strategies.hermite import Akima, Pchip
+from ..models.strategies.hermite import Akima, Makima, Pchip
 from ..models.strategies.linear import Linear
 from ..models.strategies.step import Nearest
 from . import cubic_spline
@@ -26,6 +26,7 @@ __all__ = [
     "Linear",
     "CubicSpline",
     "Akima",
+    "Makima",
     "Pchip",
     "Nearest",
     "cubic_spline",

@@ -11,7 +11,7 @@ from .base2d import (
 from .bicubic import Bicubic, BicubicStrategy, bicubic_node_grids
 from .bilinear import Bilinear
 from .cubic import BoundaryCondition, CubicSpline, RowBoundary, SingleBoundary
-from .hermite import Akima, Pchip
+from .hermite import Akima, Makima, Pchip
 from .linear import Linear
 from .step import Nearest, Nearest2D
 
@@ -23,6 +23,7 @@ __all__ = [
     "Interp2DStrategyBuilder",
     "PointwiseStrategy2D",
     "Akima",
+    "Makima",
     "Bicubic",
     "BicubicStrategy",
     "bicubic_node_grids",

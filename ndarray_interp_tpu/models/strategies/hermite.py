@@ -22,6 +22,8 @@ so building a bank of Akima/PCHIP splines is one vectorized program.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -33,9 +35,14 @@ def _ex(v, tr):
     return v.reshape(v.shape + (1,) * tr)
 
 
-@jax.jit
-def _akima_k(x, y):
-    """Akima's 1970 slope rule (vectorized, SciPy-compatible)."""
+@functools.partial(jax.jit, static_argnames="method")
+def _akima_k(x, y, method="akima"):
+    """Akima's 1970 slope rule (vectorized, SciPy-compatible).
+
+    ``method="makima"`` applies the modified-Akima weights
+    (MATLAB's makima; SciPy ``Akima1DInterpolator(method="makima")``):
+    each weight gains ``|m_a + m_b| / 2``, which breaks the 0/0 tie on
+    locally flat data toward the average slope and damps overshoot."""
     tr = y.ndim - 1
     dx = _ex(x[1:] - x[:-1], tr)
     m = (y[1:] - y[:-1]) / dx  # (n-1, *bank)
@@ -48,8 +55,13 @@ def _akima_k(x, y):
         [m0[None], m1[None], m, mn[None], mn1[None]], axis=0
     )  # (n+3, *bank)
     dm = jnp.abs(me[1:] - me[:-1])  # (n+2, *bank)
-    f1 = dm[2:]  # |m[i+1]-m[i]|
-    f2 = dm[:-2]  # |m[i-1]-m[i-2]|
+    if method == "makima":
+        pm = jnp.abs(me[1:] + me[:-1])  # (n+2, *bank)
+        f1 = dm[2:] + 0.5 * pm[2:]
+        f2 = dm[:-2] + 0.5 * pm[:-2]
+    else:
+        f1 = dm[2:]  # |m[i+1]-m[i]|
+        f2 = dm[:-2]  # |m[i-1]-m[i-2]|
     f12 = f1 + f2
     m_im1 = me[1:-2]
     m_i = me[2:-1]
@@ -139,6 +151,21 @@ class Akima(_HermiteBuilder):
 
     def __repr__(self):
         return f"Akima(extrapolate={self.extrapolates})"
+
+
+class Makima(_HermiteBuilder):
+    """Modified Akima (MATLAB's ``makima``; SciPy
+    ``Akima1DInterpolator(method="makima")``): Akima's rule with
+    ``|m_a + m_b|/2`` added to each weight — flat-region ties resolve
+    to the average slope and overshoot is damped."""
+
+    MINIMUM_DATA_LENGTH = 3
+
+    def _slopes(self, x, data):
+        return _akima_k(x, data, method="makima")
+
+    def __repr__(self):
+        return f"Makima(extrapolate={self.extrapolates})"
 
 
 class Pchip(_HermiteBuilder):

@@ -86,6 +86,95 @@ class TestAkima:
         np.testing.assert_allclose(itp.interp_array(q), ref, atol=1e-11)
 
 
+class TestMakima:
+    """Modified Akima — SciPy ``Akima1DInterpolator(method="makima")``
+    oracle (MATLAB's makima weights)."""
+
+    def test_matches_scipy(self):
+        from ndarray_interp_tpu.interp1d import Makima
+
+        x, y, q = case(seed=9)
+        itp = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Makima())
+            .build()
+        )
+        ref = si.Akima1DInterpolator(x, y, method="makima")(q)
+        np.testing.assert_allclose(itp.interp_array(q), ref, atol=1e-13)
+
+    def test_differs_from_akima_and_damps_flat_ties(self):
+        """On data with a flat run, classic Akima's 0/0 tie takes the
+        average-slope default while makima's |m_a+m_b|/2 weights pull
+        toward the flat side — both pinned against SciPy."""
+        from ndarray_interp_tpu.interp1d import Makima
+
+        x = np.arange(10.0)
+        y = np.array([0.0, 0, 0, 0, 1, 1, 2, 4, 8, 16])
+        q = np.linspace(0, 9, 91)
+        mk = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Makima())
+            .build()
+        )
+        ak = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Akima())
+            .build()
+        )
+        ref_mk = si.Akima1DInterpolator(x, y, method="makima")(q)
+        ref_ak = si.Akima1DInterpolator(x, y)(q)
+        np.testing.assert_allclose(mk.interp_array(q), ref_mk, atol=1e-13)
+        np.testing.assert_allclose(ak.interp_array(q), ref_ak, atol=1e-13)
+        assert np.abs(ref_mk - ref_ak).max() > 1e-3  # genuinely different
+
+    def test_bank_matches_scipy_per_column(self):
+        from ndarray_interp_tpu.interp1d import Makima
+
+        x, y, q = case(seed=10, bank=5)
+        itp = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Makima())
+            .build()
+        )
+        got = np.asarray(itp.interp_array(q))
+        ref = np.stack(
+            [
+                si.Akima1DInterpolator(x, y[:, j], method="makima")(q)
+                for j in range(5)
+            ],
+            -1,
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-13)
+
+    def test_extrapolate_and_oob(self):
+        from ndarray_interp_tpu.interp1d import Makima
+
+        x, y, _ = case(seed=11)
+        itp = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Makima())
+            .build()
+        )
+        with pytest.raises(OutOfBoundsError):
+            itp.interp(x[0] - 1.0)
+        itp_e = (
+            Interp1D.builder(jnp.asarray(y))
+            .x(jnp.asarray(x))
+            .strategy(Makima().extrapolate(True))
+            .build()
+        )
+        q = np.array([x[0] - 0.5, x[-1] + 0.5])
+        ref = si.Akima1DInterpolator(x, y, method="makima")(
+            q, extrapolate=True
+        )
+        np.testing.assert_allclose(itp_e.interp_array(q), ref, atol=1e-11)
+
+
 class TestPchip:
     def test_matches_scipy(self):
         x, y, q = case(seed=6)
