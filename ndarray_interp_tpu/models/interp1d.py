@@ -446,6 +446,47 @@ class Interp1D:
         (``mod.rs:346-354``): query dims ++ data dims[1:]."""
         return tuple(query_shape) + tuple(self.data.shape[1:])
 
+    # -- calculus (beyond reference; SciPy-style surface) ---------------------
+    def derivative(self, xs):
+        """First derivative ``dy/dx`` at ``xs`` — the analytic
+        derivative of the strategy's piecewise polynomial (SciPy
+        ``CubicSpline(...).derivative()(xs)`` surface; no reference
+        analogue).  Output dims ``M + N - 1`` like ``interp_array``;
+        OOB raises unless the strategy extrapolates.  Supported by the
+        cubic-Hermite family (``CubicSpline``/``Akima``/``Makima``/
+        ``Pchip``) and ``Linear``; jittable with traced queries."""
+        fn = getattr(self.strategy, "eval_derivative", None)
+        if fn is None:
+            raise TypeError(
+                f"{type(self.strategy).__name__} does not support "
+                "derivative()"
+            )
+        xs = jnp.asarray(xs)
+        flat = xs.reshape(-1)
+        if not _is_traced(xs):
+            self._check_queries(flat)
+        out = fn(self, _promote_queries(self, flat))
+        return out.reshape(xs.shape + self.data.shape[1:])
+
+    def integrate(self, lo, hi):
+        """Definite integral ``∫_lo^hi y dx`` per trailing element —
+        exact per-interval polynomial quadrature, no sampling (SciPy
+        ``CubicSpline.integrate`` surface; no reference analogue).
+        Signed: ``lo > hi`` negates.  Periodic splines integrate the
+        periodic extension (whole periods + wrapped remainder); other
+        extrapolating strategies integrate the edge polynomials.  OOB
+        bounds raise unless the strategy extrapolates.  Returns shape
+        ``data.shape[1:]``; jittable with traced bounds."""
+        fn = getattr(self.strategy, "eval_integrate", None)
+        if fn is None:
+            raise TypeError(
+                f"{type(self.strategy).__name__} does not support "
+                "integrate()"
+            )
+        if not (_is_traced(lo) or _is_traced(hi)):
+            self._check_queries(np.asarray([lo, hi], dtype=np.float64))
+        return fn(self, lo, hi)
+
     # -- pytree ---------------------------------------------------------------
     def tree_flatten(self):
         return (self.x, self.data, self.strategy), None

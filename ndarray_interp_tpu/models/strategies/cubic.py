@@ -768,6 +768,107 @@ class CubicSplineStrategy(Interp1DStrategy):
             )
         return gather_form(idx, tq)
 
+    # -- calculus (beyond reference; SciPy CubicSpline parity) ---------------
+    def _interval_quantities(self, interp, p):
+        """(idx, dx, t, y_l, y_r, a, b) at flat query vector ``p`` —
+        the shared gather for the derivative/antiderivative forms."""
+        from ...ops.gather import gather_rows
+        from ...ops.searchsorted import lower_index_fast
+
+        x = interp.x
+        data = interp.data
+        idx = lower_index_fast(x, p)
+        xg = jnp.stack([x[:-1], x[1:]], axis=-1)[idx]
+        dx = xg[..., 1] - xg[..., 0]
+        t = (p - xg[..., 0]) / dx
+        tbl = jnp.stack([data[:-1], data[1:], self.a, self.b], axis=-1)
+        g = gather_rows(tbl, idx, assume_finite=self.finite)
+        expand = p.shape + (1,) * (data.ndim - 1)
+        return (
+            idx,
+            dx.reshape(expand),
+            t.reshape(expand),
+            g[..., 0],
+            g[..., 1],
+            g[..., 2],
+            g[..., 3],
+        )
+
+    def eval_derivative(self, interp, xq):
+        """Analytic dy/dx of the symmetric Hermite form
+        ``y = (1-t)y_l + t y_r + t(1-t)[a(1-t) + b t]``
+        (``cubic_spline.rs:818-828``):
+        ``dy/dx = [y_r - y_l + (1-2t)(a(1-t)+bt) + t(1-t)(b-a)] / dx``.
+        Pure/jittable; periodic mode wraps like ``eval``."""
+        x = interp.x
+        if self.mode == "periodic":
+            x0 = x[0]
+            xn = x[x.shape[0] - 1]
+            wrapped = jnp.mod(xq - x0, xn - x0) + x0
+            in_r = (x0 <= xq) & (xq <= xn)
+            xq = jnp.where(in_r, xq, wrapped)
+        _, dx, t, y_l, y_r, a, b = self._interval_quantities(interp, xq)
+        one = jnp.ones((), y_l.dtype)
+        dydt = (
+            (y_r - y_l)
+            + (one - 2 * t) * (a * (one - t) + b * t)
+            + t * (one - t) * (b - a)
+        )
+        return dydt / dx
+
+    def _antideriv(self, interp, p):
+        """F(p) = ∫_{x[0]}^{p} y dx (flat ``p``): cumulative exact
+        per-interval integrals + the partial-interval polynomial.  The
+        full-interval integral of the symmetric Hermite form is
+        ``dx·[(y_l+y_r)/2 + (a+b)/12]``; the partial (0..t) is
+        ``dx·[y_l(t - t²/2) + y_r t²/2 + a(t²/2 - 2t³/3 + t⁴/4)
+        + b(t³/3 - t⁴/4)]``.  Periodic mode decomposes into whole
+        periods × the total + a wrapped remainder."""
+        x = interp.x
+        data = interp.data
+        tr = data.ndim - 1
+        dxk = (x[1:] - x[:-1]).reshape((-1,) + (1,) * tr)
+        full = dxk * (
+            0.5 * (data[:-1] + data[1:]) + (self.a + self.b) / 12.0
+        )
+        cum = jnp.cumsum(full, axis=0)
+        csum = jnp.concatenate([jnp.zeros_like(full[:1]), cum], axis=0)
+
+        def F_in(p):
+            idx, dx, t, y_l, y_r, a, b = self._interval_quantities(
+                interp, p
+            )
+            t2 = t * t
+            t3 = t2 * t
+            t4 = t2 * t2
+            part = (
+                y_l * (t - 0.5 * t2)
+                + y_r * (0.5 * t2)
+                + a * (0.5 * t2 - 2.0 * t3 / 3.0 + 0.25 * t4)
+                + b * (t3 / 3.0 - 0.25 * t4)
+            )
+            return csum[idx] + dx * part
+
+        if self.mode == "periodic":
+            x0 = x[0]
+            xn = x[x.shape[0] - 1]
+            period = xn - x0
+            k = jnp.floor((p - x0) / period)
+            pw = p - k * period
+            expand = p.shape + (1,) * tr
+            return k.reshape(expand) * csum[-1] + F_in(pw)
+        return F_in(p)
+
+    def eval_integrate(self, interp, lo, hi):
+        """∫_lo^hi y dx per trailing element (signed; lo > hi negates).
+        Pure/jittable; exact polynomial quadrature, no sampling."""
+        dtype = jnp.result_type(interp.x.dtype, interp.data.dtype)
+        bounds = jnp.stack(
+            [jnp.asarray(lo, dtype), jnp.asarray(hi, dtype)]
+        )
+        f = self._antideriv(interp, bounds)
+        return f[1] - f[0]
+
     # -- pytree --------------------------------------------------------------
     def tree_flatten(self):
         return (self.a, self.b), (self.mode, self.finite)

@@ -115,6 +115,64 @@ class Linear(Interp1DStrategy, Interp1DStrategyBuilder):
             x1.reshape(expand), y1, x2.reshape(expand), y2, xq.reshape(expand)
         )
 
+    # -- calculus (beyond reference; SciPy-style surface) --------------------
+    def _interval_quantities(self, interp, p):
+        from ...ops.gather import gather_rows
+        from ...ops.searchsorted import lower_index_fast
+
+        x = interp.x
+        data = interp.data
+        idx = lower_index_fast(x, p)
+        xg = jnp.stack([x[:-1], x[1:]], axis=-1)[idx]
+        dx = xg[..., 1] - xg[..., 0]
+        t = (p - xg[..., 0]) / dx
+        yg = gather_rows(
+            jnp.stack([data[:-1], data[1:]], axis=-1),
+            idx,
+            assume_finite=self.finite,
+        )
+        expand = p.shape + (1,) * (data.ndim - 1)
+        return (
+            idx,
+            dx.reshape(expand),
+            t.reshape(expand),
+            yg[..., 0],
+            yg[..., 1],
+        )
+
+    def eval_derivative(self, interp, xq):
+        """Piecewise-constant slope ``(y_r - y_l)/dx`` of the active
+        interval (the edge interval when extrapolating).  At interior
+        knots the right interval's slope is reported (the lower-index
+        clamp contract)."""
+        _, dx, _, y_l, y_r = self._interval_quantities(interp, xq)
+        return (y_r - y_l) / dx
+
+    def _antideriv(self, interp, p):
+        """F(p) = ∫_{x[0]}^{p}: exact trapezoid cumsum + the partial
+        ``dx·[y_l t + (y_r - y_l) t²/2]`` (polynomial outside the range
+        — the edge-interval linear extension)."""
+        x = interp.x
+        data = interp.data
+        tr = data.ndim - 1
+        dxk = (x[1:] - x[:-1]).reshape((-1,) + (1,) * tr)
+        full = dxk * 0.5 * (data[:-1] + data[1:])
+        csum = jnp.concatenate(
+            [jnp.zeros_like(full[:1]), jnp.cumsum(full, axis=0)], axis=0
+        )
+        idx, dx, t, y_l, y_r = self._interval_quantities(interp, p)
+        part = y_l * t + (y_r - y_l) * (0.5 * t * t)
+        return csum[idx] + dx * part
+
+    def eval_integrate(self, interp, lo, hi):
+        """∫_lo^hi y dx per trailing element (signed; exact)."""
+        dtype = jnp.result_type(interp.x.dtype, interp.data.dtype)
+        bounds = jnp.stack(
+            [jnp.asarray(lo, dtype), jnp.asarray(hi, dtype)]
+        )
+        f = self._antideriv(interp, bounds)
+        return f[1] - f[0]
+
     # -- pytree -------------------------------------------------------------
     def tree_flatten(self):
         return (), (self.extrapolates, self.finite)

@@ -1,0 +1,279 @@
+"""derivative()/integrate() — the beyond-reference calculus surface.
+
+Oracle: SciPy (`CubicSpline.derivative/.integrate`,
+`Akima1DInterpolator`, `PchipInterpolator` — all CubicHermiteSpline
+subclasses).  The reference crate has no analogue; the surface mirrors
+SciPy's so its users can switch.  Linear integrate is pinned against
+the exact knot-inclusive trapezoid.
+"""
+
+import numpy as np
+import pytest
+import scipy.interpolate as si
+
+import jax
+import jax.numpy as jnp
+
+from ndarray_interp_tpu.errors import OutOfBoundsError
+from ndarray_interp_tpu.interp1d import (
+    Akima,
+    CubicSpline,
+    Interp1D,
+    Linear,
+    Makima,
+    Nearest,
+    Pchip,
+)
+
+
+def case(n=20, bank=None, seed=5):
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0, 10, n))
+    shape = (n,) if bank is None else (n, bank)
+    y = rng.normal(size=shape)
+    q = np.linspace(x[0], x[-1], 7 * n)
+    return x, y, q
+
+
+def build(x, y, strat):
+    return (
+        Interp1D.builder(jnp.asarray(y))
+        .x(jnp.asarray(x))
+        .strategy(strat)
+        .build()
+    )
+
+
+class TestDerivative:
+    @pytest.mark.parametrize(
+        "bc", ["not-a-knot", "natural", "clamped", "periodic"]
+    )
+    def test_cubic_matches_scipy(self, bc):
+        from ndarray_interp_tpu.interp1d.cubic_spline import (
+            BoundaryCondition,
+        )
+
+        x, y, q = case()
+        if bc == "periodic":
+            y = y.copy()
+            y[-1] = y[0]
+        bmap = {
+            "not-a-knot": BoundaryCondition.NotAKnot,
+            "natural": BoundaryCondition.Natural,
+            "clamped": BoundaryCondition.Clamped,
+            "periodic": BoundaryCondition.Periodic,
+        }
+        itp = build(x, y, CubicSpline().boundary(bmap[bc]))
+        ref = si.CubicSpline(x, y, bc_type=bc).derivative()(q)
+        np.testing.assert_allclose(
+            itp.derivative(q), ref, rtol=1e-9, atol=1e-10
+        )
+
+    @pytest.mark.parametrize(
+        "strat,oracle",
+        [
+            (Akima(), lambda x, y: si.Akima1DInterpolator(x, y)),
+            (
+                Makima(),
+                lambda x, y: si.Akima1DInterpolator(x, y, method="makima"),
+            ),
+            (Pchip(), lambda x, y: si.PchipInterpolator(x, y)),
+        ],
+        ids=["akima", "makima", "pchip"],
+    )
+    def test_hermite_family_matches_scipy(self, strat, oracle):
+        x, y, q = case(seed=7)
+        itp = build(x, y, strat)
+        ref = oracle(x, y).derivative()(q)
+        np.testing.assert_allclose(
+            itp.derivative(q), ref, rtol=1e-9, atol=1e-11
+        )
+
+    def test_linear_slopes(self):
+        x, y, _ = case(seed=8)
+        itp = build(x, y, Linear())
+        mids = 0.5 * (x[:-1] + x[1:])
+        want = np.diff(y) / np.diff(x)
+        np.testing.assert_allclose(
+            itp.derivative(mids), want, rtol=1e-12
+        )
+
+    def test_bank_shape_and_values(self):
+        x, y, q = case(bank=4, seed=9)
+        itp = build(x, y, CubicSpline())
+        got = np.asarray(itp.derivative(q))
+        assert got.shape == (q.shape[0], 4)
+        ref = si.CubicSpline(x, y).derivative()(q)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-10)
+
+    def test_matches_autodiff(self):
+        """jax.grad of the pure eval == the analytic derivative."""
+        x, y, q = case(seed=10)
+        itp = build(x, y, CubicSpline().extrapolate(True))
+        ad = jax.vmap(jax.grad(lambda p: itp(p)))(jnp.asarray(q))
+        np.testing.assert_allclose(
+            itp.derivative(q), ad, rtol=1e-8, atol=1e-10
+        )
+
+    def test_jit_and_query_dims(self):
+        x, y, q = case(seed=11)
+        itp = build(x, y, CubicSpline())
+        f = jax.jit(lambda t, p: t.derivative(p))
+        np.testing.assert_allclose(
+            f(itp, jnp.asarray(q)), itp.derivative(q), rtol=1e-12
+        )
+        q2 = q[:20].reshape(4, 5)
+        assert itp.derivative(q2).shape == (4, 5)
+
+    def test_oob_raises_unless_extrapolating(self):
+        x, y, _ = case(seed=12)
+        itp = build(x, y, CubicSpline())
+        with pytest.raises(OutOfBoundsError):
+            itp.derivative(x[0] - 1.0)
+        itp_e = build(x, y, CubicSpline().extrapolate(True))
+        ref = si.CubicSpline(x, y).derivative()(x[0] - 1.0)
+        np.testing.assert_allclose(
+            itp_e.derivative(x[0] - 1.0), ref, rtol=1e-9
+        )
+
+    def test_unsupported_strategy(self):
+        x, y, _ = case(seed=13)
+        with pytest.raises(TypeError, match="does not support"):
+            build(x, y, Nearest()).derivative(x[1])
+
+
+class TestIntegrate:
+    @pytest.mark.parametrize(
+        "bc", ["not-a-knot", "natural", "clamped", "periodic"]
+    )
+    def test_cubic_matches_scipy(self, bc):
+        from ndarray_interp_tpu.interp1d.cubic_spline import (
+            BoundaryCondition,
+        )
+
+        x, y, _ = case(seed=14)
+        if bc == "periodic":
+            y = y.copy()
+            y[-1] = y[0]
+        bmap = {
+            "not-a-knot": BoundaryCondition.NotAKnot,
+            "natural": BoundaryCondition.Natural,
+            "clamped": BoundaryCondition.Clamped,
+            "periodic": BoundaryCondition.Periodic,
+        }
+        itp = build(x, y, CubicSpline().boundary(bmap[bc]))
+        sp = si.CubicSpline(x, y, bc_type=bc)
+        for lo, hi in [(x[0], x[-1]), (x[2] + 0.3, x[-3] - 0.2)]:
+            np.testing.assert_allclose(
+                itp.integrate(lo, hi),
+                sp.integrate(lo, hi),
+                rtol=1e-9,
+                atol=1e-11,
+            )
+
+    def test_signed_and_zero_width(self):
+        x, y, _ = case(seed=15)
+        itp = build(x, y, CubicSpline())
+        a, b = x[1] + 0.1, x[-2] - 0.1
+        fwd = np.asarray(itp.integrate(a, b))
+        np.testing.assert_allclose(
+            np.asarray(itp.integrate(b, a)), -fwd, rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(itp.integrate(a, a)), 0.0, atol=1e-14
+        )
+
+    def test_periodic_extension(self):
+        """Bounds beyond the range integrate the periodic extension —
+        SciPy ``integrate(..., extrapolate='periodic')`` oracle."""
+        from ndarray_interp_tpu.interp1d.cubic_spline import (
+            BoundaryCondition,
+        )
+
+        x, y, _ = case(seed=16)
+        y = y.copy()
+        y[-1] = y[0]
+        itp = build(
+            x,
+            y,
+            CubicSpline()
+            .extrapolate(True)
+            .boundary(BoundaryCondition.Periodic),
+        )
+        sp = si.CubicSpline(x, y, bc_type="periodic")
+        period = x[-1] - x[0]
+        lo, hi = x[0] - 1.3 * period, x[-1] + 2.6 * period
+        np.testing.assert_allclose(
+            itp.integrate(lo, hi),
+            sp.integrate(lo, hi, extrapolate="periodic"),
+            rtol=1e-9,
+            atol=1e-10,
+        )
+
+    def test_extrapolated_bounds_match_scipy(self):
+        x, y, _ = case(seed=17)
+        itp = build(x, y, CubicSpline().extrapolate(True))
+        sp = si.CubicSpline(x, y)
+        np.testing.assert_allclose(
+            itp.integrate(x[0] - 0.7, x[-1] + 0.4),
+            sp.integrate(x[0] - 0.7, x[-1] + 0.4),
+            rtol=1e-9,
+        )
+
+    @pytest.mark.parametrize(
+        "strat,oracle",
+        [
+            (Akima(), lambda x, y: si.Akima1DInterpolator(x, y)),
+            (
+                Makima(),
+                lambda x, y: si.Akima1DInterpolator(x, y, method="makima"),
+            ),
+            (Pchip(), lambda x, y: si.PchipInterpolator(x, y)),
+        ],
+        ids=["akima", "makima", "pchip"],
+    )
+    def test_hermite_family_matches_scipy(self, strat, oracle):
+        x, y, _ = case(seed=18)
+        itp = build(x, y, strat)
+        sp = oracle(x, y)
+        lo, hi = x[1] + 0.2, x[-2] + 0.1
+        np.testing.assert_allclose(
+            itp.integrate(lo, hi), sp.integrate(lo, hi), rtol=1e-9
+        )
+
+    def test_linear_exact_trapezoid(self):
+        x, y, _ = case(seed=19)
+        itp = build(x, y, Linear())
+        lo, hi = x[3] + 0.25, x[-4] - 0.5
+        # exact oracle: trapezoid over samples that include every knot
+        pts = np.unique(
+            np.concatenate([[lo], x[(x > lo) & (x < hi)], [hi]])
+        )
+        vals = np.interp(pts, x, y)
+        want = np.trapezoid(vals, pts)
+        np.testing.assert_allclose(itp.integrate(lo, hi), want, rtol=1e-12)
+
+    def test_bank_shape(self):
+        x, y, _ = case(bank=3, seed=20)
+        itp = build(x, y, CubicSpline())
+        got = np.asarray(itp.integrate(x[0], x[-1]))
+        assert got.shape == (3,)
+        ref = si.CubicSpline(x, y).integrate(x[0], x[-1])
+        np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+    def test_jit_traced_bounds(self):
+        x, y, _ = case(seed=21)
+        itp = build(x, y, CubicSpline())
+        f = jax.jit(lambda t, a, b: t.integrate(a, b))
+        got = f(itp, jnp.asarray(x[0] + 0.5), jnp.asarray(x[-1] - 0.5))
+        np.testing.assert_allclose(
+            got, itp.integrate(x[0] + 0.5, x[-1] - 0.5), rtol=1e-12
+        )
+
+    def test_oob_raises_unless_extrapolating(self):
+        x, y, _ = case(seed=22)
+        itp = build(x, y, CubicSpline())
+        with pytest.raises(OutOfBoundsError):
+            itp.integrate(x[0] - 1.0, x[-1])
+        with pytest.raises(TypeError, match="does not support"):
+            build(x, y, Nearest()).integrate(x[0], x[-1])
