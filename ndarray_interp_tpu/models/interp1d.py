@@ -447,14 +447,16 @@ class Interp1D:
         return tuple(query_shape) + tuple(self.data.shape[1:])
 
     # -- calculus (beyond reference; SciPy-style surface) ---------------------
-    def derivative(self, xs):
-        """First derivative ``dy/dx`` at ``xs`` — the analytic
-        derivative of the strategy's piecewise polynomial (SciPy
-        ``CubicSpline(...).derivative()(xs)`` surface; no reference
-        analogue).  Output dims ``M + N - 1`` like ``interp_array``;
-        OOB raises unless the strategy extrapolates.  Supported by the
-        cubic-Hermite family (``CubicSpline``/``Akima``/``Makima``/
-        ``Pchip``) and ``Linear``; jittable with traced queries."""
+    def derivative(self, xs, order=1):
+        """``order``-th derivative ``d^o y/dx^o`` at ``xs`` — the
+        analytic derivative of the strategy's piecewise polynomial
+        (SciPy ``CubicSpline(...).derivative(order)(xs)`` surface; no
+        reference analogue).  Output dims ``M + N - 1`` like
+        ``interp_array``; OOB raises unless the strategy extrapolates.
+        Supported by the cubic-Hermite family (``CubicSpline``/
+        ``Akima``/``Makima``/``Pchip``, orders 1–3) and ``Linear``
+        (order 1; higher orders are zero); jittable with traced
+        queries."""
         fn = getattr(self.strategy, "eval_derivative", None)
         if fn is None:
             raise TypeError(
@@ -465,7 +467,7 @@ class Interp1D:
         flat = xs.reshape(-1)
         if not _is_traced(xs):
             self._check_queries(flat)
-        out = fn(self, _promote_queries(self, flat))
+        out = fn(self, _promote_queries(self, flat), order=order)
         return out.reshape(xs.shape + self.data.shape[1:])
 
     def integrate(self, lo, hi):

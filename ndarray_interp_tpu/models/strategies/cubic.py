@@ -794,12 +794,18 @@ class CubicSplineStrategy(Interp1DStrategy):
             g[..., 3],
         )
 
-    def eval_derivative(self, interp, xq):
-        """Analytic dy/dx of the symmetric Hermite form
+    def eval_derivative(self, interp, xq, order=1):
+        """Analytic d^order y/dx^order of the symmetric Hermite form
         ``y = (1-t)y_l + t y_r + t(1-t)[a(1-t) + b t]``
-        (``cubic_spline.rs:818-828``):
-        ``dy/dx = [y_r - y_l + (1-2t)(a(1-t)+bt) + t(1-t)(b-a)] / dx``.
-        Pure/jittable; periodic mode wraps like ``eval``."""
+        (``cubic_spline.rs:818-828``), order in {1, 2, 3}:
+        ``y' = [y_r - y_l + (1-2t)(a(1-t)+bt) + t(1-t)(b-a)] / dx``,
+        ``y'' = [a(6t-4) + b(2-6t)] / dx²``, ``y''' = 6(a-b)/dx³``
+        (piecewise constant).  Pure/jittable; periodic mode wraps like
+        ``eval``."""
+        if order not in (1, 2, 3):
+            raise ValueError(
+                f"derivative order must be 1, 2, or 3; got {order}"
+            )
         x = interp.x
         if self.mode == "periodic":
             x0 = x[0]
@@ -809,12 +815,16 @@ class CubicSplineStrategy(Interp1DStrategy):
             xq = jnp.where(in_r, xq, wrapped)
         _, dx, t, y_l, y_r, a, b = self._interval_quantities(interp, xq)
         one = jnp.ones((), y_l.dtype)
-        dydt = (
-            (y_r - y_l)
-            + (one - 2 * t) * (a * (one - t) + b * t)
-            + t * (one - t) * (b - a)
-        )
-        return dydt / dx
+        if order == 1:
+            dydt = (
+                (y_r - y_l)
+                + (one - 2 * t) * (a * (one - t) + b * t)
+                + t * (one - t) * (b - a)
+            )
+            return dydt / dx
+        if order == 2:
+            return (a * (6 * t - 4) + b * (2 - 6 * t)) / (dx * dx)
+        return 6 * (a - b) / (dx * dx * dx)
 
     def _antideriv(self, interp, p):
         """F(p) = ∫_{x[0]}^{p} y dx (flat ``p``): cumulative exact

@@ -140,12 +140,19 @@ class Linear(Interp1DStrategy, Interp1DStrategyBuilder):
             yg[..., 1],
         )
 
-    def eval_derivative(self, interp, xq):
+    def eval_derivative(self, interp, xq, order=1):
         """Piecewise-constant slope ``(y_r - y_l)/dx`` of the active
         interval (the edge interval when extrapolating).  At interior
         knots the right interval's slope is reported (the lower-index
-        clamp contract)."""
+        clamp contract).  Orders 2/3 are identically zero (away from
+        the knots, where the distributional derivative is undefined)."""
+        if order not in (1, 2, 3):
+            raise ValueError(
+                f"derivative order must be 1, 2, or 3; got {order}"
+            )
         _, dx, _, y_l, y_r = self._interval_quantities(interp, xq)
+        if order > 1:
+            return jnp.zeros_like(y_l)
         return (y_r - y_l) / dx
 
     def _antideriv(self, interp, p):

@@ -141,6 +141,34 @@ class TestDerivative:
         with pytest.raises(TypeError, match="does not support"):
             build(x, y, Nearest()).derivative(x[1])
 
+    @pytest.mark.parametrize("order", [2, 3])
+    def test_higher_orders_match_scipy(self, order):
+        x, y, q = case(seed=23)
+        itp = build(x, y, CubicSpline())
+        ref = si.CubicSpline(x, y).derivative(order)(q)
+        # order-3 is piecewise constant with jumps at the knots; query
+        # strictly inside intervals to avoid side-of-knot ambiguity
+        qin = 0.5 * (x[:-1] + x[1:])
+        refin = si.CubicSpline(x, y).derivative(order)(qin)
+        np.testing.assert_allclose(
+            itp.derivative(qin, order=order), refin, rtol=1e-8, atol=1e-9
+        )
+        if order == 2:  # continuous: the full query grid also matches
+            np.testing.assert_allclose(
+                itp.derivative(q, order=order), ref, rtol=1e-8, atol=1e-9
+            )
+
+    def test_order_validation_and_linear_zeros(self):
+        x, y, _ = case(seed=24)
+        itp = build(x, y, CubicSpline())
+        with pytest.raises(ValueError, match="order"):
+            itp.derivative(x[1], order=4)
+        lin = build(x, y, Linear())
+        mids = 0.5 * (x[:-1] + x[1:])
+        np.testing.assert_array_equal(
+            np.asarray(lin.derivative(mids, order=2)), 0.0
+        )
+
 
 class TestIntegrate:
     @pytest.mark.parametrize(
