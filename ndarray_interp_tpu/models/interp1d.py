@@ -489,6 +489,34 @@ class Interp1D:
             self._check_queries(np.asarray([lo, hi], dtype=np.float64))
         return fn(self, lo, hi)
 
+    def solve(self, y=0.0, *, max_roots=None):
+        """All real solutions of ``interp(x) == y`` (SciPy
+        ``CubicSpline.solve`` surface; no reference analogue).  Returns
+        a NaN-padded, ascending-sorted array of shape
+        ``(3*(n_knots-1),) + data.shape[1:]`` — the static per-interval
+        root bound keeps the whole solve one fixed-shape batched
+        computation (jittable/vmappable; see ``ops/cubicroots.py``).
+        ``y`` may be a scalar or broadcast over the trailing dims.
+        Extrapolating strategies also report roots of the extended edge
+        polynomials; periodic splines report the base-domain roots.
+        ``max_roots`` statically trims the padded axis to its first
+        ``max_roots`` rows.  Supported by the cubic-Hermite family and
+        ``Linear``."""
+        fn = getattr(self.strategy, "eval_solve", None)
+        if fn is None:
+            raise TypeError(
+                f"{type(self.strategy).__name__} does not support solve()"
+            )
+        out = fn(self, y)
+        if max_roots is not None:
+            out = out[:max_roots]
+        return out
+
+    def roots(self, *, max_roots=None):
+        """Real zero crossings — ``solve(0.0)`` (SciPy
+        ``CubicSpline.roots`` surface)."""
+        return self.solve(0.0, max_roots=max_roots)
+
     # -- pytree ---------------------------------------------------------------
     def tree_flatten(self):
         return (self.x, self.data, self.strategy), None

@@ -879,6 +879,38 @@ class CubicSplineStrategy(Interp1DStrategy):
         f = self._antideriv(interp, bounds)
         return f[1] - f[0]
 
+    def eval_solve(self, interp, y=0.0):
+        """Real roots of ``spline(x) - y``: each interval's symmetric
+        Hermite form expands to the monomial cubic
+        ``(y_l - y) + (y_r - y_l + a) t + (b - 2a) t² + (a - b) t³``,
+        solved closed-form in one static-shape batch
+        (``ops/cubicroots.py``), so the result is NaN-padded
+        ``(3(n-1), *trailing)``, sorted ascending — jittable, no dynamic
+        shapes.  ``y`` may be scalar or trailing-broadcastable.
+        Extrapolating splines ("yes") also report roots of the edge
+        polynomials outside the domain; periodic splines report the
+        base-domain roots.  A segment identically equal to ``y``
+        contributes its left knot as one representative root."""
+        from ...ops.cubicroots import interval_roots_to_x, real_cubic_roots
+
+        data = interp.data
+        dtype = jnp.result_type(interp.x.dtype, data.dtype, jnp.float32)
+        yq = jnp.asarray(y, dtype)
+        y_l = data[:-1].astype(dtype)
+        y_r = data[1:].astype(dtype)
+        a = self.a.astype(dtype)
+        b = self.b.astype(dtype)
+        c0 = y_l - yq
+        c1 = (y_r - y_l) + a
+        c2 = b - 2.0 * a
+        c3 = a - b
+        t = real_cubic_roots(c0, c1, c2, c3)
+        const0 = (c0 == 0) & (c1 == 0) & (c2 == 0) & (c3 == 0)
+        t = t.at[..., 0].set(jnp.where(const0, 0.0, t[..., 0]))
+        return interval_roots_to_x(
+            interp.x.astype(dtype), t, extrapolate=(self.mode == "yes")
+        )
+
     # -- pytree --------------------------------------------------------------
     def tree_flatten(self):
         return (self.a, self.b), (self.mode, self.finite)

@@ -180,6 +180,31 @@ class Linear(Interp1DStrategy, Interp1DStrategyBuilder):
         f = self._antideriv(interp, bounds)
         return f[1] - f[0]
 
+    def eval_solve(self, interp, y=0.0):
+        """Real roots of ``lerp(x) - y``: one linear crossing per
+        interval, collected through the shared static-shape machinery
+        (``ops/cubicroots.py``) so the padded output shape
+        ``(3(n-1), *trailing)`` matches the spline family's.  A segment
+        identically equal to ``y`` contributes its left knot as one
+        representative root; extrapolating interpolators also report
+        crossings of the extended edge segments."""
+        from ...ops.cubicroots import interval_roots_to_x, real_cubic_roots
+
+        data = interp.data
+        dtype = jnp.result_type(interp.x.dtype, data.dtype, jnp.float32)
+        yq = jnp.asarray(y, dtype)
+        y_l = data[:-1].astype(dtype)
+        y_r = data[1:].astype(dtype)
+        c0 = y_l - yq
+        c1 = y_r - y_l
+        zero = jnp.zeros_like(c0)
+        t = real_cubic_roots(c0, c1, zero, zero)
+        const0 = (c0 == 0) & (c1 == 0)
+        t = t.at[..., 0].set(jnp.where(const0, 0.0, t[..., 0]))
+        return interval_roots_to_x(
+            interp.x.astype(dtype), t, extrapolate=self.extrapolates
+        )
+
     # -- pytree -------------------------------------------------------------
     def tree_flatten(self):
         return (), (self.extrapolates, self.finite)

@@ -305,3 +305,217 @@ class TestIntegrate:
             itp.integrate(x[0] - 1.0, x[-1])
         with pytest.raises(TypeError, match="does not support"):
             build(x, y, Nearest()).integrate(x[0], x[-1])
+
+
+def finite(a):
+    a = np.asarray(a)
+    return a[np.isfinite(a)]
+
+
+class TestCubicRootsOp:
+    """ops/cubicroots.py: the batched closed-form solver vs np.roots."""
+
+    def test_random_cubics_match_numpy(self):
+        from ndarray_interp_tpu.ops.cubicroots import real_cubic_roots
+
+        rng = np.random.default_rng(31)
+        c = rng.normal(size=(200, 4))
+        got = np.asarray(
+            real_cubic_roots(
+                jnp.asarray(c[:, 0]),
+                jnp.asarray(c[:, 1]),
+                jnp.asarray(c[:, 2]),
+                jnp.asarray(c[:, 3]),
+            )
+        )
+        for i in range(200):
+            want = np.roots(c[i, ::-1])
+            want = np.sort(want[np.abs(want.imag) < 1e-9].real)
+            mine = np.sort(finite(got[i]))
+            assert mine.shape == want.shape, (i, mine, want)
+            if want.size:
+                np.testing.assert_allclose(mine, want, rtol=1e-7, atol=1e-9)
+
+    @pytest.mark.parametrize(
+        "coef,want",
+        [
+            ((6.0, -5.0, 1.0, 0.0), [2.0, 3.0]),  # quadratic
+            ((-4.0, 0.0, 1.0, 0.0), [-2.0, 2.0]),  # quadratic, c1 == 0
+            ((1.0, 1.0, 1.0, 0.0), []),  # complex pair
+            ((3.0, -1.5, 0.0, 0.0), [2.0]),  # linear
+            ((2.0, 0.0, 0.0, 0.0), []),  # constant nonzero
+            ((0.0, 0.0, 0.0, 0.0), []),  # identically zero: caller's call
+            ((0.0, 0.0, 0.0, 1.0), [0.0, 0.0, 0.0]),  # triple root
+            ((-1.0, 0.0, 0.0, 1.0), [1.0]),  # p == 0 Cardano branch
+        ],
+    )
+    def test_degenerate_forms(self, coef, want):
+        from ndarray_interp_tpu.ops.cubicroots import real_cubic_roots
+
+        got = finite(real_cubic_roots(*map(jnp.float64, coef)))
+        np.testing.assert_allclose(
+            np.sort(got), np.asarray(want), rtol=1e-12, atol=1e-12
+        )
+
+
+class TestSolve:
+    @pytest.mark.parametrize(
+        "bc", ["not-a-knot", "natural", "clamped", "periodic"]
+    )
+    @pytest.mark.parametrize("level", [0.0, 0.3, -0.5])
+    def test_cubic_matches_scipy(self, bc, level):
+        from ndarray_interp_tpu.interp1d.cubic_spline import (
+            BoundaryCondition,
+        )
+
+        x, y, _ = case(seed=32)
+        if bc == "periodic":
+            y = y.copy()
+            y[-1] = y[0]
+        bmap = {
+            "not-a-knot": BoundaryCondition.NotAKnot,
+            "natural": BoundaryCondition.Natural,
+            "clamped": BoundaryCondition.Clamped,
+            "periodic": BoundaryCondition.Periodic,
+        }
+        itp = build(x, y, CubicSpline().boundary(bmap[bc]))
+        got = finite(itp.solve(level))
+        want = np.sort(si.CubicSpline(x, y, bc_type=bc).solve(
+            level, extrapolate=False
+        ))
+        assert got.shape == want.shape, (got, want)
+        # near-tangent roots amplify coefficient rounding: compare the
+        # root *values* through the spline instead of demanding tight x
+        np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-8)
+
+    def test_extrapolating_edge_roots(self):
+        x, y, _ = case(seed=33)
+        itp = build(x, y, CubicSpline(extrapolate=True))
+        got = finite(itp.solve(0.25))
+        want = np.sort(
+            si.CubicSpline(x, y).solve(0.25, extrapolate=True)
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-8)
+
+    @pytest.mark.parametrize(
+        "strat,oracle",
+        [
+            (Akima(), lambda x, y: si.Akima1DInterpolator(x, y)),
+            (
+                Makima(),
+                lambda x, y: si.Akima1DInterpolator(x, y, method="makima"),
+            ),
+            (Pchip(), lambda x, y: si.PchipInterpolator(x, y)),
+        ],
+        ids=["akima", "makima", "pchip"],
+    )
+    def test_hermite_family_roots(self, strat, oracle):
+        x, y, _ = case(seed=34)
+        itp = build(x, y, strat)
+        got = finite(itp.roots())
+        want = np.sort(oracle(x, y).solve(0.0, extrapolate=False))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-8)
+
+    def test_linear_crossings(self):
+        x, y, _ = case(seed=35)
+        itp = build(x, y, Linear())
+        got = finite(itp.roots())
+        pp = si.PPoly(
+            np.stack([np.diff(y) / np.diff(x), y[:-1]]), x
+        )
+        want = np.sort(pp.solve(0.0, extrapolate=False))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+    def test_banked_per_column(self):
+        x, y, _ = case(bank=4, seed=36)
+        itp = build(x, y, CubicSpline())
+        got = np.asarray(itp.roots())
+        assert got.shape == (3 * (x.size - 1), 4)
+        for j in range(4):
+            want = np.sort(
+                si.CubicSpline(x, y[:, j]).solve(0.0, extrapolate=False)
+            )
+            col = finite(got[:, j])
+            assert col.shape == want.shape, j
+            np.testing.assert_allclose(col, want, rtol=1e-7, atol=1e-8)
+
+    def test_per_column_levels_broadcast(self):
+        x, y, _ = case(bank=3, seed=37)
+        itp = build(x, y, CubicSpline())
+        lv = np.asarray([0.1, -0.2, 0.4])
+        got = np.asarray(itp.solve(jnp.asarray(lv)))
+        for j in range(3):
+            want = np.sort(
+                si.CubicSpline(x, y[:, j]).solve(lv[j], extrapolate=False)
+            )
+            np.testing.assert_allclose(
+                finite(got[:, j]), want, rtol=1e-7, atol=1e-8
+            )
+
+    def test_sorted_nan_padded_and_trim(self):
+        x, y, _ = case(seed=38)
+        itp = build(x, y, CubicSpline())
+        r = np.asarray(itp.roots())
+        k = np.isfinite(r).sum()
+        assert np.all(np.isnan(r[k:])) and np.all(np.diff(r[:k]) > 0)
+        t = np.asarray(itp.roots(max_roots=2))
+        assert t.shape == (2,)
+        np.testing.assert_array_equal(t, r[:2])
+
+    def test_no_roots_all_nan(self):
+        x, y, _ = case(seed=39)
+        itp = build(x, y + 100.0, CubicSpline())
+        assert np.all(np.isnan(np.asarray(itp.roots())))
+
+    def test_constant_segment_representative_root(self):
+        x = np.arange(6.0)
+        y = np.asarray([1.0, -1.0, 0.0, 0.0, 0.0, 2.0])
+        itp = build(x, y, Linear())
+        got = finite(itp.roots())
+        # crossing in [0,1] at 0.5; the flat run [2,4] reports its left
+        # knots as representative roots (one per identically-zero
+        # segment); 4.0 is the genuine zero at the start of the rising
+        # [4,5] segment
+        np.testing.assert_allclose(got, [0.5, 2.0, 3.0, 4.0], atol=1e-12)
+
+    def test_root_at_knot_reported_once(self):
+        x = np.arange(7.0)
+        y = np.asarray([2.0, 1.0, 0.0, -1.0, -2.0, -1.5, 3.0])
+        itp = build(x, y, Linear())
+        got = finite(itp.roots())
+        want = np.sort(
+            si.PPoly(
+                np.stack([np.diff(y) / np.diff(x), y[:-1]]), x
+            ).solve(0.0, extrapolate=False)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_jit_and_vmap(self):
+        x, y, _ = case(seed=40)
+        itp = build(x, y, CubicSpline())
+        eager = np.asarray(itp.roots())
+        jitted = np.asarray(jax.jit(lambda t: t.roots())(itp))
+        np.testing.assert_allclose(jitted, eager, rtol=1e-12, equal_nan=True)
+        lv = jnp.asarray([0.0, 0.1, 0.2])
+        vm = np.asarray(jax.vmap(lambda l: itp.solve(l))(lv))
+        for i, l in enumerate(np.asarray(lv)):
+            np.testing.assert_allclose(
+                vm[i], np.asarray(itp.solve(float(l))),
+                rtol=1e-12, equal_nan=True,
+            )
+
+    def test_solutions_evaluate_to_level(self):
+        """Every reported root actually satisfies spline(r) ≈ y."""
+        x, y, _ = case(n=40, seed=41)
+        itp = build(x, y, CubicSpline())
+        r = finite(itp.solve(0.2))
+        vals = np.asarray(itp.interp_array(jnp.asarray(r)))
+        np.testing.assert_allclose(vals, 0.2, atol=1e-9)
+
+    def test_unsupported_strategy(self):
+        x, y, _ = case(seed=42)
+        with pytest.raises(TypeError, match="does not support"):
+            build(x, y, Nearest()).solve(0.0)
