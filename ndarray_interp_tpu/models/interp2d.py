@@ -391,6 +391,37 @@ class Interp2D:
         """Query dims ++ data dims[2:] (``mod.rs:310-321``)."""
         return tuple(query_shape) + tuple(self.data.shape[2:])
 
+    # -- calculus (beyond reference; SciPy-style surface) ---------------------
+    def derivative(self, xs, ys, dx=0, dy=0):
+        """Partial derivative ``∂^{dx+dy} z / ∂x^dx ∂y^dy`` at query
+        pairs — the analytic derivative of the strategy's surface
+        (SciPy ``RectBivariateSpline.ev(xs, ys, dx, dy)`` surface; no
+        reference analogue).  Output dims ``M + N - 2`` like
+        ``interp_array``; ``xs.shape`` must equal ``ys.shape``; OOB
+        raises unless the strategy extrapolates.  Supported by
+        ``Bicubic`` (orders 0–3 per axis) and ``Bilinear`` (orders
+        0–1 exact; higher are zero); jittable with traced queries."""
+        fn = getattr(self.strategy, "eval_derivative", None)
+        if fn is None:
+            raise TypeError(
+                f"{type(self.strategy).__name__} does not support "
+                "derivative()"
+            )
+        if np.shape(xs) != np.shape(ys):
+            raise ValueError("`xs.shape` and `ys.shape` do not match")
+        xs = jnp.asarray(xs)
+        ys = jnp.asarray(ys)
+        if not (_is_traced(xs) or _is_traced(ys)):
+            self._check_queries(xs.reshape(-1), ys.reshape(-1))
+        out = fn(
+            self,
+            _promote_queries(self, xs.reshape(-1)),
+            _promote_queries(self, ys.reshape(-1)),
+            dx=dx,
+            dy=dy,
+        )
+        return out.reshape(xs.shape + self.data.shape[2:])
+
     # -- pytree -------------------------------------------------------------
     def tree_flatten(self):
         return (self.x, self.y, self.data, self.strategy), None

@@ -98,6 +98,55 @@ def _hermite_scaled(y_l, y_r, K_l, K_r, t):
     )
 
 
+def _hermite_scaled_d(y_l, y_r, K_l, K_r, t, order):
+    """``d^order/dt^order`` of the scaled symmetric Hermite form
+    (``order`` 0–3; the same analytic forms as the 1-D calculus,
+    ``cubic.py:eval_derivative``).  ``order`` 0 is the value."""
+    dy = y_r - y_l
+    a = K_l - dy
+    b = dy - K_r
+    one = jnp.ones((), t.dtype)
+    if order == 0:
+        return (one - t) * y_l + t * y_r + t * (one - t) * (
+            a * (one - t) + b * t
+        )
+    if order == 1:
+        return (
+            dy
+            + (one - 2 * t) * (a * (one - t) + b * t)
+            + t * (one - t) * (b - a)
+        )
+    if order == 2:
+        return a * (6 * t - 4) + b * (2 - 6 * t)
+    return (6 * (a - b)) + 0.0 * t  # order 3: piecewise constant
+
+
+def _cell_tail_nested_d(g, tx, ty, r, ox, oy):
+    """Partial-derivative variant of :func:`_cell_tail_nested`: the
+    nested tensor-product Hermite is linear in its corner state, so
+    ``∂^{ox+oy}/∂tx^ox ∂ty^oy`` is the same nesting with the inner
+    x-Hermites at order ``ox`` and the outer y-Hermite at order ``oy``
+    (the caller divides by ``dx^ox · dy^oy`` to land in coordinate
+    units).  Not the hot eval path — kept separate so the perf-pinned
+    order-(0,0) tail stays untouched."""
+
+    def block(i):
+        base = 4 * r * i
+        return tuple(
+            g[:, base + c * r : base + (c + 1) * r] for c in range(4)
+        )
+
+    f11, f12, f21, f22 = block(0)
+    kx11, kx12, kx21, kx22 = block(1)
+    ky11, ky12, ky21, ky22 = block(2)
+    kxy11, kxy12, kxy21, kxy22 = block(3)
+    f_y1 = _hermite_scaled_d(f11, f21, kx11, kx21, tx, ox)
+    f_y2 = _hermite_scaled_d(f12, f22, kx12, kx22, tx, ox)
+    g_y1 = _hermite_scaled_d(ky11, ky21, kxy11, kxy21, tx, ox)
+    g_y2 = _hermite_scaled_d(ky12, ky22, kxy12, kxy22, tx, ox)
+    return _hermite_scaled_d(f_y1, f_y2, g_y1, g_y2, ty, oy)
+
+
 def _cell_tail_nested(g, tx, ty, r):
     """Nested scaled-Hermite tail on flat gathered cell rows ``(Q, 16r)``
     with ``tx``/``ty`` of shape ``(Q, 1)`` — the reference-ordered
@@ -422,6 +471,61 @@ class BicubicStrategy(Interp2DStrategy):
         ky_y1 = _hermite(ky11, ky21, kxy11, kxy21, dx, tx)
         ky_y2 = _hermite(ky12, ky22, kxy12, kxy22, dx, tx)
         return _hermite(f_y1, f_y2, ky_y1, ky_y2, dy, ty)
+
+    # -- calculus (beyond reference; SciPy RectBivariateSpline.ev surface) ----
+    def eval_derivative(self, interp, xq, yq, dx=0, dy=0):
+        """Analytic ``∂^{dx+dy} z / ∂x^dx ∂y^dy`` of the tensor-product
+        spline (orders 0–3 per axis; order 3 is piecewise constant).
+        The nested Hermite is linear in the corner state, so the partial
+        is the same nesting with each axis's Hermite at its order,
+        divided by the cell widths ``dx_cell^dx · dy_cell^dy``
+        (pre-scaled rows live in t-space).  Both layouts supported;
+        periodic axes wrap like ``eval``."""
+        if dx not in (0, 1, 2, 3) or dy not in (0, 1, 2, 3):
+            raise ValueError(
+                f"derivative orders must be in 0..3; got dx={dx}, dy={dy}"
+            )
+        x, y, data = interp.x, interp.y, interp.data
+        if self.wraps_x:
+            xq = jnp.mod(xq - x[0], x[-1] - x[0]) + x[0]
+        if self.wraps_y:
+            yq = jnp.mod(yq - y[0], y[-1] - y[0]) + y[0]
+        ny = data.shape[1]
+        trailing = data.shape[2:]
+        r = 1
+        for s in trailing:
+            r *= s
+        out_shape = xq.shape + trailing
+        xi, tx = _index_frac(x, xq)
+        yi, ty = _index_frac(y, yq)
+        xif = xi.reshape(-1)
+        yif = yi.reshape(-1)
+        txf = tx.reshape(-1)[:, None]
+        tyf = ty.reshape(-1)[:, None]
+        dxg = (x[xif + 1] - x[xif]).astype(data.dtype)[:, None]
+        dyg = (y[yif + 1] - y[yif]).astype(data.dtype)[:, None]
+        if self.layout == "cell":
+            g = jnp.take(self.rows, xif * (ny - 1) + yif, axis=0)
+        else:
+            # assemble the scaled 16r cell row from 4 node gathers
+            # (channel order matches pack_bicubic_rows: quantity-major,
+            # corners [11, 12, 21, 22])
+            def node(ix, iy):
+                gg = jnp.take(self.rows, ix * ny + iy, axis=0)
+                return [gg[:, i * r : (i + 1) * r] for i in range(4)]
+
+            n11 = node(xif, yif)
+            n12 = node(xif, yif + 1)
+            n21 = node(xif + 1, yif)
+            n22 = node(xif + 1, yif + 1)
+            corners = (n11, n12, n21, n22)
+            scales = (1.0, dxg, dyg, dxg * dyg)
+            g = jnp.concatenate(
+                [c[i] * scales[i] for i in range(4) for c in corners],
+                axis=-1,
+            )
+        out = _cell_tail_nested_d(g, txf, tyf, r, dx, dy)
+        return (out / (dxg**dx * dyg**dy)).reshape(out_shape)
 
     def tree_flatten(self):
         return (self.rows,), (

@@ -152,6 +152,52 @@ class Bilinear(Interp2DStrategy, Interp2DStrategyBuilder):
         z2 = calc_frac(e(x1), z12, e(x2), z22, e(xq))
         return calc_frac(e(y1), z1, e(y2), z2, e(yq))
 
+    # -- calculus (beyond reference; SciPy-style surface) ---------------------
+    def eval_derivative(self, interp, xq, yq, dx=0, dy=0):
+        """Analytic partials of the bilinear surface: per-cell constant
+        slopes along each axis, the mixed (1,1) twist term
+        ``(z22 - z21 - z12 + z11)/(Δx·Δy)``, and identically zero for
+        any order ≥ 2 (away from the grid lines, where the
+        distributional derivative is undefined).  Plain 4-corner XLA
+        gathers — the derivative path is not the hot eval route."""
+        if dx not in (0, 1, 2, 3) or dy not in (0, 1, 2, 3):
+            raise ValueError(
+                f"derivative orders must be in 0..3; got dx={dx}, dy={dy}"
+            )
+        from ...ops.searchsorted import lower_index_fast
+
+        x, y, data = interp.x, interp.y, interp.data
+        xi = lower_index_fast(x, xq)
+        yi = lower_index_fast(y, yq)
+        z11 = data[xi, yi]
+        z12 = data[xi, yi + 1]
+        z21 = data[xi + 1, yi]
+        z22 = data[xi + 1, yi + 1]
+        expand = xq.shape + (1,) * (data.ndim - 2)
+
+        def e(v):
+            return v.reshape(expand)
+
+        x1, x2 = e(x[xi]), e(x[xi + 1])
+        y1, y2 = e(y[yi]), e(y[yi + 1])
+        dxv = x2 - x1
+        dyv = y2 - y1
+        if dx == 0 and dy == 0:
+            z1 = calc_frac(x1, z11, x2, z21, e(xq))
+            z2 = calc_frac(x1, z12, x2, z22, e(xq))
+            return calc_frac(y1, z1, y2, z2, e(yq))
+        if dx == 1 and dy == 0:
+            return calc_frac(
+                y1, (z21 - z11) / dxv, y2, (z22 - z12) / dxv, e(yq)
+            )
+        if dx == 0 and dy == 1:
+            z1 = calc_frac(x1, z11, x2, z21, e(xq))
+            z2 = calc_frac(x1, z12, x2, z22, e(xq))
+            return (z2 - z1) / dyv
+        if dx == 1 and dy == 1:
+            return (z22 - z21 - z12 + z11) / (dxv * dyv)
+        return jnp.zeros_like((z11 - z11) / dxv)  # any order >= 2
+
     def _rows(self):
         return None
 

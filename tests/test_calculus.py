@@ -519,3 +519,211 @@ class TestSolve:
         x, y, _ = case(seed=42)
         with pytest.raises(TypeError, match="does not support"):
             build(x, y, Nearest()).solve(0.0)
+
+
+class TestDerivative2D:
+    """Interp2D.derivative(xs, ys, dx, dy) — SciPy
+    RectBivariateSpline.ev-style partials; oracle = sequential 1-D
+    CubicSplines (the tensor-product construction commutes axis-wise
+    because the spline solve is linear in its nodal values)."""
+
+    @staticmethod
+    def grid(nx=12, ny=10, bank=None, seed=50):
+        rng = np.random.default_rng(seed)
+        x = np.sort(rng.uniform(0, 5, nx))
+        y = np.sort(rng.uniform(0, 4, ny))
+        shape = (nx, ny) if bank is None else (nx, ny, bank)
+        z = rng.normal(size=shape)
+        qx = rng.uniform(x[0], x[-1], 60)
+        qy = rng.uniform(y[0], y[-1], 60)
+        return x, y, z, qx, qy
+
+    @staticmethod
+    def build2(x, y, z, strat):
+        from ndarray_interp_tpu.interp2d import Interp2D
+
+        return (
+            Interp2D.builder(jnp.asarray(z))
+            .x(jnp.asarray(x))
+            .y(jnp.asarray(y))
+            .strategy(strat)
+            .build()
+        )
+
+    @staticmethod
+    def seq_oracle(x, y, z, qx, qy, ox, oy, bc="not-a-knot"):
+        out = np.empty(qx.shape[0])
+        for q in range(qx.shape[0]):
+            col = np.array(
+                [
+                    si.CubicSpline(y, z[i], bc_type=bc).derivative(oy)(qy[q])
+                    if oy
+                    else si.CubicSpline(y, z[i], bc_type=bc)(qy[q])
+                    for i in range(x.shape[0])
+                ]
+            )
+            cs = si.CubicSpline(x, col, bc_type=bc)
+            out[q] = cs.derivative(ox)(qx[q]) if ox else cs(qx[q])
+        return out
+
+    @pytest.mark.parametrize(
+        "ox,oy",
+        [(1, 0), (0, 1), (1, 1), (2, 0), (0, 2), (2, 2), (3, 1)],
+    )
+    def test_bicubic_matches_sequential_scipy(self, ox, oy):
+        from ndarray_interp_tpu.interp2d import Bicubic
+
+        x, y, z, qx, qy = self.grid()
+        itp = self.build2(x, y, z, Bicubic())
+        got = np.asarray(itp.derivative(qx, qy, dx=ox, dy=oy))
+        want = self.seq_oracle(x, y, z, qx, qy, ox, oy)
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+    @pytest.mark.parametrize("bc", ["natural", "clamped", "periodic"])
+    def test_boundary_families(self, bc):
+        from ndarray_interp_tpu.interp2d import Bicubic
+
+        x, y, z, qx, qy = self.grid(seed=51)
+        if bc == "periodic":
+            z = z.copy()
+            z[-1, :] = z[0, :]
+            z[:, -1] = z[:, 0]
+        itp = self.build2(
+            x, y, z, Bicubic(bc_x=bc.replace("-", "_"), bc_y=bc.replace("-", "_"))
+        )
+        got = np.asarray(itp.derivative(qx, qy, dx=1, dy=1))
+        want = self.seq_oracle(x, y, z, qx, qy, 1, 1, bc=bc)
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+    def test_node_layout_matches_cell(self, monkeypatch):
+        from ndarray_interp_tpu import config
+        from ndarray_interp_tpu.interp2d import Bicubic
+
+        x, y, z, qx, qy = self.grid(seed=52)
+        cell = self.build2(x, y, z, Bicubic())
+        assert cell.strategy.layout == "cell"
+        monkeypatch.setattr(config, "bicubic_pack_max_elems", 10)
+        node = self.build2(x, y, z, Bicubic())
+        assert node.strategy.layout == "node"
+        for ox, oy in [(1, 0), (0, 1), (1, 1), (2, 1)]:
+            np.testing.assert_allclose(
+                np.asarray(node.derivative(qx, qy, dx=ox, dy=oy)),
+                np.asarray(cell.derivative(qx, qy, dx=ox, dy=oy)),
+                rtol=1e-11,
+                atol=1e-12,
+            )
+
+    def test_banked_trailing_dims(self):
+        from ndarray_interp_tpu.interp2d import Bicubic
+
+        x, y, z, qx, qy = self.grid(bank=3, seed=53)
+        itp = self.build2(x, y, z, Bicubic())
+        got = np.asarray(itp.derivative(qx, qy, dx=1, dy=0))
+        assert got.shape == (60, 3)
+        for j in range(3):
+            want = self.seq_oracle(x, y, z[..., j], qx, qy, 1, 0)
+            np.testing.assert_allclose(
+                got[:, j], want, rtol=1e-9, atol=1e-10
+            )
+
+    def test_matches_autodiff(self):
+        from ndarray_interp_tpu.interp2d import Bicubic
+
+        x, y, z, qx, qy = self.grid(seed=54)
+        itp = self.build2(x, y, z, Bicubic(extrapolate=True))
+        gx = jax.vmap(jax.grad(lambda a, b: itp(a, b), argnums=0))(
+            jnp.asarray(qx), jnp.asarray(qy)
+        )
+        gy = jax.vmap(jax.grad(lambda a, b: itp(a, b), argnums=1))(
+            jnp.asarray(qx), jnp.asarray(qy)
+        )
+        np.testing.assert_allclose(
+            np.asarray(itp.derivative(qx, qy, dx=1)), gx,
+            rtol=1e-8, atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(itp.derivative(qx, qy, dy=1)), gy,
+            rtol=1e-8, atol=1e-10,
+        )
+
+    def test_bilinear_partials(self):
+        from ndarray_interp_tpu.interp2d import Bilinear
+
+        x, y, z, qx, qy = self.grid(seed=55)
+        itp = self.build2(x, y, z, Bilinear())
+        gx = jax.vmap(jax.grad(lambda a, b: itp(a, b), argnums=0))(
+            jnp.asarray(qx), jnp.asarray(qy)
+        )
+        gy = jax.vmap(jax.grad(lambda a, b: itp(a, b), argnums=1))(
+            jnp.asarray(qx), jnp.asarray(qy)
+        )
+        np.testing.assert_allclose(
+            np.asarray(itp.derivative(qx, qy, dx=1)), gx, rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(itp.derivative(qx, qy, dy=1)), gy, rtol=1e-12
+        )
+        # the twist term: FD of d/dx across y
+        eps = 1e-7
+        fd = (
+            np.asarray(itp.derivative(qx, qy + eps, dx=1))
+            - np.asarray(itp.derivative(qx, qy, dx=1))
+        ) / eps
+        np.testing.assert_allclose(
+            np.asarray(itp.derivative(qx, qy, dx=1, dy=1)), fd,
+            rtol=1e-5, atol=1e-6,
+        )
+        assert np.all(np.asarray(itp.derivative(qx, qy, dx=2)) == 0.0)
+
+    def test_jit_query_dims_and_value_parity(self):
+        from ndarray_interp_tpu.interp2d import Bicubic
+
+        x, y, z, qx, qy = self.grid(seed=56)
+        itp = self.build2(x, y, z, Bicubic())
+        f = jax.jit(lambda t, a, b: t.derivative(a, b, dx=1, dy=1))
+        np.testing.assert_allclose(
+            f(itp, jnp.asarray(qx), jnp.asarray(qy)),
+            itp.derivative(qx, qy, dx=1, dy=1),
+            rtol=1e-12,
+        )
+        q2x, q2y = qx[:12].reshape(3, 4), qy[:12].reshape(3, 4)
+        assert itp.derivative(q2x, q2y, dx=1).shape == (3, 4)
+        # order (0,0) is the surface itself
+        np.testing.assert_allclose(
+            np.asarray(itp.derivative(qx, qy)),
+            np.asarray(itp.interp_array(jnp.asarray(qx), jnp.asarray(qy))),
+            rtol=1e-12,
+        )
+
+    def test_validation(self):
+        from ndarray_interp_tpu.interp2d import Bicubic, Interp2D
+
+        x, y, z, qx, qy = self.grid(seed=57)
+        itp = self.build2(x, y, z, Bicubic())
+        with pytest.raises(ValueError, match="do not match"):
+            itp.derivative(qx, qy[:5], dx=1)
+        with pytest.raises(ValueError, match="orders"):
+            itp.derivative(qx, qy, dx=4)
+        with pytest.raises(OutOfBoundsError):
+            itp.derivative(qx - 100.0, qy, dx=1)
+        from ndarray_interp_tpu.interp2d import Nearest2D
+
+        nn = self.build2(x, y, z, Nearest2D())
+        with pytest.raises(TypeError, match="does not support"):
+            nn.derivative(qx, qy, dx=1)
+
+    def test_periodic_wrap_queries(self):
+        from ndarray_interp_tpu.interp2d import Bicubic
+
+        x, y, z, qx, qy = self.grid(seed=58)
+        z = z.copy()
+        z[-1, :] = z[0, :]
+        z[:, -1] = z[:, 0]
+        itp = self.build2(x, y, z, Bicubic(bc_x="periodic", bc_y="periodic"))
+        px = x[-1] - x[0]
+        py = y[-1] - y[0]
+        base = np.asarray(itp.derivative(qx, qy, dx=1, dy=1))
+        wrapped = np.asarray(
+            itp.derivative(qx + 2 * px, qy - 3 * py, dx=1, dy=1)
+        )
+        np.testing.assert_allclose(wrapped, base, rtol=1e-8, atol=1e-10)
