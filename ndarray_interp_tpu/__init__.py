@@ -45,7 +45,9 @@ __all__ = [
     "ShapeError",
     "interp1d",
     "interp2d",
+    "interpnd",
 ]
 
 from . import interp1d  # noqa: E402
 from . import interp2d  # noqa: E402
+from . import interpnd  # noqa: E402

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..models.interp1d import Interp1D
 from ..models.interp2d import Interp2D
+from ..models.interpnd import InterpND
 from ..models.strategies.bicubic import BicubicStrategy
 from ..models.strategies.bilinear import Bilinear, BilinearPacked
 from ..models.strategies.cubic import CubicSplineStrategy
@@ -223,7 +224,8 @@ def _resolve_codec(sname, allow_custom_import=False):
 
 
 def save(path, interp) -> None:
-    """Save an :class:`Interp1D` / :class:`Interp2D` to ``path`` (.npz)."""
+    """Save an :class:`Interp1D` / :class:`Interp2D` / :class:`InterpND`
+    to ``path`` (.npz)."""
     arrays = {}
     if isinstance(interp, Interp1D):
         header = {"kind": "interp1d"}
@@ -234,6 +236,23 @@ def save(path, interp) -> None:
         arrays["x"] = np.asarray(interp.x)
         arrays["y"] = np.asarray(interp.y)
         arrays["data"] = np.asarray(interp.data)
+    elif isinstance(interp, InterpND):
+        # InterpND carries no strategy object — method/extrapolate are
+        # plain static aux, the axes are k separate leaf arrays
+        header = {
+            "kind": "interpnd",
+            "k": interp.k,
+            "method": interp.method,
+            "extrapolate": interp.extrapolates,
+        }
+        for d, ax in enumerate(interp.axes):
+            arrays[f"axis_{d}"] = np.asarray(ax)
+        arrays["data"] = np.asarray(interp.data)
+        arrays["__header__"] = np.frombuffer(
+            json.dumps(header).encode(), dtype=np.uint8
+        )
+        np.savez(Path(path), **arrays)
+        return
     else:
         raise TypeError(f"cannot serialize {type(interp).__name__}")
 
@@ -263,6 +282,16 @@ def load(path, allow_custom_import=False):
         p = Path(f"{path}.npz")
     with np.load(p) as z:
         header = json.loads(bytes(z["__header__"]).decode())
+        if header["kind"] == "interpnd":
+            axes = tuple(
+                jnp.asarray(z[f"axis_{d}"]) for d in range(header["k"])
+            )
+            return InterpND.new_unchecked(
+                axes,
+                jnp.asarray(z["data"]),
+                header["method"],
+                header["extrapolate"],
+            )
         sname = header["strategy"]
         _, _, dec = _resolve_codec(sname, allow_custom_import)
         sarrs = {

@@ -1,0 +1,345 @@
+"""N-D rectilinear interpolation (`InterpND`) — beyond the reference.
+
+The reference crate stops at two interpolated axes
+(``/root/reference/src/interp2d/mod.rs:29-32``); `InterpND` generalizes
+the driver conventions (query dims leading, output dims ``M + N - k``,
+matching query shapes, OOB raise / NaN mask — ``mod.rs:175-211``) to the
+leading-``k``-axes case.  Oracle: SciPy ``RegularGridInterpolator``,
+consistent with the reference's own SciPy-as-ground-truth test strategy
+(``tests/cubic_spline_strat.rs``).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ndarray_interp_tpu.errors import (
+    MonotonicError,
+    NotEnoughDataError,
+    OutOfBoundsError,
+    ShapeError,
+)
+from ndarray_interp_tpu.interpnd import InterpND, InterpNDBuilder
+
+scipy_interp = pytest.importorskip("scipy.interpolate")
+
+
+def _grid_case(k, trailing=(), seed=0, sizes=None):
+    rng = np.random.default_rng(seed)
+    sizes = sizes or [5, 4, 6, 3, 4][:k]
+    axes = [np.sort(rng.uniform(-4.0, 4.0, n)) for n in sizes]
+    data = rng.normal(size=tuple(sizes) + tuple(trailing))
+    return axes, data, rng
+
+
+def _queries(axes, rng, n=64, shape=None):
+    qs = [rng.uniform(ax[0], ax[-1], n) for ax in axes]
+    if shape is not None:
+        qs = [q.reshape(shape) for q in qs]
+    return qs
+
+
+# ---------------------------------------------------------------------------
+# SciPy oracle parity
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 4])
+@pytest.mark.parametrize("method", ["linear", "nearest"])
+def test_scipy_oracle(k, method):
+    axes, data, rng = _grid_case(k, seed=k)
+    itp = InterpND.builder(data).points(*axes).method(method).build()
+    qs = _queries(axes, rng)
+    got = np.asarray(itp.interp_array(*qs))
+    rgi = scipy_interp.RegularGridInterpolator(axes, data, method=method)
+    want = rgi(np.stack(qs, axis=-1))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_scipy_oracle_trailing_dims(k):
+    axes, data, rng = _grid_case(k, trailing=(3, 2), seed=10 + k)
+    itp = InterpND.builder(data).points(*axes).build()
+    qs = _queries(axes, rng, n=40)
+    got = np.asarray(itp.interp_array(*qs))
+    assert got.shape == (40, 3, 2)
+    rgi = scipy_interp.RegularGridInterpolator(axes, data)
+    want = rgi(np.stack(qs, axis=-1))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_matches_interp2d_bilinear():
+    # InterpND(k=2, linear) must agree with the reference-parity Bilinear
+    from ndarray_interp_tpu.interp2d import Interp2D
+
+    axes, data, rng = _grid_case(2, trailing=(3,), seed=3)
+    nd = InterpND.builder(data).points(*axes).build()
+    i2 = (
+        Interp2D.builder(data)
+        .x(jnp.asarray(axes[0]))
+        .y(jnp.asarray(axes[1]))
+        .build()
+    )
+    xs, ys = _queries(axes, rng, n=32)
+    np.testing.assert_allclose(
+        np.asarray(nd.interp_array(xs, ys)),
+        np.asarray(i2.interp_array(jnp.asarray(xs), jnp.asarray(ys))),
+        rtol=0,
+        atol=1e-13,
+    )
+
+
+def test_grid_nodes_exact():
+    # every grid node reproduces its data value exactly
+    axes, data, _ = _grid_case(3, seed=5)
+    itp = InterpND.builder(data).points(*axes).build()
+    mesh = np.meshgrid(*axes, indexing="ij")
+    got = np.asarray(itp.interp_array(*(m.ravel() for m in mesh)))
+    np.testing.assert_allclose(
+        got, data.ravel(), rtol=0, atol=1e-13
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver conventions (shapes, defaults, errors)
+# ---------------------------------------------------------------------------
+
+
+def test_output_shape_m_plus_n_minus_k():
+    # query dims leading; output dims M + N - k (mod.rs:175-211 convention)
+    axes, data, rng = _grid_case(3, trailing=(2,), seed=7)
+    itp = InterpND.builder(data).points(*axes).build()
+    qs = _queries(axes, rng, n=24, shape=(2, 3, 4))
+    out = itp.interp_array(*qs)
+    assert out.shape == (2, 3, 4, 2)
+    assert itp.get_buffer_shape((2, 3, 4)) == (2, 3, 4, 2)
+    # scalar-point interp -> trailing shape
+    pt = [float(0.5 * (a[0] + a[-1])) for a in axes]
+    assert itp.interp(*pt).shape == (2,)
+
+
+def test_default_axes_are_indices():
+    data = np.arange(24.0).reshape(2, 3, 4)
+    itp = InterpND.builder(data).build()
+    assert itp.k == 3
+    np.testing.assert_allclose(
+        np.asarray(itp.interp(0.5, 1.0, 2.5)),
+        np.asarray(
+            scipy_interp.RegularGridInterpolator(
+                [np.arange(2.0), np.arange(3.0), np.arange(4.0)], data
+            )([0.5, 1.0, 2.5])[0]
+        ),
+    )
+
+
+def test_query_shape_mismatch():
+    axes, data, _ = _grid_case(2)
+    itp = InterpND.builder(data).points(*axes).build()
+    with pytest.raises(ValueError, match="do not match"):
+        itp.interp_array(np.zeros(3), np.zeros(4))
+
+
+def test_query_arity_mismatch():
+    axes, data, _ = _grid_case(2)
+    itp = InterpND.builder(data).points(*axes).build()
+    with pytest.raises(ValueError, match="expected 2 coordinate arrays"):
+        itp.interp_array(np.zeros(3))
+
+
+def test_out_of_bounds_raises_eagerly():
+    axes, data, _ = _grid_case(2)
+    itp = InterpND.builder(data).points(*axes).build()
+    with pytest.raises(OutOfBoundsError, match="axis 1"):
+        itp.interp(axes[0][0], axes[1][-1] + 1.0)
+
+
+def test_out_of_bounds_masks_to_nan_in_pure_path():
+    # docs/PARITY.md D1: the pure jittable path masks OOB to NaN
+    axes, data, _ = _grid_case(2)
+    itp = InterpND.builder(data).points(*axes).build()
+    out = itp(np.array([axes[0][0], axes[0][0]]),
+              np.array([axes[1][0], axes[1][-1] + 1.0]))
+    assert np.isfinite(out[0])
+    assert np.isnan(out[1])
+
+
+def test_extrapolate_extends_edge_cells():
+    # linear data extrapolates exactly when extrapolate=True
+    ax = [np.array([0.0, 1.0, 2.0]), np.array([0.0, 1.0])]
+    x, y = np.meshgrid(*ax, indexing="ij")
+    data = 2.0 * x + 3.0 * y + 1.0
+    itp = (
+        InterpND.builder(data).points(*ax).extrapolate().build()
+    )
+    got = itp.interp(3.5, -1.0)
+    np.testing.assert_allclose(float(got), 2 * 3.5 + 3 * (-1.0) + 1.0)
+    # nearest extrapolation clamps to the edge node
+    itn = (
+        InterpND.builder(data)
+        .points(*ax)
+        .method("nearest")
+        .extrapolate()
+        .build()
+    )
+    np.testing.assert_allclose(float(itn.interp(9.0, 9.0)), data[-1, -1])
+
+
+def test_nan_query_raises():
+    axes, data, _ = _grid_case(2)
+    itp = InterpND.builder(data).points(*axes).build()
+    with pytest.raises(ValueError, match="NaN"):
+        itp.interp(np.nan, axes[1][0])
+
+
+# ---------------------------------------------------------------------------
+# Builder validation (mirrors the 2-D builder, mod.rs:468-518)
+# ---------------------------------------------------------------------------
+
+
+def test_builder_errors():
+    axes, data, _ = _grid_case(2)
+    with pytest.raises(NotEnoughDataError, match="0-dimension"):
+        InterpND.builder(np.zeros((1, 4))).points(
+            np.zeros(1), axes[1]
+        ).build()
+    with pytest.raises(ShapeError, match="axis 0 and data-0"):
+        InterpND.builder(data).points(np.arange(3.0), axes[1]).build()
+    with pytest.raises(MonotonicError, match="axis 1"):
+        InterpND.builder(data).points(
+            axes[0], axes[1][::-1].copy()
+        ).build()
+    with pytest.raises(ShapeError, match="one-dimensional"):
+        InterpND.builder(data).points(
+            axes[0].reshape(-1, 1), axes[1]
+        ).build()
+    with pytest.raises(ShapeError, match="at least 2"):
+        InterpND.builder(np.zeros(5)).points(
+            np.arange(5.0), np.arange(3.0)
+        ).build()
+    with pytest.raises(ValueError, match="unknown InterpND method"):
+        InterpND.builder(data).method("cubic")
+
+
+def test_builder_type_and_chaining():
+    axes, data, _ = _grid_case(2)
+    b = InterpND.builder(data)
+    assert isinstance(b, InterpNDBuilder)
+    itp = b.points(*axes).method("nearest").extrapolate().build()
+    assert itp.method == "nearest"
+    assert itp.extrapolates
+
+
+# ---------------------------------------------------------------------------
+# Transforms: jit / vmap / grad / pytree
+# ---------------------------------------------------------------------------
+
+
+def test_jit_vmap_grad():
+    axes, data, rng = _grid_case(3, seed=11)
+    itp = InterpND.builder(data).points(*axes).build()
+    qs = [jnp.asarray(q) for q in _queries(axes, rng, n=16)]
+
+    jitted = jax.jit(lambda i, *q: i(*q))
+    np.testing.assert_allclose(
+        np.asarray(jitted(itp, *qs)),
+        np.asarray(itp.interp_array(*qs)),
+        rtol=0,
+        atol=1e-13,
+    )
+
+    vm = jax.vmap(lambda a, b, c: itp(a, b, c))
+    np.testing.assert_allclose(
+        np.asarray(vm(*qs)).ravel(),
+        np.asarray(itp.interp_array(*qs)).ravel(),
+        rtol=0,
+        atol=1e-13,
+    )
+
+    # gradient w.r.t. the query point: piecewise-multilinear slope
+    ax = [np.array([0.0, 1.0, 2.0]), np.array([0.0, 2.0])]
+    x, y = np.meshgrid(*ax, indexing="ij")
+    lin = 2.0 * x + 3.0 * y
+    ilin = InterpND.builder(lin).points(*ax).build()
+    g = jax.grad(
+        lambda x_, y_: ilin(x_.reshape(1), y_.reshape(1)).sum()
+    )(jnp.asarray(0.6), jnp.asarray(1.1))
+    np.testing.assert_allclose(float(g), 2.0, atol=1e-13)
+
+
+def test_pytree_roundtrip():
+    axes, data, _ = _grid_case(2, trailing=(2,))
+    itp = (
+        InterpND.builder(data)
+        .points(*axes)
+        .method("nearest")
+        .extrapolate()
+        .build()
+    )
+    leaves, treedef = jax.tree_util.tree_flatten(itp)
+    back = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert back.method == "nearest"
+    assert back.extrapolates
+    assert back.k == 2
+    np.testing.assert_array_equal(
+        np.asarray(back.data), np.asarray(itp.data)
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from ndarray_interp_tpu.utils import checkpoint
+
+    axes, data, rng = _grid_case(3, trailing=(2,), seed=21)
+    itp = (
+        InterpND.builder(data)
+        .points(*axes)
+        .method("nearest")
+        .extrapolate()
+        .build()
+    )
+    path = tmp_path / "nd.npz"
+    checkpoint.save(path, itp)
+    back = checkpoint.load(path)
+    assert isinstance(back, InterpND)
+    assert back.method == "nearest"
+    assert back.extrapolates
+    assert back.k == 3
+    qs = _queries(axes, rng, n=16)
+    np.testing.assert_array_equal(
+        np.asarray(back.interp_array(*qs)),
+        np.asarray(itp.interp_array(*qs)),
+    )
+
+
+def test_sharded_queries_match_replicated():
+    # queries shard over the mesh (each touches only its own cell);
+    # axes/data replicate — a zero-communication layout
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs a multi-device mesh")
+    axes, data, rng = _grid_case(3, trailing=(2,), seed=31)
+    itp = InterpND.builder(data).points(*axes).build()
+    qs = [jnp.asarray(q) for q in _queries(axes, rng, n=16 * len(devs))]
+    want = np.asarray(itp.interp_array(*qs))
+
+    mesh = Mesh(np.array(devs), ("q",))
+    qsh = NamedSharding(mesh, P("q"))
+    rep = NamedSharding(mesh, P())
+    itp_r = jax.device_put(itp, rep)
+    qs_s = [jax.device_put(q, qsh) for q in qs]
+    out = jax.jit(
+        lambda i, *q: i.eval_unchecked(*q),
+        out_shardings=NamedSharding(mesh, P("q", None)),
+    )(itp_r, *qs_s)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=0, atol=1e-13)
+
+
+def test_int_data_promotes_to_float():
+    data = np.arange(12, dtype=np.int32).reshape(3, 4)
+    itp = InterpND.builder(data).build()
+    out = itp.interp(0.5, 0.5)
+    assert jnp.issubdtype(out.dtype, jnp.inexact)
+    np.testing.assert_allclose(float(out), (0 + 1 + 4 + 5) / 4.0)
