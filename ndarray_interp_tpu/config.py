@@ -30,3 +30,11 @@ use_native_host: bool = os.environ.get("NDI_TPU_DISABLE_NATIVE", "0") != "1"
 #: (~4x data memory, 4 corner gathers per query — ~3x slower eval on
 #: v5e; see docs/API.md).
 bicubic_pack_max_elems: int = 128 * 1024 * 1024
+
+#: Largest packed InterpND corner-row table, in ELEMENTS.  The table
+#: stores all ``2^k`` cell corners contiguously per cell (``2^k``× the
+#: grid data's memory) so linear evaluation is ONE row gather per query;
+#: grids whose table would exceed this cap use the unpacked
+#: ``2^k``-corner gather instead (``2^k`` row fetches per query — the
+#: gather-engine law charges per fetched row, see docs/ROADMAP.md).
+interpnd_pack_max_elems: int = 128 * 1024 * 1024

@@ -10,13 +10,18 @@ query dims leading with output dims ``M + N - k``
 eagerly / masks to NaN in the pure jittable path (docs/PARITY.md D1),
 extrapolation extends the edge cells.
 
-TPU-native design: per-axis clamped bucketize (the shared searchsorted
-op), then ONE flat gather of all ``2^k`` cell corners — the corner
-offsets are a *static* enumeration, the grid multi-index flattens to
-row-major, so the whole corner cloud is a single ``jnp.take`` of the
-``(prod(grid), *trailing)`` view — and a multiplicative-weight reduce.
-Everything is static-shape, jittable, and vmappable; queries shard
-trivially over a mesh (each query touches only its own cell).
+TPU-native design: per-axis clamped bucketize (the fused Pallas
+``(idx, t)`` pass on TPU, the shared searchsorted op elsewhere), then
+ONE row gather per query: the builder packs a per-cell corner table
+(all ``2^k`` corner blocks contiguous per cell, the
+:class:`BilinearPacked` idiom generalized), so evaluation is a single
+``jnp.take`` of ``2^k·r``-channel rows plus a multiplicative-weight
+full reduce — the shape XLA fuses into the gather (docs/ROADMAP.md,
+gather-fusion boundary).  Grids whose table would exceed
+``config.interpnd_pack_max_elems`` (the table is ``2^k``× the data's
+memory) fall back to the unpacked ``2^k``-corner gather.  Everything is
+static-shape, jittable, and vmappable; queries shard trivially over a
+mesh (each query touches only its own cell).
 """
 
 from __future__ import annotations
@@ -35,11 +40,52 @@ from ..errors import (
     OutOfBoundsError,
     ShapeError,
 )
-from ..ops.searchsorted import get_lower_index, is_in_range
+from ..ops.searchsorted import is_in_range
 from ..utils.monotonic import monotonic_prop
 from .interp1d import _host_view, _is_traced
+from .strategies.bicubic import _index_frac
 
 _METHODS = ("linear", "nearest")
+
+
+def pack_corner_rows_nd(data, k):
+    """Per-cell packed rows: the ``2^k`` corner blocks of each cell laid
+    out contiguously (corner-major, each block ``r = prod(trailing)``
+    channels, in :func:`itertools.product` corner order — the weight
+    order of the eval).  One row gather then feeds the whole
+    multilinear blend; the :func:`~..strategies.bilinear.pack_corner_rows`
+    idiom generalized to ``k`` axes (no endpoint channels — ``t`` comes
+    from the bucketize pass)."""
+    grid = data.shape[:k]
+    trailing = data.shape[k:]
+    r = 1
+    for s in trailing:
+        r *= s
+    cells = tuple(n - 1 for n in grid)
+    ncells = 1
+    for c in cells:
+        ncells *= c
+    blocks = [
+        data[
+            tuple(slice(1, None) if d else slice(None, -1) for d in c)
+        ].reshape(cells + (r,))
+        for c in itertools.product((0, 1), repeat=k)
+    ]
+    table = jnp.stack(blocks, axis=k)  # cells + (2^k, r)
+    return table.reshape(ncells, (2**k) * r)
+
+
+def _corner_weights(ts, k):
+    """(Q, 2^k) multilinear weights in ``itertools.product`` corner
+    order (matches :func:`pack_corner_rows_nd`'s block order)."""
+    one = jnp.ones((), ts[0].dtype)
+    w = []
+    for c in itertools.product((0, 1), repeat=k):
+        wc = one
+        for d, t in zip(c, ts):
+            wc = wc * (t if d else one - t)
+        w.append(wc)
+    return jnp.stack(w, axis=-1)
 
 
 def _eval_core(interp, flats):
@@ -49,43 +95,60 @@ def _eval_core(interp, flats):
     k = len(axes)
     grid = data.shape[:k]
     trailing = data.shape[k:]
-    flat_data = data.reshape((-1,) + trailing)
-    strides = [1] * k
-    for d in range(k - 2, -1, -1):
-        strides[d] = strides[d + 1] * grid[d + 1]
 
     idx = []
     ts = []
     for ax, q in zip(axes, flats):
-        i = get_lower_index(ax, q)  # clamped to [0, n-2]
+        i, t = _index_frac(ax, q)  # i clamped to [0, n-2]
         idx.append(i)
-        ts.append((q - ax[i]) / (ax[i + 1] - ax[i]))
+        ts.append(t)
 
     if interp.method == "nearest":
         # per-axis nearest node, ties toward the lower node (the step
         # family's "nearest" convention); the clamped interval makes
         # out-of-range queries pick the edge node
+        strides = [1] * k
+        for d in range(k - 2, -1, -1):
+            strides[d] = strides[d + 1] * grid[d + 1]
         flat = sum(
             jnp.where(t <= 0.5, i, i + 1) * s
             for i, t, s in zip(idx, ts, strides)
         )
-        return jnp.take(flat_data, flat, axis=0)
+        return jnp.take(data.reshape((-1,) + trailing), flat, axis=0)
 
+    w = _corner_weights(ts, k)  # (Q, 2^k)
+
+    if interp.table is not None:
+        # packed route: ONE row gather + a full-channel weighted reduce
+        # (the shape XLA fuses into the gather; r>1 pays one re-stream)
+        cstrides = [1] * k
+        for d in range(k - 2, -1, -1):
+            cstrides[d] = cstrides[d + 1] * (grid[d + 1] - 1)
+        cell = sum(i * s for i, s in zip(idx, cstrides))
+        r = 1
+        for s in trailing:
+            r *= s
+        rows = jnp.take(interp.table, cell, axis=0)  # (Q, 2^k * r)
+        rows = rows.reshape(rows.shape[0], 2**k, r)
+        out = jnp.sum(rows * w[:, :, None], axis=1)
+        return out.reshape(out.shape[:1] + trailing)
+
+    # unpacked route: 2^k corner rows via one flat multi-index gather
+    strides = [1] * k
+    for d in range(k - 2, -1, -1):
+        strides[d] = strides[d + 1] * grid[d + 1]
     base = sum(i * s for i, s in zip(idx, strides))  # (Q,)
-    corners = list(itertools.product((0, 1), repeat=k))
     offsets = jnp.asarray(
-        [sum(d * s for d, s in zip(c, strides)) for c in corners],
+        [
+            sum(d * s for d, s in zip(c, strides))
+            for c in itertools.product((0, 1), repeat=k)
+        ],
         dtype=base.dtype,
     )
-    g = jnp.take(flat_data, base[:, None] + offsets[None, :], axis=0)
-    one = jnp.ones((), ts[0].dtype)
-    w = []
-    for c in corners:
-        wc = one
-        for d, t in zip(c, ts):
-            wc = wc * (t if d else one - t)
-        w.append(wc)
-    w = jnp.stack(w, axis=-1)  # (Q, 2^k)
+    g = jnp.take(
+        data.reshape((-1,) + trailing), base[:, None] + offsets[None, :],
+        axis=0,
+    )
     expand = w.shape + (1,) * len(trailing)
     return jnp.sum(g * w.reshape(expand), axis=1)
 
@@ -124,11 +187,14 @@ class InterpND:
     node, extrapolation clamps).
     """
 
-    def __init__(self, axes, data, method="linear", extrapolate=False):
+    def __init__(
+        self, axes, data, method="linear", extrapolate=False, table=None
+    ):
         self.axes = tuple(axes)
         self.data = data
         self.method = method
         self.extrapolates = bool(extrapolate)
+        self.table = table
 
     @property
     def k(self) -> int:
@@ -141,10 +207,28 @@ class InterpND:
 
     @classmethod
     def new_unchecked(
-        cls, axes, data, method="linear", extrapolate=False
+        cls, axes, data, method="linear", extrapolate=False, table=None
     ) -> "InterpND":
-        """No-validation constructor (pytree unflatten)."""
-        return cls(axes, data, method, extrapolate)
+        """No-validation constructor (pytree unflatten).  ``table`` is
+        the optional packed corner-row table (derived state); pass
+        :meth:`packed` output or leave ``None`` for the unpacked
+        gather route."""
+        return cls(axes, data, method, extrapolate, table)
+
+    @staticmethod
+    def _pack_or_none(data, k, method):
+        """The packed corner table when the route is eligible: linear
+        method, floating data, table (``2^k``× the data's memory) under
+        ``config.interpnd_pack_max_elems``."""
+        from .. import config
+
+        if method != "linear":
+            return None
+        if not jnp.issubdtype(data.dtype, jnp.floating):
+            return None
+        if data.size * (2**k) > config.interpnd_pack_max_elems:
+            return None
+        return pack_corner_rows_nd(data, k)
 
     # -- pure, jittable core -----------------------------------------------------
     def __call__(self, *coords):
@@ -225,16 +309,21 @@ class InterpND:
 
     # -- pytree --------------------------------------------------------------
     def tree_flatten(self):
-        return (self.axes, self.data), (self.method, self.extrapolates)
+        return (self.axes, self.data, self.table), (
+            self.method,
+            self.extrapolates,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1])
+        return cls(children[0], children[1], aux[0], aux[1], children[2])
 
     def __repr__(self):
+        packed = ", packed" if self.table is not None else ""
         return (
             f"InterpND(k={self.k}, data={self.data.shape}, "
-            f"method={self.method!r}, extrapolate={self.extrapolates})"
+            f"method={self.method!r}, extrapolate={self.extrapolates}"
+            f"{packed})"
         )
 
 
@@ -319,9 +408,12 @@ class InterpNDBuilder:
         ct = jnp.result_type(data.dtype, *(ax.dtype for ax in axes))
         if not jnp.issubdtype(ct, jnp.inexact):
             ct = jnp.result_type(ct, jnp.float32)
+        axes_ct = tuple(ax.astype(ct) for ax in axes)
+        data_ct = data.astype(ct)
         return InterpND(
-            tuple(ax.astype(ct) for ax in axes),
-            data.astype(ct),
+            axes_ct,
+            data_ct,
             self._method,
             self._extrapolate,
+            InterpND._pack_or_none(data_ct, k, self._method),
         )

@@ -286,11 +286,14 @@ def load(path, allow_custom_import=False):
             axes = tuple(
                 jnp.asarray(z[f"axis_{d}"]) for d in range(header["k"])
             )
+            d_nd = jnp.asarray(z["data"])
+            # the packed corner table is derived state — re-pack on load
             return InterpND.new_unchecked(
                 axes,
-                jnp.asarray(z["data"]),
+                d_nd,
                 header["method"],
                 header["extrapolate"],
+                InterpND._pack_or_none(d_nd, header["k"], header["method"]),
             )
         sname = header["strategy"]
         _, _, dec = _resolve_codec(sname, allow_custom_import)

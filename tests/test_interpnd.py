@@ -337,6 +337,30 @@ def test_sharded_queries_match_replicated():
     np.testing.assert_allclose(np.asarray(out), want, rtol=0, atol=1e-13)
 
 
+def test_packed_route_matches_unpacked():
+    # the packed corner table is a pure performance route: same values
+    from ndarray_interp_tpu import config
+
+    axes, data, rng = _grid_case(3, trailing=(2,), seed=41)
+    packed = InterpND.builder(data).points(*axes).build()
+    assert packed.table is not None
+    assert packed.table.shape == (4 * 3 * 5, 8 * 2)
+    old = config.interpnd_pack_max_elems
+    try:
+        config.interpnd_pack_max_elems = 0
+        unpacked = InterpND.builder(data).points(*axes).build()
+    finally:
+        config.interpnd_pack_max_elems = old
+    assert unpacked.table is None
+    qs = _queries(axes, rng, n=200)
+    np.testing.assert_allclose(
+        np.asarray(packed.interp_array(*qs)),
+        np.asarray(unpacked.interp_array(*qs)),
+        rtol=0,
+        atol=1e-13,
+    )
+
+
 def test_int_data_promotes_to_float():
     data = np.arange(12, dtype=np.int32).reshape(3, 4)
     itp = InterpND.builder(data).build()
