@@ -3,8 +3,9 @@
 The reference crate stops at two interpolated axes
 (``/root/reference/src/interp2d/mod.rs:29-32``); this module covers the
 leading-``k``-axes case with the SciPy ``RegularGridInterpolator``
-surface (methods ``"linear"`` and ``"nearest"``) so its users can
-switch.  The driver conventions carry over from the 1-D/2-D drivers:
+surface (methods ``"linear"``, ``"nearest"``, and ``"cubic"`` — the
+tensor-product C² cubic spline, with per-axis boundary families) so its
+users can switch.  The driver conventions carry over from the 1-D/2-D drivers:
 query dims leading with output dims ``M + N - k``
 (``mod.rs:175-211``), matching query shapes enforced, OOB raises
 eagerly / masks to NaN in the pure jittable path (docs/PARITY.md D1),
@@ -26,6 +27,7 @@ mesh (each query touches only its own cell).
 
 from __future__ import annotations
 
+import functools
 import itertools
 
 import numpy as np
@@ -43,9 +45,10 @@ from ..errors import (
 from ..ops.searchsorted import is_in_range
 from ..utils.monotonic import monotonic_prop
 from .interp1d import _host_view, _is_traced
-from .strategies.bicubic import _index_frac
+from .strategies.bicubic import _AXIS_KINDS, _index_frac, _solve_axis0
 
-_METHODS = ("linear", "nearest")
+_METHODS = ("linear", "nearest", "cubic")
+_BCS = tuple(_AXIS_KINDS)  # not_a_knot / natural / clamped / periodic
 
 
 def pack_corner_rows_nd(data, k):
@@ -88,6 +91,190 @@ def _corner_weights(ts, k):
     return jnp.stack(w, axis=-1)
 
 
+def interpnd_node_grids(axes, data, k, bcs):
+    """All ``2^k`` mixed-derivative node grids of the tensor-product
+    cubic spline: ``grids[mask]`` (bit ``d`` ↔ axis ``d``) holds
+    ``∂^{|mask|} data / ∏_{d∈mask} ∂x_d`` at the grid nodes, computed
+    by the batched 1-D spline solve applied along each axis in
+    ascending order (``bicubic_node_grids``' ``kxy = solve_y(kx)``
+    composition generalized; the tensor-product interpolant is
+    axis-order independent)."""
+    grids = {0: data}
+    for d in range(k):
+        for e in sorted(grids):
+            g = grids[e]
+            moved = jnp.moveaxis(g, d, 0)
+            kd = _solve_axis0(axes[d], moved, bcs[d])
+            grids[e | (1 << d)] = jnp.moveaxis(kd, 0, d)
+    return grids
+
+
+def _cubic_digit_channels(k):
+    """Static channel enumeration for the cubic routes: one base-4
+    digit per axis (axis 0 most significant), ``digit = 2*deriv +
+    side``.  Matches the weight order of :func:`_cubic_weights`."""
+    return list(itertools.product(range(4), repeat=k))
+
+
+def pack_cubic_rows_nd(axes, data, k, grids):
+    """Per-cell packed rows for the tensor-product cubic: the full
+    ``4^k``-quantity corner state (every mixed derivative at every
+    corner, trailing-flattened) with derivatives PRE-SCALED by their
+    cell's interval widths — ONE gathered row feeds the whole
+    ``k``-fold Hermite blend (``pack_bicubic_rows`` generalized; no
+    endpoint channels, ``t`` comes from the bucketize pass)."""
+    grid = data.shape[:k]
+    trailing = data.shape[k:]
+    r = 1
+    for s in trailing:
+        r *= s
+    cells = tuple(n - 1 for n in grid)
+    ncells = 1
+    for c in cells:
+        ncells *= c
+    dxs = [
+        (ax[1:] - ax[:-1]).astype(data.dtype) for ax in axes
+    ]  # (n_d - 1,)
+    blocks = []
+    for digits in _cubic_digit_channels(k):
+        mask = 0
+        for d, dig in enumerate(digits):
+            if dig >= 2:
+                mask |= 1 << d
+        sl = tuple(slice(1, None) if dig & 1 else slice(None, -1)
+                   for dig in digits)
+        block = grids[mask][sl].reshape(cells + (r,))
+        for d, dig in enumerate(digits):
+            if dig >= 2:
+                shape = [1] * (k + 1)
+                shape[d] = cells[d]
+                block = block * dxs[d].reshape(shape)
+        blocks.append(block)
+    table = jnp.stack(blocks, axis=k)  # cells + (4^k, r)
+    return table.reshape(ncells, (4**k) * r)
+
+
+def pack_cubic_nodes_nd(axes, data, k, grids):
+    """Memory-frugal node table ``(prod(n), 2^k·r + k)``: the raw
+    (unscaled) mixed-derivative state per node plus the node's own
+    coordinates — ``2^k`` corner-row gathers per query instead of 1
+    cell-row gather, at ``~2^k``× the data's memory instead of
+    ``~4^k``× (``pack_bicubic_nodes`` generalized).  Block order =
+    subset masks ascending (mask bit ``d`` ↔ axis ``d``)."""
+    grid = data.shape[:k]
+    trailing = data.shape[k:]
+    r = 1
+    for s in trailing:
+        r *= s
+    nnodes = 1
+    for n in grid:
+        nnodes *= n
+    blocks = [
+        grids[e].reshape(grid + (r,)) for e in range(2**k)
+    ]
+    coords = jnp.meshgrid(
+        *[ax.astype(data.dtype) for ax in axes], indexing="ij"
+    )
+    blocks += [c[..., None] for c in coords]
+    return jnp.concatenate(blocks, axis=-1).reshape(
+        nnodes, (2**k) * r + k
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _cubic_pack_fn(k, bcs, layout):
+    """Jitted (and cached per ``(k, bcs, layout)``) cubic state
+    derivation: the ``2^k`` mixed-derivative solves + the pack."""
+
+    def fn(axes, data):
+        grids = interpnd_node_grids(axes, data, k, bcs)
+        pack = pack_cubic_rows_nd if layout == "cell" else pack_cubic_nodes_nd
+        return pack(axes, data, k, grids)
+
+    return jax.jit(fn)
+
+
+def _cubic_basis(t):
+    """(Q, 4) Hermite basis ``[h00, h01, h10, h11]`` for pre-scaled
+    derivatives (``K = k·dx``): the weight form of the symmetric
+    reference Hermite (``cubic_spline.rs:818-828`` expanded in the
+    corner state — identical interpolant, the per-axis-separable op
+    order the tensor blend needs)."""
+    one = jnp.ones((), t.dtype)
+    omt = one - t
+    h00 = omt * omt * (one + 2 * t)
+    h01 = t * t * (3 * one - 2 * t)
+    h10 = t * omt * omt
+    h11 = -t * t * omt
+    return jnp.stack([h00, h01, h10, h11], axis=-1)
+
+
+def _cubic_weights(ts, k):
+    """(Q, 4^k) tensor-product Hermite weights in
+    :func:`_cubic_digit_channels` order (axis 0 most significant,
+    per-axis digit ``2*deriv + side``)."""
+    w = jnp.ones(ts[0].shape + (1,), ts[0].dtype)
+    for t in ts:
+        b = _cubic_basis(t)  # (Q, 4)
+        w = (w[:, :, None] * b[:, None, :]).reshape(w.shape[0], -1)
+    return w
+
+
+def _eval_cubic(interp, idx, ts, trailing):
+    """Tensor-product cubic eval given per-axis ``(idx, t)``: one
+    packed cell-row gather (cell layout) or ``2^k`` node-row gathers
+    (node layout)."""
+    k = interp.k
+    grid = interp.data.shape[:k]
+    r = 1
+    for s in trailing:
+        r *= s
+    q = idx[0].shape[0]
+    w = _cubic_weights(ts, k)  # (Q, 4^k)
+
+    if interp.layout == "cell":
+        cstrides = [1] * k
+        for d in range(k - 2, -1, -1):
+            cstrides[d] = cstrides[d + 1] * (grid[d + 1] - 1)
+        cell = sum(i * s for i, s in zip(idx, cstrides))
+        rows = jnp.take(interp.table, cell, axis=0)  # (Q, 4^k * r)
+        rows = rows.reshape(q, 4**k, r)
+        out = jnp.sum(rows * w[:, :, None], axis=1)
+        return out.reshape((q,) + trailing)
+
+    # node layout: 2^k corner gathers of raw (2^k·r + k)-channel rows
+    nstrides = [1] * k
+    for d in range(k - 2, -1, -1):
+        nstrides[d] = nstrides[d + 1] * grid[d + 1]
+    base = sum(i * s for i, s in zip(idx, nstrides))
+    corner_rows = {}
+    for s_corner in itertools.product((0, 1), repeat=k):
+        off = sum(d * st for d, st in zip(s_corner, nstrides))
+        corner_rows[s_corner] = jnp.take(interp.table, base + off, axis=0)
+    # interval widths from the coordinate channels (last k per row)
+    lo = corner_rows[(0,) * k]
+    hi = corner_rows[(1,) * k]
+    dxs = [
+        (hi[:, (2**k) * r + d] - lo[:, (2**k) * r + d])[:, None]
+        for d in range(k)
+    ]
+    out = jnp.zeros((q, r), lo.dtype)
+    for s_corner in itertools.product((0, 1), repeat=k):
+        g = corner_rows[s_corner]
+        for mask in range(2**k):
+            # channel of (deriv-set=mask, side=s_corner) in the weight
+            # order: per-axis digit 2*deriv + side, axis 0 MSB
+            ch = 0
+            for d in range(k):
+                ch = ch * 4 + 2 * ((mask >> d) & 1) + s_corner[d]
+            scale = w[:, ch][:, None]
+            for d in range(k):
+                if (mask >> d) & 1:
+                    scale = scale * dxs[d]
+            out = out + scale * g[:, mask * r : (mask + 1) * r]
+    return out.reshape((q,) + trailing)
+
+
 def _eval_core(interp, flats):
     """Evaluate at flat query vectors (one per interpolated axis)."""
     axes = interp.axes
@@ -98,10 +285,15 @@ def _eval_core(interp, flats):
 
     idx = []
     ts = []
-    for ax, q in zip(axes, flats):
+    for d, (ax, q) in enumerate(zip(axes, flats)):
+        if interp.wraps_axis(d):  # rem_euclid wrap, cubic_spline.rs:804-809
+            q = jnp.mod(q - ax[0], ax[-1] - ax[0]) + ax[0]
         i, t = _index_frac(ax, q)  # i clamped to [0, n-2]
         idx.append(i)
         ts.append(t)
+
+    if interp.method == "cubic":
+        return _eval_cubic(interp, idx, ts, trailing)
 
     if interp.method == "nearest":
         # per-axis nearest node, ties toward the lower node (the step
@@ -169,8 +361,9 @@ def _eval_flat_masked(interp, *flats):
     out = _eval_core(interp, flats)
     if not interp.extrapolates and jnp.issubdtype(out.dtype, jnp.inexact):
         ok = jnp.ones(flats[0].shape, bool)
-        for ax, q in zip(interp.axes, flats):
-            ok = ok & is_in_range(ax, q)
+        for d, (ax, q) in enumerate(zip(interp.axes, flats)):
+            if not interp.wraps_axis(d):  # periodic axes are never OOB
+                ok = ok & is_in_range(ax, q)
         out = jnp.where(
             ok.reshape(ok.shape + (1,) * (out.ndim - 1)), out, jnp.nan
         )
@@ -188,13 +381,27 @@ class InterpND:
     """
 
     def __init__(
-        self, axes, data, method="linear", extrapolate=False, table=None
+        self,
+        axes,
+        data,
+        method="linear",
+        extrapolate=False,
+        table=None,
+        bcs=None,
+        layout=None,
     ):
         self.axes = tuple(axes)
         self.data = data
         self.method = method
         self.extrapolates = bool(extrapolate)
         self.table = table
+        self.bcs = tuple(bcs) if bcs is not None else None
+        self.layout = layout  # cubic: "cell" (1 gather) | "node"
+
+    def wraps_axis(self, d: int) -> bool:
+        """Queries wrap (rem_euclid) on a periodic cubic axis — never
+        OOB (``cubic_spline.rs:804-809`` semantics per axis)."""
+        return self.bcs is not None and self.bcs[d] == "periodic"
 
     @property
     def k(self) -> int:
@@ -207,28 +414,60 @@ class InterpND:
 
     @classmethod
     def new_unchecked(
-        cls, axes, data, method="linear", extrapolate=False, table=None
+        cls,
+        axes,
+        data,
+        method="linear",
+        extrapolate=False,
+        table=None,
+        bcs=None,
+        layout=None,
     ) -> "InterpND":
         """No-validation constructor (pytree unflatten).  ``table`` is
-        the optional packed corner-row table (derived state); pass
-        :meth:`packed` output or leave ``None`` for the unpacked
-        gather route."""
-        return cls(axes, data, method, extrapolate, table)
+        the packed corner/node table (derived state; required for
+        ``method="cubic"`` together with ``layout``) — use
+        :meth:`build_state` to derive it, or leave ``None`` for the
+        linear/nearest unpacked gather routes."""
+        return cls(axes, data, method, extrapolate, table, bcs, layout)
 
     @staticmethod
-    def _pack_or_none(data, k, method):
-        """The packed corner table when the route is eligible: linear
-        method, floating data, table (``2^k``× the data's memory) under
-        ``config.interpnd_pack_max_elems``."""
+    def build_state(axes, data, k, method, bcs=None):
+        """Derived packed state for the given config: ``(table,
+        layout)``.
+
+        ``linear``: the ``2^k``-corner cell table under
+        ``config.interpnd_pack_max_elems`` (else ``(None, None)`` — the
+        unpacked gather route).  ``cubic``: the mixed-derivative solves
+        (:func:`interpnd_node_grids`) packed as the ``4^k``-channel cell
+        table under the cap, else the ``2^k·r + k``-channel node table.
+        ``nearest`` needs no state."""
         from .. import config
 
-        if method != "linear":
-            return None
-        if not jnp.issubdtype(data.dtype, jnp.floating):
-            return None
-        if data.size * (2**k) > config.interpnd_pack_max_elems:
-            return None
-        return pack_corner_rows_nd(data, k)
+        if method == "linear":
+            if not jnp.issubdtype(data.dtype, jnp.floating):
+                return None, None
+            if data.size * (2**k) > config.interpnd_pack_max_elems:
+                return None, None
+            return pack_corner_rows_nd(data, k), None
+        if method == "cubic":
+            bcs_eff = bcs or ("not_a_knot",) * k
+            cells = 1
+            for n in data.shape[:k]:
+                cells *= n - 1
+            r = data.size // max(
+                1, int(np.prod(data.shape[:k], dtype=np.int64))
+            )
+            layout = (
+                "cell"
+                if cells * (4**k) * r <= config.interpnd_pack_max_elems
+                else "node"
+            )
+            # the solves + pack run jitted: built eagerly they are
+            # hundreds of small ops — on the tunneled TPU backend each
+            # eager op is an RPC round trip (minutes instead of ms)
+            table = _cubic_pack_fn(k, bcs_eff, layout)(tuple(axes), data)
+            return table, layout
+        return None, None
 
     # -- pure, jittable core -----------------------------------------------------
     def __call__(self, *coords):
@@ -299,6 +538,8 @@ class InterpND:
             return
         ranges = self._range_host()
         for d, (q, (lo, hi)) in enumerate(zip(flats, ranges)):
+            if self.wraps_axis(d):  # periodic axes are never OOB
+                continue
             qh = np.asarray(q)
             ok = (lo <= qh) & (qh <= hi)
             if not ok.all():
@@ -312,18 +553,27 @@ class InterpND:
         return (self.axes, self.data, self.table), (
             self.method,
             self.extrapolates,
+            self.bcs,
+            self.layout,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1], children[2])
+        return cls(
+            children[0], children[1], aux[0], aux[1], children[2],
+            aux[2], aux[3],
+        )
 
     def __repr__(self):
-        packed = ", packed" if self.table is not None else ""
+        extra = ", packed" if self.table is not None else ""
+        if self.layout is not None:
+            extra = f", layout={self.layout!r}"
+        if self.bcs is not None:
+            extra += f", bcs={self.bcs!r}"
         return (
             f"InterpND(k={self.k}, data={self.data.shape}, "
             f"method={self.method!r}, extrapolate={self.extrapolates}"
-            f"{packed})"
+            f"{extra})"
         )
 
 
@@ -343,6 +593,7 @@ class InterpNDBuilder:
         self._points_host = None
         self._method = "linear"
         self._extrapolate = False
+        self._bcs = None
 
     def points(self, *axes) -> "InterpNDBuilder":
         self._points_host = tuple(_host_view(ax) for ax in axes)
@@ -356,6 +607,20 @@ class InterpNDBuilder:
                 f"{sorted(_METHODS)}"
             )
         self._method = method
+        return self
+
+    def boundary(self, *bcs) -> "InterpNDBuilder":
+        """Per-axis boundary conditions for ``method("cubic")``: one of
+        ``not_a_knot`` (default) / ``natural`` / ``clamped`` /
+        ``periodic`` per axis (``Bicubic.boundary`` generalized).  A
+        single name applies to every axis."""
+        for bc in bcs:
+            if bc not in _BCS:
+                raise ValueError(
+                    f"unknown boundary {bc!r}; choose from "
+                    f"{sorted(_BCS)}"
+                )
+        self._bcs = tuple(bcs)
         return self
 
     def extrapolate(self, yes: bool = True) -> "InterpNDBuilder":
@@ -381,14 +646,30 @@ class InterpNDBuilder:
             raise ShapeError("at least one axis is required")
         if data.ndim < k:
             raise ShapeError(f"data dimension needs to be at least {k}")
+        bcs = self._bcs
+        if bcs is not None:
+            if self._method != "cubic":
+                raise ValueError(
+                    "boundary() applies to method('cubic') only"
+                )
+            if len(bcs) == 1:
+                bcs = bcs * k
+            if len(bcs) != k:
+                raise ShapeError(
+                    f"expected {k} boundary conditions (one per axis), "
+                    f"got {len(bcs)}"
+                )
+        elif self._method == "cubic":
+            bcs = ("not_a_knot",) * k
+        min_pts = 3 if self._method == "cubic" else 2
         for d, ax in enumerate(axes):
             if ax.ndim != 1:
                 raise ShapeError(f"axis {d} must be one-dimensional")
-            if data.shape[d] < 2:
+            if data.shape[d] < min_pts:
                 raise NotEnoughDataError(
                     f"The {d}-dimension has not enough data for the "
                     f"chosen interpolation strategy. Provided: "
-                    f"{data.shape[d]}, Required: 2"
+                    f"{data.shape[d]}, Required: {min_pts}"
                 )
             if ax.shape[0] != data.shape[d]:
                 raise ShapeError(
@@ -405,15 +686,34 @@ class InterpNDBuilder:
                 raise MonotonicError(
                     f"axis {d} needs to be strictly monotonic rising"
                 )
+        if bcs is not None:
+            # periodic axes require first == last data along that axis
+            # (cubic_spline.rs:483-489 per axis)
+            host_data = np.asarray(data)
+            for d, bc in enumerate(bcs):
+                if bc != "periodic":
+                    continue
+                first = np.take(host_data, 0, axis=d)
+                last = np.take(host_data, -1, axis=d)
+                if not np.array_equal(first, last):
+                    raise ValueError(
+                        f"periodic axis {d} requires the first and "
+                        "last data rows along it to be equal"
+                    )
         ct = jnp.result_type(data.dtype, *(ax.dtype for ax in axes))
         if not jnp.issubdtype(ct, jnp.inexact):
             ct = jnp.result_type(ct, jnp.float32)
         axes_ct = tuple(ax.astype(ct) for ax in axes)
         data_ct = data.astype(ct)
+        table, layout = InterpND.build_state(
+            axes_ct, data_ct, k, self._method, bcs
+        )
         return InterpND(
             axes_ct,
             data_ct,
             self._method,
             self._extrapolate,
-            InterpND._pack_or_none(data_ct, k, self._method),
+            table,
+            bcs,
+            layout,
         )

@@ -244,6 +244,7 @@ def save(path, interp) -> None:
             "k": interp.k,
             "method": interp.method,
             "extrapolate": interp.extrapolates,
+            "bcs": list(interp.bcs) if interp.bcs is not None else None,
         }
         for d, ax in enumerate(interp.axes):
             arrays[f"axis_{d}"] = np.asarray(ax)
@@ -287,13 +288,20 @@ def load(path, allow_custom_import=False):
                 jnp.asarray(z[f"axis_{d}"]) for d in range(header["k"])
             )
             d_nd = jnp.asarray(z["data"])
-            # the packed corner table is derived state — re-pack on load
+            bcs = header.get("bcs")
+            bcs = tuple(bcs) if bcs is not None else None
+            # packed corner/node tables are derived state — re-derive
+            table, layout = InterpND.build_state(
+                axes, d_nd, header["k"], header["method"], bcs
+            )
             return InterpND.new_unchecked(
                 axes,
                 d_nd,
                 header["method"],
                 header["extrapolate"],
-                InterpND._pack_or_none(d_nd, header["k"], header["method"]),
+                table,
+                bcs,
+                layout,
             )
         sname = header["strategy"]
         _, _, dec = _resolve_codec(sname, allow_custom_import)

@@ -219,7 +219,7 @@ def test_builder_errors():
             np.arange(5.0), np.arange(3.0)
         ).build()
     with pytest.raises(ValueError, match="unknown InterpND method"):
-        InterpND.builder(data).method("cubic")
+        InterpND.builder(data).method("quintic")
 
 
 def test_builder_type_and_chaining():
@@ -359,6 +359,258 @@ def test_packed_route_matches_unpacked():
         rtol=0,
         atol=1e-13,
     )
+
+
+# ---------------------------------------------------------------------------
+# method="cubic": tensor-product C^2 cubic spline
+# ---------------------------------------------------------------------------
+
+_BC_TO_SCIPY = {
+    "not_a_knot": "not-a-knot",
+    "natural": "natural",
+    "clamped": "clamped",
+    "periodic": "periodic",
+}
+
+
+def _seq_cubic_oracle(axes, data, pts, bcs):
+    """The exact tensor-product spline: sequential 1-D SciPy solves
+    (spline interpolation is linear in the data, so axis order is
+    irrelevant).  NOTE SciPy's own ``RegularGridInterpolator
+    (method="cubic")`` deviates from this exact tensor product by
+    ~5e-3 on random k=3 grids (measured, SciPy 1.17); this oracle is
+    the ground truth both agree on in the k<=2 cases."""
+    out = []
+    k = len(axes)
+    for pt in zip(*pts):
+        g = data
+        for d in reversed(range(k)):
+            g = scipy_interp.CubicSpline(
+                axes[d], g, axis=d, bc_type=_BC_TO_SCIPY[bcs[d]]
+            )(pt[d])
+        out.append(g)
+    return np.array(out)
+
+
+@pytest.mark.parametrize("bc", ["not_a_knot", "natural", "clamped"])
+def test_cubic_k1_matches_scipy(bc):
+    rng = np.random.default_rng(51)
+    x = np.sort(rng.uniform(0, 10, 9))
+    y = rng.normal(size=9)
+    itp = (
+        InterpND.builder(y).points(x).method("cubic").boundary(bc).build()
+    )
+    q = rng.uniform(x[0], x[-1], 100)
+    ref = scipy_interp.CubicSpline(x, y, bc_type=_BC_TO_SCIPY[bc])(q)
+    np.testing.assert_allclose(
+        np.asarray(itp.interp_array(q)), ref, rtol=0, atol=1e-12
+    )
+
+
+def test_cubic_k2_matches_bicubic():
+    from ndarray_interp_tpu.interp2d import Interp2D
+    from ndarray_interp_tpu.models.strategies.bicubic import Bicubic
+
+    rng = np.random.default_rng(52)
+    axes = [np.sort(rng.uniform(0, 5, 8)), np.sort(rng.uniform(-2, 2, 7))]
+    data = rng.normal(size=(8, 7, 3))
+    nd = InterpND.builder(data).points(*axes).method("cubic").build()
+    b2 = (
+        Interp2D.builder(data)
+        .x(jnp.asarray(axes[0]))
+        .y(jnp.asarray(axes[1]))
+        .strategy(Bicubic())
+        .build()
+    )
+    qx, qy = [rng.uniform(a[0], a[-1], 60) for a in axes]
+    np.testing.assert_allclose(
+        np.asarray(nd.interp_array(qx, qy)),
+        np.asarray(b2.interp_array(jnp.asarray(qx), jnp.asarray(qy))),
+        rtol=0,
+        atol=1e-12,
+    )
+
+
+@pytest.mark.parametrize(
+    "bcs",
+    [
+        ("not_a_knot",) * 3,
+        ("natural",) * 3,
+        ("clamped", "not_a_knot", "natural"),
+    ],
+)
+def test_cubic_k3_matches_tensor_product_oracle(bcs):
+    rng = np.random.default_rng(53)
+    axes = [np.sort(rng.uniform(0, 1, n)) for n in (6, 7, 5)]
+    data = rng.normal(size=(6, 7, 5))
+    itp = (
+        InterpND.builder(data)
+        .points(*axes)
+        .method("cubic")
+        .boundary(*bcs)
+        .build()
+    )
+    qs = [rng.uniform(a[0], a[-1], 40) for a in axes]
+    ref = _seq_cubic_oracle(axes, data, qs, bcs)
+    np.testing.assert_allclose(
+        np.asarray(itp.interp_array(*qs)), ref, rtol=0, atol=1e-11
+    )
+
+
+def test_cubic_k3_trailing_dims():
+    rng = np.random.default_rng(54)
+    axes = [np.sort(rng.uniform(0, 1, n)) for n in (5, 6, 7)]
+    data = rng.normal(size=(5, 6, 7, 2))
+    itp = InterpND.builder(data).points(*axes).method("cubic").build()
+    qs = [rng.uniform(a[0], a[-1], 25) for a in axes]
+    ref = _seq_cubic_oracle(axes, data, qs, ("not_a_knot",) * 3)
+    got = np.asarray(itp.interp_array(*qs))
+    assert got.shape == (25, 2)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-11)
+
+
+def test_cubic_periodic_axis_wraps():
+    rng = np.random.default_rng(55)
+    axes = [np.linspace(0, 2 * np.pi, 9), np.sort(rng.uniform(0, 1, 6))]
+    data = rng.normal(size=(9, 6))
+    data[-1] = data[0]  # periodic axis 0
+    itp = (
+        InterpND.builder(data)
+        .points(*axes)
+        .method("cubic")
+        .boundary("periodic", "not_a_knot")
+        .build()
+    )
+    qx = rng.uniform(0, 2 * np.pi, 30)
+    qy = rng.uniform(axes[1][0], axes[1][-1], 30)
+    base = np.asarray(itp.interp_array(qx, qy))
+    # queries one period away land on the same values, with no OOB
+    shifted = np.asarray(itp.interp_array(qx + 2 * np.pi, qy))
+    np.testing.assert_allclose(shifted, base, rtol=0, atol=1e-10)
+    # values match the sequential periodic oracle
+    ref = _seq_cubic_oracle(
+        axes, data, [qx, qy], ("periodic", "not_a_knot")
+    )
+    np.testing.assert_allclose(base, ref, rtol=0, atol=1e-11)
+    # eager path: periodic axis never raises OOB
+    itp.interp(100.0, float(axes[1][2]))
+
+
+def test_cubic_node_layout_matches_cell():
+    from ndarray_interp_tpu import config
+
+    rng = np.random.default_rng(56)
+    axes = [np.sort(rng.uniform(0, 1, n)) for n in (6, 5, 7)]
+    data = rng.normal(size=(6, 5, 7, 2))
+    cell = InterpND.builder(data).points(*axes).method("cubic").build()
+    assert cell.layout == "cell"
+    old = config.interpnd_pack_max_elems
+    try:
+        config.interpnd_pack_max_elems = 0
+        node = InterpND.builder(data).points(*axes).method("cubic").build()
+    finally:
+        config.interpnd_pack_max_elems = old
+    assert node.layout == "node"
+    assert node.table.shape == (6 * 5 * 7, 8 * 2 + 3)
+    qs = _queries(axes, rng, n=50)
+    np.testing.assert_allclose(
+        np.asarray(node.interp_array(*qs)),
+        np.asarray(cell.interp_array(*qs)),
+        rtol=0,
+        atol=1e-11,
+    )
+
+
+def test_cubic_extrapolates_edge_polynomial():
+    # the edge cell's cubic extends: matches SciPy extrapolation (k=1)
+    rng = np.random.default_rng(57)
+    x = np.sort(rng.uniform(0, 10, 8))
+    y = rng.normal(size=8)
+    itp = (
+        InterpND.builder(y)
+        .points(x)
+        .method("cubic")
+        .extrapolate()
+        .build()
+    )
+    q = np.array([x[0] - 1.5, x[-1] + 2.0])
+    ref = scipy_interp.CubicSpline(x, y)(q)
+    np.testing.assert_allclose(
+        np.asarray(itp.interp_array(q)), ref, rtol=0, atol=1e-10
+    )
+
+
+def test_cubic_jit_grad():
+    rng = np.random.default_rng(58)
+    axes = [np.sort(rng.uniform(0, 1, 6)) for _ in range(2)]
+    data = rng.normal(size=(6, 6))
+    itp = InterpND.builder(data).points(*axes).method("cubic").build()
+    qs = [jnp.asarray(rng.uniform(a[0], a[-1], 10)) for a in axes]
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(lambda i, *q: i(*q))(itp, *qs)),
+        np.asarray(itp.interp_array(*qs)),
+        rtol=0,
+        atol=1e-12,
+    )
+    # grad w.r.t. query = the analytic partial (finite-diff check)
+    f = lambda x_, y_: itp(x_.reshape(1), y_.reshape(1)).sum()
+    x0, y0 = jnp.asarray(0.41), jnp.asarray(0.57)
+    g = jax.grad(f, argnums=(0, 1))(x0, y0)
+    eps = 1e-6
+    fd_x = (f(x0 + eps, y0) - f(x0 - eps, y0)) / (2 * eps)
+    fd_y = (f(x0, y0 + eps) - f(x0, y0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g[0]), float(fd_x), rtol=1e-4)
+    np.testing.assert_allclose(float(g[1]), float(fd_y), rtol=1e-4)
+
+
+def test_cubic_checkpoint_roundtrip(tmp_path):
+    from ndarray_interp_tpu.utils import checkpoint
+
+    rng = np.random.default_rng(59)
+    axes = [np.sort(rng.uniform(0, 1, 6)) for _ in range(2)]
+    data = rng.normal(size=(6, 6))
+    itp = (
+        InterpND.builder(data)
+        .points(*axes)
+        .method("cubic")
+        .boundary("natural", "clamped")
+        .build()
+    )
+    path = tmp_path / "ndc.npz"
+    checkpoint.save(path, itp)
+    back = checkpoint.load(path)
+    assert back.method == "cubic"
+    assert back.bcs == ("natural", "clamped")
+    assert back.layout == "cell"
+    qs = _queries(axes, rng, n=20)
+    np.testing.assert_allclose(
+        np.asarray(back.interp_array(*qs)),
+        np.asarray(itp.interp_array(*qs)),
+        rtol=0,
+        atol=1e-13,
+    )
+
+
+def test_cubic_builder_errors():
+    rng = np.random.default_rng(60)
+    axes = [np.sort(rng.uniform(0, 1, 5)) for _ in range(2)]
+    data = rng.normal(size=(5, 5))
+    with pytest.raises(ValueError, match="method\\('cubic'\\) only"):
+        InterpND.builder(data).points(*axes).boundary("natural").build()
+    with pytest.raises(ValueError, match="unknown boundary"):
+        InterpND.builder(data).method("cubic").boundary("nak")
+    with pytest.raises(ShapeError, match="expected 2 boundary"):
+        InterpND.builder(data).points(*axes).method("cubic").boundary(
+            "natural", "natural", "natural"
+        ).build()
+    with pytest.raises(NotEnoughDataError, match="Required: 3"):
+        InterpND.builder(np.zeros((2, 5))).points(
+            np.arange(2.0), axes[1]
+        ).method("cubic").build()
+    with pytest.raises(ValueError, match="periodic axis 0"):
+        InterpND.builder(data).points(*axes).method("cubic").boundary(
+            "periodic", "natural"
+        ).build()
 
 
 def test_int_data_promotes_to_float():
