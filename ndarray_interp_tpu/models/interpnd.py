@@ -78,17 +78,45 @@ def pack_corner_rows_nd(data, k):
     return table.reshape(ncells, (2**k) * r)
 
 
-def _corner_weights(ts, k):
+def _linear_basis_d(t, order):
+    """Per-axis multilinear basis ``[w_left, w_right]`` at t-derivative
+    ``order`` (0: ``[1-t, t]``; 1: ``[-1, 1]``; ≥2: zeros — the blend
+    is affine per cell)."""
+    one = jnp.ones_like(t)
+    if order == 0:
+        return [one - t, t]
+    if order == 1:
+        return [-one, one]
+    z = jnp.zeros_like(t)
+    return [z, z]
+
+
+def _corner_weights(ts, k, orders=None):
     """(Q, 2^k) multilinear weights in ``itertools.product`` corner
-    order (matches :func:`pack_corner_rows_nd`'s block order)."""
-    one = jnp.ones((), ts[0].dtype)
+    order (matches :func:`pack_corner_rows_nd`'s block order);
+    ``orders`` selects the per-axis basis t-derivative (the ``1/dx``
+    chain factors are applied by the caller)."""
+    orders = orders or (0,) * k
+    bases = [_linear_basis_d(t, o) for t, o in zip(ts, orders)]
     w = []
     for c in itertools.product((0, 1), repeat=k):
-        wc = one
-        for d, t in zip(c, ts):
-            wc = wc * (t if d else one - t)
+        wc = bases[0][c[0]]
+        for d in range(1, k):
+            wc = wc * bases[d][c[d]]
         w.append(wc)
     return jnp.stack(w, axis=-1)
+
+
+def _dx_chain_factor(axes, idx, orders, dtype):
+    """``∏_d dx_d^{-o_d}`` per query — the chain-rule factor turning
+    t-derivatives into x-derivatives (``None`` when all orders are 0)."""
+    f = None
+    for d, o in enumerate(orders):
+        if o:
+            dx = (axes[d][idx[d] + 1] - axes[d][idx[d]]).astype(dtype)
+            g = dx ** (-o)
+            f = g if f is None else f * g
+    return f
 
 
 def interpnd_node_grids(axes, data, k, bcs):
@@ -194,43 +222,71 @@ def _cubic_pack_fn(k, bcs, layout):
     return jax.jit(fn)
 
 
-def _cubic_basis(t):
-    """(Q, 4) Hermite basis ``[h00, h01, h10, h11]`` for pre-scaled
+def _cubic_basis(t, order=0):
+    """(Q, 4) Hermite basis ``[h00, h01, h10, h11]`` (or its
+    ``order``-th t-derivative, orders 0–3; >3 is zero) for pre-scaled
     derivatives (``K = k·dx``): the weight form of the symmetric
     reference Hermite (``cubic_spline.rs:818-828`` expanded in the
     corner state — identical interpolant, the per-axis-separable op
     order the tensor blend needs)."""
     one = jnp.ones((), t.dtype)
-    omt = one - t
-    h00 = omt * omt * (one + 2 * t)
-    h01 = t * t * (3 * one - 2 * t)
-    h10 = t * omt * omt
-    h11 = -t * t * omt
-    return jnp.stack([h00, h01, h10, h11], axis=-1)
+    if order == 0:
+        omt = one - t
+        cols = (
+            omt * omt * (one + 2 * t),
+            t * t * (3 * one - 2 * t),
+            t * omt * omt,
+            -t * t * omt,
+        )
+    elif order == 1:
+        cols = (
+            6 * t * t - 6 * t,
+            6 * t - 6 * t * t,
+            3 * t * t - 4 * t + one,
+            3 * t * t - 2 * t,
+        )
+    elif order == 2:
+        cols = (12 * t - 6, 6 - 12 * t, 6 * t - 4, 6 * t - 2)
+    elif order == 3:
+        z12 = jnp.full_like(t, 12.0)
+        cols = (z12, -z12, jnp.full_like(t, 6.0), jnp.full_like(t, 6.0))
+    else:
+        z = jnp.zeros_like(t)
+        cols = (z, z, z, z)
+    return jnp.stack(jnp.broadcast_arrays(*cols), axis=-1)
 
 
-def _cubic_weights(ts, k):
+def _cubic_weights(ts, k, orders=None):
     """(Q, 4^k) tensor-product Hermite weights in
     :func:`_cubic_digit_channels` order (axis 0 most significant,
-    per-axis digit ``2*deriv + side``)."""
+    per-axis digit ``2*deriv + side``); ``orders`` selects per-axis
+    basis t-derivatives (``1/dx`` chain factors applied by the
+    caller)."""
+    orders = orders or (0,) * k
     w = jnp.ones(ts[0].shape + (1,), ts[0].dtype)
-    for t in ts:
-        b = _cubic_basis(t)  # (Q, 4)
+    for t, o in zip(ts, orders):
+        b = _cubic_basis(t, o)  # (Q, 4)
         w = (w[:, :, None] * b[:, None, :]).reshape(w.shape[0], -1)
     return w
 
 
-def _eval_cubic(interp, idx, ts, trailing):
+def _eval_cubic(interp, idx, ts, trailing, orders=None):
     """Tensor-product cubic eval given per-axis ``(idx, t)``: one
     packed cell-row gather (cell layout) or ``2^k`` node-row gathers
-    (node layout)."""
+    (node layout).  ``orders`` evaluates the mixed partial
+    ``∂^{Σo} / ∏ ∂x_d^{o_d}`` instead (per-axis basis derivative +
+    ``1/dx`` chain factors)."""
     k = interp.k
     grid = interp.data.shape[:k]
     r = 1
     for s in trailing:
         r *= s
     q = idx[0].shape[0]
-    w = _cubic_weights(ts, k)  # (Q, 4^k)
+    w = _cubic_weights(ts, k, orders)  # (Q, 4^k)
+    if orders is not None:
+        f = _dx_chain_factor(interp.axes, idx, orders, w.dtype)
+        if f is not None:
+            w = w * f[:, None]
 
     if interp.layout == "cell":
         cstrides = [1] * k
@@ -275,8 +331,10 @@ def _eval_cubic(interp, idx, ts, trailing):
     return out.reshape((q,) + trailing)
 
 
-def _eval_core(interp, flats):
-    """Evaluate at flat query vectors (one per interpolated axis)."""
+def _eval_core(interp, flats, orders=None):
+    """Evaluate at flat query vectors (one per interpolated axis);
+    ``orders`` (static per-axis ints) evaluates the mixed partial
+    instead of the value."""
     axes = interp.axes
     data = interp.data
     k = len(axes)
@@ -293,7 +351,7 @@ def _eval_core(interp, flats):
         ts.append(t)
 
     if interp.method == "cubic":
-        return _eval_cubic(interp, idx, ts, trailing)
+        return _eval_cubic(interp, idx, ts, trailing, orders)
 
     if interp.method == "nearest":
         # per-axis nearest node, ties toward the lower node (the step
@@ -308,7 +366,11 @@ def _eval_core(interp, flats):
         )
         return jnp.take(data.reshape((-1,) + trailing), flat, axis=0)
 
-    w = _corner_weights(ts, k)  # (Q, 2^k)
+    w = _corner_weights(ts, k, orders)  # (Q, 2^k)
+    if orders is not None:
+        f = _dx_chain_factor(axes, idx, orders, w.dtype)
+        if f is not None:
+            w = w * f[:, None]
 
     if interp.table is not None:
         # packed route: ONE row gather + a full-channel weighted reduce
@@ -351,6 +413,14 @@ def _eval_flat(interp, *flats):
         f.astype(interp.axes[d].dtype) for d, f in enumerate(flats)
     )
     return _eval_core(interp, flats)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _eval_flat_deriv(interp, orders, *flats):
+    flats = tuple(
+        f.astype(interp.axes[d].dtype) for d, f in enumerate(flats)
+    )
+    return _eval_core(interp, flats, orders)
 
 
 @jax.jit
@@ -500,6 +570,34 @@ class InterpND:
         if not any(_is_traced(c) for c in coords):
             self._check_queries([c.reshape(-1) for c in coords])
         return self.eval_unchecked(*coords)
+
+    def derivative(self, *coords, orders):
+        """Mixed partial ``∂^{Σo} f / ∏ ∂x_d^{o_d}`` at the query
+        points — the analytic derivative of the interpolant
+        (``Interp2D.derivative`` generalized to ``k`` axes; SciPy
+        ``RegularGridInterpolator`` has no derivative surface).
+        ``orders``: one non-negative int per axis.  ``"cubic"``
+        supports orders 0–3 per axis (higher are zero); ``"linear"``
+        orders 0–1 (higher are zero); ``"nearest"`` raises.  Output
+        dims ``M + N - k``; OOB raises unless extrapolating; jittable
+        with traced queries."""
+        if self.method == "nearest":
+            raise TypeError("nearest does not support derivative()")
+        orders = tuple(int(o) for o in orders)
+        if len(orders) != self.k:
+            raise ValueError(
+                f"expected {self.k} derivative orders (one per axis), "
+                f"got {len(orders)}"
+            )
+        if any(o < 0 for o in orders):
+            raise ValueError("derivative orders must be non-negative")
+        coords = self._as_query(coords)
+        if not any(_is_traced(c) for c in coords):
+            self._check_queries([c.reshape(-1) for c in coords])
+        out = _eval_flat_deriv(
+            self, orders, *(c.reshape(-1) for c in coords)
+        )
+        return out.reshape(coords[0].shape + self.data.shape[self.k :])
 
     def get_buffer_shape(self, query_shape) -> tuple:
         return tuple(query_shape) + tuple(self.data.shape[self.k :])

@@ -591,6 +591,102 @@ def test_cubic_checkpoint_roundtrip(tmp_path):
     )
 
 
+def test_derivative_cubic_matches_bicubic():
+    from ndarray_interp_tpu.interp2d import Interp2D
+    from ndarray_interp_tpu.models.strategies.bicubic import Bicubic
+
+    rng = np.random.default_rng(61)
+    axes = [np.sort(rng.uniform(0, 5, 8)), np.sort(rng.uniform(-2, 2, 7))]
+    data = rng.normal(size=(8, 7))
+    nd = InterpND.builder(data).points(*axes).method("cubic").build()
+    b2 = (
+        Interp2D.builder(data)
+        .x(jnp.asarray(axes[0]))
+        .y(jnp.asarray(axes[1]))
+        .strategy(Bicubic())
+        .build()
+    )
+    qx, qy = [rng.uniform(a[0], a[-1], 50) for a in axes]
+    for dx, dy in [(1, 0), (0, 1), (1, 1), (2, 0), (2, 1), (3, 3)]:
+        a = np.asarray(nd.derivative(qx, qy, orders=(dx, dy)))
+        b = np.asarray(
+            b2.derivative(jnp.asarray(qx), jnp.asarray(qy), dx=dx, dy=dy)
+        )
+        scale = max(1.0, np.abs(b).max())
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-10 * scale)
+
+
+def test_derivative_matches_grad():
+    rng = np.random.default_rng(62)
+    axes = [np.sort(rng.uniform(0, 1, 6)) for _ in range(3)]
+    lo = max(a[0] for a in axes) + 0.01
+    hi = min(a[-1] for a in axes) - 0.01
+    data = rng.normal(size=(6, 6, 6))
+    pt = [jnp.asarray(v) for v in rng.uniform(lo, hi, 3)]
+    units = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
+    for method in ("cubic", "linear"):
+        itp = InterpND.builder(data).points(*axes).method(method).build()
+        g = jax.grad(
+            lambda a, b, c: itp(
+                a.reshape(1), b.reshape(1), c.reshape(1)
+            ).sum(),
+            argnums=(0, 1, 2),
+        )(*pt)
+        for gi, o in zip(g, units):
+            di = itp.derivative(
+                *(np.array([float(p)]) for p in pt), orders=o
+            )
+            np.testing.assert_allclose(
+                float(gi), float(di[0]), rtol=1e-10
+            )
+
+
+def test_derivative_linear_higher_orders_zero():
+    rng = np.random.default_rng(63)
+    axes, data, _ = _grid_case(2, seed=63)
+    itp = InterpND.builder(data).points(*axes).build()
+    qs = _queries(axes, rng, n=20)
+    np.testing.assert_array_equal(
+        np.asarray(itp.derivative(*qs, orders=(2, 0))), 0.0
+    )
+
+
+def test_derivative_node_layout_and_trailing():
+    from ndarray_interp_tpu import config
+
+    rng = np.random.default_rng(64)
+    axes = [np.sort(rng.uniform(0, 1, n)) for n in (6, 5, 7)]
+    data = rng.normal(size=(6, 5, 7, 2))
+    cell = InterpND.builder(data).points(*axes).method("cubic").build()
+    old = config.interpnd_pack_max_elems
+    try:
+        config.interpnd_pack_max_elems = 0
+        node = InterpND.builder(data).points(*axes).method("cubic").build()
+    finally:
+        config.interpnd_pack_max_elems = old
+    qs = _queries(axes, rng, n=30)
+    for orders in [(1, 0, 0), (0, 1, 1), (2, 1, 0)]:
+        a = np.asarray(cell.derivative(*qs, orders=orders))
+        b = np.asarray(node.derivative(*qs, orders=orders))
+        assert a.shape == (30, 2)
+        scale = max(1.0, np.abs(a).max())
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-10 * scale)
+
+
+def test_derivative_errors():
+    axes, data, _ = _grid_case(2)
+    lin = InterpND.builder(data).points(*axes).build()
+    with pytest.raises(ValueError, match="expected 2 derivative orders"):
+        lin.derivative(np.zeros(2) + axes[0][1], np.zeros(2) + axes[1][1],
+                       orders=(1,))
+    with pytest.raises(ValueError, match="non-negative"):
+        lin.derivative(np.zeros(2) + axes[0][1], np.zeros(2) + axes[1][1],
+                       orders=(-1, 0))
+    near = InterpND.builder(data).points(*axes).method("nearest").build()
+    with pytest.raises(TypeError, match="nearest does not support"):
+        near.derivative(np.zeros(1), np.zeros(1), orders=(1, 0))
+
+
 def test_cubic_builder_errors():
     rng = np.random.default_rng(60)
     axes = [np.sort(rng.uniform(0, 1, 5)) for _ in range(2)]
