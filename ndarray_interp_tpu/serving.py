@@ -164,6 +164,65 @@ class Evaluator2D(_BucketedEvaluator):
         return out.reshape(shape + trailing)
 
 
+class EvaluatorND(_BucketedEvaluator):
+    """Bucketed fixed-shape evaluator over an :class:`InterpND`.
+
+    Same bucketing contract as :class:`Evaluator`; queries are the
+    ``k`` paired coordinate arrays of the N-D API (one per interpolated
+    axis, equal shapes).  Padding uses each axis's first knot."""
+
+    def __init__(self, interp, max_batch: int = 1 << 20, buckets=None,
+                 donate: bool = False):
+        super().__init__(interp, max_batch, buckets, donate)
+        fn = lambda t, *qs: t(*qs)
+        self._fn = (
+            jax.jit(fn, donate_argnums=tuple(range(1, 1 + interp.k)))
+            if self._donate
+            else jax.jit(fn)
+        )
+
+    def warmup(self):
+        for b in self._buckets:
+            qs = [
+                jnp.full((b,), ax[0], ax.dtype) for ax in self._interp.axes
+            ]
+            self._fn(self._interp, *qs)
+        return self
+
+    def __call__(self, *coords):
+        k = self._interp.k
+        if len(coords) != k:
+            raise ValueError(
+                f"expected {k} coordinate arrays (one per interpolated "
+                f"axis), got {len(coords)}"
+            )
+        qs = [jnp.asarray(c) for c in coords]
+        shape = qs[0].shape
+        if any(q.shape != shape for q in qs[1:]):
+            raise ValueError("query coordinate shapes do not match")
+        flats = [q.reshape(-1) for q in qs]
+        n = flats[0].shape[0]
+        trailing = tuple(self._interp.data.shape[k:])
+        if n == 0:
+            return jnp.zeros(shape + trailing, self._interp.data.dtype)
+        pads = [ax[0] for ax in self._interp.axes]
+
+        outs = []
+        start = 0
+        while start < n:
+            chunks = [f[start : start + self._max] for f in flats]
+            m = chunks[0].shape[0]
+            b = self._bucket(m)
+            padded = [
+                jnp.full((b,), p, f.dtype).at[:m].set(c)
+                for p, f, c in zip(pads, flats, chunks)
+            ]
+            outs.append(self._fn(self._interp, *padded)[:m])
+            start += m
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        return out.reshape(shape + trailing)
+
+
 class DoubleFloatEvaluator(_BucketedEvaluator):
     """f64-grade serving on f32 hardware: double-float evaluation of a
     1-D cubic/Hermite (or linear) interpolator.

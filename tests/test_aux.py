@@ -181,6 +181,37 @@ class TestServing:
         # no new compilations across 50 random batch sizes
         assert ev._fn._cache_size() == traces_before
 
+    def test_nd_bucketed_eval_matches_direct(self):
+        from ndarray_interp_tpu.interpnd import InterpND
+        from ndarray_interp_tpu.serving import EvaluatorND
+
+        rng = np.random.default_rng(7)
+        itp = (
+            InterpND.builder(jnp.asarray(rng.normal(size=(8, 7, 6))))
+            .method("cubic")
+            .build()
+        )
+        ev = EvaluatorND(itp, max_batch=2048).warmup()
+        traces_before = ev._fn._cache_size()
+        for n in rng.integers(1, 5000, size=20):
+            qs = [
+                jnp.asarray(rng.uniform(0, hi - 1, int(n)))
+                for hi in (8, 7, 6)
+            ]
+            np.testing.assert_allclose(
+                np.asarray(ev(*qs)),
+                np.asarray(itp.interp_array(*qs)),
+                atol=1e-12,
+            )
+        assert ev._fn._cache_size() == traces_before
+        # arity / shape / empty contracts
+        out = ev(jnp.zeros((0,)), jnp.zeros((0,)), jnp.zeros((0,)))
+        assert out.shape == (0,)
+        with pytest.raises(ValueError, match="expected 3 coordinate"):
+            ev(jnp.zeros((2,)), jnp.zeros((2,)))
+        with pytest.raises(ValueError, match="do not match"):
+            ev(jnp.zeros((2,)), jnp.zeros((2,)), jnp.zeros((3,)))
+
     def test_2d_empty_and_shape_mismatch(self):
         from ndarray_interp_tpu.serving import Evaluator2D
 
