@@ -636,6 +636,49 @@ def main():
             "BASELINE.json config 5 (stretch scale)",
         )
 
+    # ND: the beyond-reference N-D family (InterpND), 64^3 grid, 1M
+    # queries — the packed one-gather routes (docs/API.md memory notes)
+    if not args.quick:
+        from ndarray_interp_tpu.interpnd import InterpND
+
+        axes_nd = tuple(
+            jnp.asarray(np.linspace(0.0, 1.0, 64), dtype) for _ in range(3)
+        )
+        data_nd = jax.random.normal(
+            jax.random.PRNGKey(1), (64, 64, 64), dtype
+        )
+        qs_nd = tuple(
+            jnp.asarray(rng.uniform(0, 1, 1_000_000), dtype)
+            for _ in range(3)
+        )
+        fnd = jax.jit(lambda i, a, b, c: i.eval_unchecked(a, b, c))
+        table_lin, _ = InterpND.build_state(axes_nd, data_nd, 3, "linear")
+        tri = InterpND.new_unchecked(
+            axes_nd, data_nd, "linear", True, table_lin
+        )
+        t = device_timer(fnd, (tri,) + qs_nd, links=8)
+        record(
+            "ND1: trilinear 64^3 grid, 1000k queries (device)",
+            t,
+            1_000_000,
+            "beyond reference (InterpND linear, packed rows)",
+        )
+        table_cub, layout_cub = InterpND.build_state(
+            axes_nd, data_nd, 3, "cubic"
+        )
+        cub = InterpND.new_unchecked(
+            axes_nd, data_nd, "cubic", True, table_cub,
+            ("not_a_knot",) * 3, layout_cub,
+        )
+        t = device_timer(fnd, (cub,) + qs_nd, links=8)
+        record(
+            f"ND2: tricubic 64^3 grid, 1000k queries (device, "
+            f"{layout_cub} layout)",
+            t,
+            1_000_000,
+            "beyond reference (InterpND cubic, tensor-product spline)",
+        )
+
     print(f"\nbackend={backend} dtype={dtype} native={native.HAVE_NATIVE}")
     if args.json:
         Path(args.json).write_text(json.dumps(results, indent=1))

@@ -209,6 +209,101 @@ def pack_cubic_nodes_nd(axes, data, k, grids):
     )
 
 
+def _linear_antider(t):
+    """Antiderivatives ``[B0, B1]`` of the multilinear basis
+    ``[1-t, t]``."""
+    return [t - 0.5 * t * t, 0.5 * t * t]
+
+
+def _cubic_antider(t):
+    """Antiderivatives ``[H00, H01, H10, H11]`` of the Hermite basis
+    (:func:`_cubic_basis`, order 0)."""
+    t2 = t * t
+    t3 = t2 * t
+    t4 = t2 * t2
+    return [
+        0.5 * t4 - t3 + t,
+        t3 - 0.5 * t4,
+        0.25 * t4 - (2.0 / 3.0) * t3 + 0.5 * t2,
+        0.25 * t4 - t3 / 3.0,
+    ]
+
+
+def _axis_integral_weights(x, lo, hi, method, extrapolate):
+    """Per-cell integral weights for one axis: ``W[i, digit] =
+    dx_i^{1+deriv} · (H_digit(t1_i) − H_digit(t0_i))`` over the
+    overlap of ``[lo, hi]`` with cell ``i`` (exact polynomial
+    quadrature — the 1-D ``integrate`` machinery per axis).  When
+    extrapolating, the edge cells' polynomials extend beyond the
+    domain (no clip at the outer faces)."""
+    dx = x[1:] - x[:-1]
+    nc = dx.shape[0]
+    t0 = (lo - x[:-1]) / dx
+    t1 = (hi - x[:-1]) / dx
+    i = jnp.arange(nc)
+    big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+    lo_clip = jnp.where(
+        (i == 0) & extrapolate, -big, jnp.zeros((), x.dtype)
+    )
+    hi_clip = jnp.where(
+        (i == nc - 1) & extrapolate, big, jnp.ones((), x.dtype)
+    )
+    t0c = jnp.clip(t0, lo_clip, hi_clip)
+    t1c = jnp.clip(t1, lo_clip, hi_clip)
+    anti = _cubic_antider if method == "cubic" else _linear_antider
+    h0 = anti(t0c)
+    h1 = anti(t1c)
+    if method == "cubic":
+        cols = [
+            dx * (h1[0] - h0[0]),
+            dx * (h1[1] - h0[1]),
+            dx * dx * (h1[2] - h0[2]),  # deriv channels: raw k · dx^2
+            dx * dx * (h1[3] - h0[3]),
+        ]
+    else:
+        cols = [dx * (h1[0] - h0[0]), dx * (h1[1] - h0[1])]
+    return jnp.stack(cols, axis=-1)  # (n-1, nb)
+
+
+def _axis_node_weights(w, deriv):
+    """Scatter per-cell side weights onto nodes: node ``m`` collects
+    the left-side weight of cell ``m`` and the right-side weight of
+    cell ``m−1``."""
+    z = jnp.zeros((1,), w.dtype)
+    left = jnp.concatenate([w[:, 2 * deriv + 0], z])
+    right = jnp.concatenate([z, w[:, 2 * deriv + 1]])
+    return left + right  # (n,)
+
+
+@functools.lru_cache(maxsize=None)
+def _integrate_fn(k, bcs, method, extrapolate):
+    """Jitted exact box integral over ``k`` axes: per-axis integral
+    weights contracted against the (mixed-derivative) node grids —
+    ``2^k`` tensor contractions, no sampling."""
+
+    def fn(axes, data, los, his):
+        if method == "cubic":
+            grids = interpnd_node_grids(axes, data, k, bcs)
+        else:
+            grids = {0: data}
+        ws = [
+            _axis_integral_weights(
+                ax, los[d], his[d], method, extrapolate
+            )
+            for d, ax in enumerate(axes)
+        ]
+        out = None
+        for mask in sorted(grids):
+            g = grids[mask]
+            for d in reversed(range(k)):
+                u = _axis_node_weights(ws[d], (mask >> d) & 1)
+                g = jnp.tensordot(g, u.astype(g.dtype), axes=([d], [0]))
+            out = g if out is None else out + g
+        return out
+
+    return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=None)
 def _cubic_pack_fn(k, bcs, layout):
     """Jitted (and cached per ``(k, bcs, layout)``) cubic state
@@ -571,6 +666,23 @@ class InterpND:
             self._check_queries([c.reshape(-1) for c in coords])
         return self.eval_unchecked(*coords)
 
+    def interp_array_into(self, *coords, buffer):
+        """``interp_array`` into a caller-provided numpy buffer (the
+        1-D/2-D ``*_into`` contract, ``mod.rs:272-324``: shape-checked
+        eagerly, all-or-nothing on OOB — docs/PARITY.md D2).  With
+        ``k`` positional coordinate arrays, ``buffer`` is
+        keyword-only."""
+        arrs = tuple(jnp.asarray(c) for c in coords)
+        self._check_arity(arrs)
+        expect = self.get_buffer_shape(np.shape(coords[0]))
+        if tuple(buffer.shape) != expect:
+            raise ValueError(
+                f"buffer shape mismatch expected: {list(expect)}, "
+                f"got: {list(buffer.shape)}"
+            )
+        buffer[...] = np.asarray(self.interp_array(*arrs))
+        return buffer
+
     def derivative(self, *coords, orders):
         """Mixed partial ``∂^{Σo} f / ∏ ∂x_d^{o_d}`` at the query
         points — the analytic derivative of the interpolant
@@ -598,6 +710,59 @@ class InterpND:
             self, orders, *(c.reshape(-1) for c in coords)
         )
         return out.reshape(coords[0].shape + self.data.shape[self.k :])
+
+    def integrate(self, *bounds):
+        """Exact integral of the interpolant over the axis-aligned box
+        ``∏_d [lo_d, hi_d]`` → ``data.shape[k:]`` array (the 1-D
+        ``Interp1D.integrate`` generalized; SciPy
+        ``RectBivariateSpline.integral`` surface at k=2).  Analytic
+        per-cell polynomial quadrature — no sampling; signed per-axis
+        bounds (``lo > hi`` negates); out-of-domain bounds raise
+        unless extrapolating (then the edge cells' polynomials
+        extend).  ``"cubic"`` and ``"linear"`` only; periodic axes
+        are unsupported (wrap-around boxes are ambiguous)."""
+        if self.method == "nearest":
+            raise TypeError("nearest does not support integrate()")
+        if len(bounds) != self.k:
+            raise ValueError(
+                f"expected {self.k} (lo, hi) bound pairs (one per "
+                f"axis), got {len(bounds)}"
+            )
+        if any(self.wraps_axis(d) for d in range(self.k)):
+            raise ValueError(
+                "integrate() does not support periodic axes"
+            )
+        sign = 1.0
+        los, his = [], []
+        for d, (lo, hi) in enumerate(bounds):
+            lo = jnp.asarray(lo)
+            hi = jnp.asarray(hi)
+            if not (_is_traced(lo) or _is_traced(hi)):
+                flo, fhi = float(lo), float(hi)
+                if flo > fhi:
+                    lo, hi = hi, lo
+                    sign = -sign
+                if not self.extrapolates:
+                    a0, a1 = self._range_host()[d]
+                    if min(float(lo), float(hi)) < a0 or max(
+                        float(lo), float(hi)
+                    ) > a1:
+                        raise OutOfBoundsError(
+                            f"axis {d}: integration bounds "
+                            f"[{float(lo)}, {float(hi)}] are not in "
+                            f"range"
+                        )
+            los.append(lo.astype(self.axes[d].dtype))
+            his.append(hi.astype(self.axes[d].dtype))
+        bcs = self.bcs or (("not_a_knot",) * self.k
+                           if self.method == "cubic" else None)
+        fn = _integrate_fn(
+            self.k, bcs, self.method, self.extrapolates
+        )
+        out = fn(
+            self.axes, self.data, jnp.stack(los), jnp.stack(his)
+        )
+        return sign * out
 
     def get_buffer_shape(self, query_shape) -> tuple:
         return tuple(query_shape) + tuple(self.data.shape[self.k :])

@@ -120,6 +120,27 @@ def test_output_shape_m_plus_n_minus_k():
     assert itp.interp(*pt).shape == (2,)
 
 
+def test_interp_array_into():
+    axes, data, rng = _grid_case(2, trailing=(2,), seed=71)
+    itp = InterpND.builder(data).points(*axes).build()
+    qs = _queries(axes, rng, n=12, shape=(3, 4))
+    buf = np.zeros((3, 4, 2))
+    out = itp.interp_array_into(*qs, buffer=buf)
+    assert out is buf
+    np.testing.assert_allclose(
+        buf, np.asarray(itp.interp_array(*qs)), rtol=0, atol=0
+    )
+    with pytest.raises(ValueError, match="buffer shape mismatch"):
+        itp.interp_array_into(*qs, buffer=np.zeros((3, 4)))
+    # all-or-nothing on OOB (PARITY.md D2): buffer untouched
+    bad = [q.copy() for q in qs]
+    bad[0].flat[0] = axes[0][-1] + 5.0
+    buf2 = np.full((3, 4, 2), -1.0)
+    with pytest.raises(OutOfBoundsError):
+        itp.interp_array_into(*bad, buffer=buf2)
+    np.testing.assert_array_equal(buf2, -1.0)
+
+
 def test_default_axes_are_indices():
     data = np.arange(24.0).reshape(2, 3, 4)
     itp = InterpND.builder(data).build()
@@ -685,6 +706,118 @@ def test_derivative_errors():
     near = InterpND.builder(data).points(*axes).method("nearest").build()
     with pytest.raises(TypeError, match="nearest does not support"):
         near.derivative(np.zeros(1), np.zeros(1), orders=(1, 0))
+
+
+def test_integrate_cubic_matches_sequential_scipy():
+    rng = np.random.default_rng(81)
+    for k in (1, 2, 3):
+        axes = [np.sort(rng.uniform(0, 1, n)) for n in (6, 7, 5)[:k]]
+        data = rng.normal(size=tuple(a.shape[0] for a in axes))
+        itp = InterpND.builder(data).points(*axes).method("cubic").build()
+        box = [(a[0] + 0.05, a[-1] - 0.07) for a in axes]
+        # sequential 1-D spline integration, axis k-1 inward
+        g = data
+        for d in reversed(range(k)):
+            g = scipy_interp.CubicSpline(axes[d], g, axis=d).integrate(
+                *box[d]
+            )
+        np.testing.assert_allclose(
+            float(itp.integrate(*box)), float(g), rtol=0, atol=1e-12
+        )
+
+
+def test_integrate_trailing_and_signed():
+    rng = np.random.default_rng(82)
+    axes = [np.sort(rng.uniform(0, 1, 6)), np.sort(rng.uniform(0, 1, 7))]
+    data = rng.normal(size=(6, 7, 2))
+    itp = InterpND.builder(data).points(*axes).method("cubic").build()
+    box = [(axes[0][0] + 0.02, axes[0][-1] - 0.02),
+           (axes[1][0] + 0.03, axes[1][-1] - 0.01)]
+    g = scipy_interp.CubicSpline(axes[1], data, axis=1).integrate(*box[1])
+    ref = scipy_interp.CubicSpline(axes[0], g, axis=0).integrate(*box[0])
+    got = np.asarray(itp.integrate(*box))
+    assert got.shape == (2,)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+    # swapping one axis's bounds negates
+    np.testing.assert_allclose(
+        np.asarray(itp.integrate((box[0][1], box[0][0]), box[1])),
+        -got,
+        rtol=0,
+        atol=1e-13,
+    )
+
+
+def test_integrate_linear_exact_on_plane():
+    # integral of an affine function over a box is exact for multilinear
+    ax = [np.array([0.0, 1.0, 3.0]), np.array([0.0, 2.0])]
+    x, y = np.meshgrid(*ax, indexing="ij")
+    data = 2.0 * x + 3.0 * y + 1.0
+    itp = InterpND.builder(data).points(*ax).build()
+    # ∫0..3 ∫0..2 (2x+3y+1) dy dx = [x^2+ x]*2 over x + 3*2 (y part)
+    # = ∫0..3 (4x + 6 + 2) dx = 2*9 + 8*3 = 42
+    np.testing.assert_allclose(
+        float(itp.integrate((0.0, 3.0), (0.0, 2.0))), 42.0, atol=1e-12
+    )
+
+
+def test_integrate_extrapolated_bounds():
+    rng = np.random.default_rng(83)
+    x = np.sort(rng.uniform(0, 10, 8))
+    y = rng.normal(size=8)
+    itp = (
+        InterpND.builder(y).points(x).method("cubic").extrapolate().build()
+    )
+    lo, hi = x[0] - 2.0, x[-1] + 1.0
+    ref = scipy_interp.CubicSpline(x, y).integrate(lo, hi)
+    np.testing.assert_allclose(
+        float(itp.integrate((lo, hi))), ref, rtol=0, atol=1e-10
+    )
+
+
+def test_integrate_matches_interp1d():
+    from ndarray_interp_tpu.interp1d import CubicSpline, Interp1D
+
+    rng = np.random.default_rng(84)
+    x = np.sort(rng.uniform(0, 10, 9))
+    y = rng.normal(size=9)
+    nd = InterpND.builder(y).points(x).method("cubic").build()
+    i1 = (
+        Interp1D.builder(jnp.asarray(y))
+        .x(jnp.asarray(x))
+        .strategy(CubicSpline())
+        .build()
+    )
+    lo, hi = x[0] + 0.5, x[-1] - 0.5
+    np.testing.assert_allclose(
+        float(nd.integrate((lo, hi))),
+        float(i1.integrate(lo, hi)),
+        rtol=0,
+        atol=1e-12,
+    )
+
+
+def test_integrate_errors():
+    rng = np.random.default_rng(85)
+    axes = [np.sort(rng.uniform(0, 1, 6)), np.sort(rng.uniform(0, 1, 6))]
+    data = rng.normal(size=(6, 6))
+    itp = InterpND.builder(data).points(*axes).method("cubic").build()
+    with pytest.raises(OutOfBoundsError, match="bounds"):
+        itp.integrate((axes[0][0] - 1.0, axes[0][-1]), (0.5, 0.6))
+    with pytest.raises(ValueError, match="expected 2"):
+        itp.integrate((0.1, 0.2))
+    near = InterpND.builder(data).points(*axes).method("nearest").build()
+    with pytest.raises(TypeError, match="nearest does not support"):
+        near.integrate((0.1, 0.2), (0.1, 0.2))
+    per = np.concatenate([data[:-1], data[:1]], axis=0)
+    itp_p = (
+        InterpND.builder(per)
+        .points(*axes)
+        .method("cubic")
+        .boundary("periodic", "natural")
+        .build()
+    )
+    with pytest.raises(ValueError, match="periodic"):
+        itp_p.integrate((0.1, 0.2), (0.1, 0.2))
 
 
 def test_cubic_builder_errors():
