@@ -422,6 +422,31 @@ class Interp2D:
         )
         return out.reshape(xs.shape + self.data.shape[2:])
 
+    def integrate(self, xlo, xhi, ylo, yhi):
+        """Exact definite integral ``∫∫ z dx dy`` over the rectangle
+        ``[xlo, xhi] × [ylo, yhi]`` per trailing element — analytic
+        per-cell polynomial quadrature, no sampling (SciPy
+        ``RectBivariateSpline.integral`` surface; no reference
+        analogue; ``Interp1D.integrate`` lifted to the 2-D driver).
+        Signed per axis (``lo > hi`` negates that axis).  OOB bounds
+        raise unless the strategy extrapolates (then the edge cells'
+        polynomials extend).  Supported by ``Bilinear`` and
+        ``Bicubic`` (non-periodic axes); returns shape
+        ``data.shape[2:]``; jittable with traced bounds."""
+        fn = getattr(self.strategy, "eval_integrate_box", None)
+        if fn is None:
+            raise TypeError(
+                f"{type(self.strategy).__name__} does not support "
+                "integrate()"
+            )
+        bounds = (xlo, xhi, ylo, yhi)
+        if not any(_is_traced(jnp.asarray(b)) for b in bounds):
+            self._check_queries(
+                np.asarray([xlo, xhi], dtype=np.float64),
+                np.asarray([ylo, yhi], dtype=np.float64),
+            )
+        return fn(self, xlo, xhi, ylo, yhi)
+
     # -- pytree -------------------------------------------------------------
     def tree_flatten(self):
         return (self.x, self.y, self.data, self.strategy), None

@@ -297,7 +297,11 @@ def _integrate_fn(k, bcs, method, extrapolate):
             g = grids[mask]
             for d in reversed(range(k)):
                 u = _axis_node_weights(ws[d], (mask >> d) & 1)
-                g = jnp.tensordot(g, u.astype(g.dtype), axes=([d], [0]))
+                # promote instead of casting weights down (int data)
+                dt = jnp.result_type(g.dtype, u.dtype)
+                g = jnp.tensordot(
+                    g.astype(dt), u.astype(dt), axes=([d], [0])
+                )
             out = g if out is None else out + g
         return out
 

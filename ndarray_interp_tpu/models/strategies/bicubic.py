@@ -527,6 +527,36 @@ class BicubicStrategy(Interp2DStrategy):
         out = _cell_tail_nested_d(g, txf, tyf, r, dx, dy)
         return (out / (dxg**dx * dyg**dy)).reshape(out_shape)
 
+    def eval_integrate_box(self, interp, xlo, xhi, ylo, yhi):
+        """Exact ``∫∫ z dx dy`` of the bicubic surface over
+        ``[xlo,xhi]×[ylo,yhi]`` per trailing element: per-axis Hermite
+        antiderivative weights contracted against the four
+        mixed-derivative node grids (the ``InterpND`` box-quadrature
+        machinery at ``k=2``; the grids re-solve from ``data`` — the
+        build-cost path, not the hot eval route).  Signed per axis;
+        extrapolation extends the edge cells; periodic axes are
+        unsupported (wrap-around boxes are ambiguous)."""
+        if self.wraps_x or self.wraps_y:
+            raise ValueError(
+                "integrate() does not support periodic axes"
+            )
+        from ..interpnd import _integrate_fn
+
+        x, y = interp.x, interp.y
+        bt = jnp.result_type(x.dtype, y.dtype)
+        los = jnp.stack(
+            [jnp.asarray(xlo).astype(bt), jnp.asarray(ylo).astype(bt)]
+        )
+        his = jnp.stack(
+            [jnp.asarray(xhi).astype(bt), jnp.asarray(yhi).astype(bt)]
+        )
+        fn = _integrate_fn(
+            2, (self.bc_x, self.bc_y), "cubic", self.extrapolates
+        )
+        return fn(
+            (x.astype(bt), y.astype(bt)), interp.data, los, his
+        )
+
     def tree_flatten(self):
         return (self.rows,), (
             self.extrapolates, self.bc_x, self.bc_y, self.layout,

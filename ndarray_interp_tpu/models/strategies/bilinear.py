@@ -198,6 +198,26 @@ class Bilinear(Interp2DStrategy, Interp2DStrategyBuilder):
             return (z22 - z21 - z12 + z11) / (dxv * dyv)
         return jnp.zeros_like((z11 - z11) / dxv)  # any order >= 2
 
+    def eval_integrate_box(self, interp, xlo, xhi, ylo, yhi):
+        """Exact ``∫∫ z dx dy`` over ``[xlo,xhi]×[ylo,yhi]`` per
+        trailing element: the per-axis integral weights of the
+        tensor-product linear basis contracted against the data grid
+        (the ``InterpND`` box-quadrature machinery at ``k=2``).  Signed
+        per axis; extrapolating strategies integrate the extended edge
+        cells."""
+        from ..interpnd import _integrate_fn
+
+        x, y = interp.x, interp.y
+        bt = jnp.result_type(x.dtype, y.dtype)
+        los = jnp.stack(
+            [jnp.asarray(xlo).astype(bt), jnp.asarray(ylo).astype(bt)]
+        )
+        his = jnp.stack(
+            [jnp.asarray(xhi).astype(bt), jnp.asarray(yhi).astype(bt)]
+        )
+        fn = _integrate_fn(2, None, "linear", self.extrapolates)
+        return fn((x.astype(bt), y.astype(bt)), interp.data, los, his)
+
     def _rows(self):
         return None
 
