@@ -77,13 +77,42 @@ def _drain(x):
         float(x)
 
 
+def _probe_accelerator(timeout=120):
+    """True iff a child process can init a non-CPU jax backend in time."""
+    import os
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.default_backend() != 'cpu', "
+             "jax.default_backend(); jax.devices()"],
+            env=dict(os.environ),
+            capture_output=True,
+            timeout=timeout,
+            check=True,
+        )
+        del out
+        return True
+    except Exception:
+        return False
+
+
 def _supervise():
     """Run the measurement in a watchdogged child.
 
     The tunneled TPU backend can wedge indefinitely (hung RPCs are not
     interruptible in-process); a child + timeout guarantees this script
-    always prints its JSON line.  Falls back to the CPU backend if the
-    accelerator run fails or times out.
+    always prints its JSON line.
+
+    Outage policy (round-3 postmortem: a transient relay wedge at
+    snapshot time turned a ~100x TPU record into a 0.6x CPU-fallback
+    record): the accelerator is retried with backoff across a long
+    window — probe every ~2.5 min for up to ~35 min — before falling
+    back to the CPU backend, and any fallback record carries a loud
+    top-level ``"degraded": true`` so the pipeline can't mistake an
+    outage artifact for a measurement.  Tunable via
+    ``NDI_BENCH_RETRY_WINDOW_S`` / ``NDI_BENCH_RETRY_INTERVAL_S``.
     """
     import os
     import subprocess
@@ -91,38 +120,46 @@ def _supervise():
     here = Path(__file__).resolve()
     env = dict(os.environ)
     env["NDI_BENCH_CHILD"] = "1"
-    # quick reachability probe first: a wedged relay hangs device init
-    # at ~0% CPU indefinitely (seen live in round 3) — skip straight to
-    # the CPU fallback instead of burning the full accelerator timeout
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            env=dict(os.environ),
-            capture_output=True,
-            timeout=120,
-            check=True,
-        )
-        reachable = True
-    except Exception:
-        reachable = False
-    try:
-        if reachable:
-            out = subprocess.run(
-                [sys.executable, str(here)],
-                env=env,
-                capture_output=True,
-                text=True,
-                timeout=900,
-            )
-            for line in out.stdout.splitlines():
-                if line.startswith("{"):
-                    print(line)
-                    return 0
-    except subprocess.TimeoutExpired:
-        pass
+    window_s = float(os.environ.get("NDI_BENCH_RETRY_WINDOW_S", 2100))
+    interval_s = float(os.environ.get("NDI_BENCH_RETRY_INTERVAL_S", 150))
+    deadline = time.monotonic() + window_s
+    attempts = 0
+    first = True
+    while first or time.monotonic() < deadline:
+        first = False
+        # quick reachability probe first: a wedged relay hangs device
+        # init at ~0% CPU indefinitely (seen live in round 3) — don't
+        # burn the full accelerator timeout on a dead tunnel
+        if _probe_accelerator():
+            attempts += 1
+            try:
+                out = subprocess.run(
+                    [sys.executable, str(here)],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    timeout=900,
+                )
+                for line in out.stdout.splitlines():
+                    if line.startswith("{"):
+                        print(line)
+                        return 0
+                sys.stderr.write(out.stderr[-2000:])
+            except subprocess.TimeoutExpired:
+                sys.stderr.write(
+                    "bench.py: accelerator run timed out (attempt %d)\n"
+                    % attempts
+                )
+        else:
+            sys.stderr.write("bench.py: accelerator unreachable; retrying\n")
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            break
+        time.sleep(min(interval_s, max(remaining, 0)))
     # fallback: CPU backend, no relay plugin, scaled-down workload
     # (NDI_BENCH_CPU_FALLBACK trims links/reps — the full chained
-    # workload exceeds 900 s on a 1-vCPU host)
+    # workload exceeds 900 s on a 1-vCPU host).  The record is marked
+    # degraded: it witnesses the library working, not TPU performance.
     env["JAX_PLATFORMS"] = "cpu"
     env["NDI_BENCH_CPU_FALLBACK"] = "1"
     env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -136,7 +173,9 @@ def _supervise():
         )
         for line in out.stdout.splitlines():
             if line.startswith("{"):
-                print(line)
+                rec = json.loads(line)
+                rec["degraded"] = True
+                print(json.dumps(rec))
                 return 0
         sys.stderr.write(out.stderr[-2000:])
     except subprocess.TimeoutExpired:
@@ -148,8 +187,9 @@ def _supervise():
         "value": 0.0,
         "unit": "queries/s",
         "vs_baseline": 0.0,
-        "extra": {"error": "accelerator unreachable; cpu fallback "
-                           "failed/timed out"},
+        "degraded": True,
+        "extra": {"error": "accelerator unreachable across retry window; "
+                           "cpu fallback failed/timed out"},
     }))
     return 1
 

@@ -543,7 +543,9 @@ class BicubicStrategy(Interp2DStrategy):
         from ..interpnd import _integrate_fn
 
         x, y = interp.x, interp.y
-        bt = jnp.result_type(x.dtype, y.dtype)
+        # force an inexact type (integer grids are a supported eval path;
+        # see the matching promotion in Bilinear.eval_integrate_box)
+        bt = jnp.result_type(x.dtype, y.dtype, jnp.float32)
         los = jnp.stack(
             [jnp.asarray(xlo).astype(bt), jnp.asarray(ylo).astype(bt)]
         )
@@ -553,8 +555,11 @@ class BicubicStrategy(Interp2DStrategy):
         fn = _integrate_fn(
             2, (self.bc_x, self.bc_y), "cubic", self.extrapolates
         )
+        data = interp.data
+        if not jnp.issubdtype(data.dtype, jnp.inexact):
+            data = data.astype(bt)
         return fn(
-            (x.astype(bt), y.astype(bt)), interp.data, los, his
+            (x.astype(bt), y.astype(bt)), data, los, his
         )
 
     def tree_flatten(self):

@@ -208,7 +208,10 @@ class Bilinear(Interp2DStrategy, Interp2DStrategyBuilder):
         from ..interpnd import _integrate_fn
 
         x, y = interp.x, interp.y
-        bt = jnp.result_type(x.dtype, y.dtype)
+        # force an inexact type: integer grids (a supported eval path)
+        # would otherwise truncate fractional bounds and crash in the
+        # antiderivative-weight machinery (jnp.finfo on an int dtype)
+        bt = jnp.result_type(x.dtype, y.dtype, jnp.float32)
         los = jnp.stack(
             [jnp.asarray(xlo).astype(bt), jnp.asarray(ylo).astype(bt)]
         )
@@ -216,7 +219,10 @@ class Bilinear(Interp2DStrategy, Interp2DStrategyBuilder):
             [jnp.asarray(xhi).astype(bt), jnp.asarray(yhi).astype(bt)]
         )
         fn = _integrate_fn(2, None, "linear", self.extrapolates)
-        return fn((x.astype(bt), y.astype(bt)), interp.data, los, his)
+        data = interp.data
+        if not jnp.issubdtype(data.dtype, jnp.inexact):
+            data = data.astype(bt)
+        return fn((x.astype(bt), y.astype(bt)), data, los, his)
 
     def _rows(self):
         return None

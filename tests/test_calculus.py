@@ -727,3 +727,152 @@ class TestDerivative2D:
             itp.derivative(qx + 2 * px, qy - 3 * py, dx=1, dy=1)
         )
         np.testing.assert_allclose(wrapped, base, rtol=1e-8, atol=1e-10)
+
+
+class TestIntegrate2D:
+    """Interp2D.integrate(xlo, xhi, ylo, yhi) — SciPy
+    RectBivariateSpline.integral-style box quadrature; oracle =
+    sequential 1-D CubicSpline.integrate (the tensor-product
+    construction commutes axis-wise because the spline solve is linear
+    in its nodal values)."""
+
+    grid = staticmethod(TestDerivative2D.grid)
+    build2 = staticmethod(TestDerivative2D.build2)
+
+    @staticmethod
+    def seq_integral(x, y, z, xlo, xhi, ylo, yhi, bc="not-a-knot"):
+        col = np.array(
+            [
+                si.CubicSpline(y, z[i], bc_type=bc).integrate(ylo, yhi)
+                for i in range(x.shape[0])
+            ]
+        )
+        return si.CubicSpline(x, col, bc_type=bc).integrate(xlo, xhi)
+
+    def test_bicubic_matches_sequential_scipy(self):
+        from ndarray_interp_tpu.interp2d import Bicubic
+
+        x, y, z, _, _ = self.grid(seed=60)
+        itp = self.build2(x, y, z, Bicubic())
+        box = (x[2] + 0.17, x[-2] - 0.31, y[1] + 0.05, y[-3] + 0.4)
+        got = float(itp.integrate(*box))
+        want = self.seq_integral(x, y, z, *box)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-11)
+
+    def test_bilinear_matches_trapezoid(self):
+        from ndarray_interp_tpu.interp2d import Bilinear
+
+        x, y, z, _, _ = self.grid(seed=61)
+        itp = self.build2(x, y, z, Bilinear())
+        # knot-aligned box: bilinear integral == 2-D trapezoid rule
+        got = float(itp.integrate(x[1], x[-2], y[2], y[-1]))
+        want = np.trapezoid(
+            np.trapezoid(z[1:-1, 2:], y[2:], axis=1), x[1:-1]
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_bilinear_exact_on_plane(self):
+        from ndarray_interp_tpu.interp2d import Bilinear
+
+        x = np.array([0.0, 1.0, 3.0])
+        y = np.array([0.0, 2.0, 5.0])
+        z = 2.0 * x[:, None] + 3.0 * y[None, :] + 1.0
+        itp = self.build2(x, y, z, Bilinear())
+        # ∫∫ (2x+3y+1) over [0.5,2.5]x[1.0,4.0] = 2*3*Ey... do it exactly
+        xlo, xhi, ylo, yhi = 0.5, 2.5, 1.0, 4.0
+        want = (
+            2.0 * (xhi**2 - xlo**2) / 2 * (yhi - ylo)
+            + 3.0 * (yhi**2 - ylo**2) / 2 * (xhi - xlo)
+            + 1.0 * (xhi - xlo) * (yhi - ylo)
+        )
+        np.testing.assert_allclose(float(itp.integrate(xlo, xhi, ylo, yhi)), want, rtol=1e-12)
+
+    def test_signed_bounds(self):
+        from ndarray_interp_tpu.interp2d import Bicubic
+
+        x, y, z, _, _ = self.grid(seed=62)
+        itp = self.build2(x, y, z, Bicubic())
+        a = float(itp.integrate(x[1], x[-2], y[1], y[-2]))
+        np.testing.assert_allclose(
+            float(itp.integrate(x[-2], x[1], y[1], y[-2])), -a, rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            float(itp.integrate(x[-2], x[1], y[-2], y[1])), a, rtol=1e-12
+        )
+        assert float(itp.integrate(x[1], x[1], y[1], y[-2])) == 0.0
+
+    def test_trailing_dims(self):
+        from ndarray_interp_tpu.interp2d import Bicubic
+
+        x, y, z, _, _ = self.grid(bank=3, seed=63)
+        itp = self.build2(x, y, z, Bicubic())
+        box = (x[1] + 0.1, x[-2], y[0] + 0.2, y[-1] - 0.3)
+        got = np.asarray(itp.integrate(*box))
+        assert got.shape == (3,)
+        for j in range(3):
+            want = self.seq_integral(x, y, z[..., j], *box)
+            np.testing.assert_allclose(got[j], want, rtol=1e-10, atol=1e-11)
+
+    def test_extrapolated_and_oob(self):
+        from ndarray_interp_tpu.interp2d import Bicubic
+
+        x, y, z, _, _ = self.grid(seed=64)
+        itp = self.build2(x, y, z, Bicubic())
+        with pytest.raises(OutOfBoundsError):
+            itp.integrate(x[0] - 1.0, x[-1], y[0], y[-1])
+        ext = self.build2(x, y, z, Bicubic(extrapolate=True))
+        box = (x[0] - 0.5, x[-1] + 0.25, y[0] - 0.1, y[-1])
+        got = float(ext.integrate(*box))
+        # oracle: SciPy CubicSpline extrapolates its edge polynomials too
+        want = self.seq_integral(x, y, z, *box)
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+    def test_periodic_rejected(self):
+        from ndarray_interp_tpu.interp2d import Bicubic
+
+        x, y, z, _, _ = self.grid(seed=65)
+        z = z.copy()
+        z[-1, :] = z[0, :]
+        itp = self.build2(x, y, z, Bicubic(bc_x="periodic"))
+        with pytest.raises(ValueError, match="periodic"):
+            itp.integrate(x[1], x[-2], y[1], y[-2])
+
+    def test_jit_traced_bounds(self):
+        from ndarray_interp_tpu.interp2d import Bicubic
+
+        x, y, z, _, _ = self.grid(seed=66)
+        itp = self.build2(x, y, z, Bicubic())
+        f = jax.jit(lambda a, b, c, d: itp.integrate(a, b, c, d))
+        box = (x[1] + 0.3, x[-2] - 0.2, y[1] + 0.1, y[-2])
+        np.testing.assert_allclose(
+            float(f(*map(jnp.asarray, box))),
+            float(itp.integrate(*box)),
+            rtol=1e-12,
+        )
+
+    def test_integer_grid_promotes(self):
+        # regression: int grids crashed in jnp.finfo via truncation
+        from ndarray_interp_tpu.interp2d import Interp2D
+
+        itp = Interp2D.builder(np.arange(12).reshape(3, 4)).build()
+        got = float(itp.integrate(0.5, 1.5, 0.5, 2.5))
+        z = np.arange(12, dtype=np.float64).reshape(3, 4)
+        xs = np.linspace(0.5, 1.5, 201)
+        ys = np.linspace(0.5, 2.5, 201)
+        from scipy.interpolate import RegularGridInterpolator
+
+        rgi = RegularGridInterpolator(
+            (np.arange(3.0), np.arange(4.0)), z, method="linear"
+        )
+        xg, yg = np.meshgrid(xs, ys, indexing="ij")
+        samples = rgi(np.stack([xg.ravel(), yg.ravel()], -1)).reshape(xg.shape)
+        want = np.trapezoid(np.trapezoid(samples, ys, axis=1), xs)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_unsupported_strategy(self):
+        from ndarray_interp_tpu.interp2d import Nearest2D
+
+        x, y, z, _, _ = self.grid(seed=67)
+        itp = self.build2(x, y, z, Nearest2D())
+        with pytest.raises(TypeError, match="does not support"):
+            itp.integrate(x[1], x[2], y[1], y[2])
