@@ -31,6 +31,18 @@ use_native_host: bool = os.environ.get("NDI_TPU_DISABLE_NATIVE", "0") != "1"
 #: v5e; see docs/API.md).
 bicubic_pack_max_elems: int = 128 * 1024 * 1024
 
+#: Compile-payload hygiene cap, in BYTES (default 8 MB): the serving
+#: evaluators assert at warmup that their jitted programs embed less
+#: than this much constant data (``utils/hygiene.py``).  A big device
+#: table captured by CLOSURE (instead of passed as a jit argument) is
+#: constant-folded into the program and shipped with every (remote)
+#: compile — a 535 MB table measured 138 MB of program MLIR and wedged
+#: the compile relay (docs/ROADMAP.md round-3 postmortem).  Override
+#: with ``NDI_JIT_CONST_CAP_BYTES``.
+jit_const_cap_bytes: int = int(
+    os.environ.get("NDI_JIT_CONST_CAP_BYTES", 8 * 1024 * 1024)
+)
+
 #: Largest packed InterpND corner-row table, in ELEMENTS.  The table
 #: stores all ``2^k`` cell corners contiguously per cell (``2^k``× the
 #: grid data's memory) so linear evaluation is ONE row gather per query;

@@ -350,6 +350,97 @@ def _bc_bwd(r, res, g):
 bicubic_gathered_eval.defvjp(_bc_fwd, _bc_bwd)
 
 
+def _bicubic_mxu_weight_row(tx, ty, bp):
+    """(B, 16*bp) f32 tensor-product weight row built by one-hot MXU
+    matmuls — the f32 analogue of the DF route's
+    ``_df_bicubic_weight_tail_mxu`` weight build
+    (``pallas_eval_df.py``): (B, 1) Hermite bases → (B, 4) basis rows →
+    (B, 16) block weights → the (B, 16*bp) full-lane row.  Every
+    widening matmul is against a 0/1 matrix and runs at
+    ``Precision.HIGHEST`` (the default f32 matmul is ONE bf16 MXU pass,
+    measured 2.1e-3 rel err on chip; bf16x3 against a one-hot matrix is
+    exact) — the MXU does the relayouts that ``broadcast_to``+concat
+    forms pay Mosaic relayouts for."""
+    b = tx.shape[0]
+    one = jnp.float32(1.0)
+    bx = _bicubic_basis(tx, one)
+    by = _bicubic_basis(ty, one)
+
+    def basis_row(basis):
+        i4 = jax.lax.broadcasted_iota(jnp.int32, (b, 4), 1)
+        return jnp.where(
+            i4 == 0,
+            basis[0],
+            jnp.where(
+                i4 == 1, basis[1], jnp.where(i4 == 2, basis[2], basis[3])
+            ),
+        )
+
+    def onehot_dot(a, sel):
+        return jax.lax.dot(
+            a, sel, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    # block j = 4i + c (quantity i, corner c): x-basis index
+    # (c//2) + 2*[i odd] (kx/kxy take the derivative weights), y-basis
+    # index (c%2) + 2*[i >= 2] — 0/1 matrices built from iota (Pallas
+    # kernels cannot capture constant arrays)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (4, 16), 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (4, 16), 0)
+    qi = jj // 4
+    cc = jj % 4
+    px = ((cc // 2 + 2 * (qi % 2)) == kk).astype(jnp.float32)
+    py = ((cc % 2 + 2 * (qi // 2)) == kk).astype(jnp.float32)
+    w16 = onehot_dot(basis_row(bx), px) * onehot_dot(basis_row(by), py)
+    half = 16 * bp
+    lane = jax.lax.broadcasted_iota(jnp.int32, (16, half), 1) // bp
+    blk = jax.lax.broadcasted_iota(jnp.int32, (16, half), 0)
+    sel = (lane == blk).astype(jnp.float32)
+    return onehot_dot(w16, sel)
+
+
+def _bicubic_mxu_kernel(rows_ref, tx_ref, ty_ref, out_ref, *, bp):
+    wrow = _bicubic_mxu_weight_row(tx_ref[:], ty_ref[:], bp)
+    p = wrow * rows_ref[:]  # ONE full-lane multiply
+    # halving tree: lane-aligned slices down to 128, sub-lane only at
+    # the last levels (the same shape as the DF tail's compensated tree)
+    while p.shape[1] > bp:
+        h = p.shape[1] // 2
+        p = p[:, :h] + p[:, h:]
+    out_ref[:] = p
+
+
+def bicubic_mxu_tail(rows, tx, ty, interpret=False, bq=1024):
+    """Full-lane MXU weight-form f32 bicubic tail on gathered cell rows
+    ``(Q, 16r)`` — the f32 analogue of ``bicubic_df_tail_mxu``: MXU
+    one-hot weight-row build + ONE elementwise multiply across the whole
+    row + a halving tree, instead of 16 per-block sub-lane broadcast
+    multiplies (``bicubic_weight_tail``'s measured failure mode).
+    Q must be a multiple of ``bq``; ``r`` must make ``16r`` a multiple
+    of 128 (r % 8 == 0).  Returns (Q, r) f32.  Summation order is a
+    tree over blocks — differs from the nested Hermite at ~1e-6
+    relative, like the weight form."""
+    nq, ch = rows.shape
+    bp = ch // 16
+    assert nq % bq == 0, "pad cell/t to a block multiple before the gather"
+    nb = nq // bq
+    return pl.pallas_call(
+        functools.partial(_bicubic_mxu_kernel, bp=bp),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+        interpret=interpret,
+    )(rows, tx.reshape(nq, 1), ty.reshape(nq, 1))
+
+
 @jax.custom_vjp
 def gathered_bank_eval(data2, a2, b2, idx, t):
     """Gather-route banked evaluation: ONE packed row gather -> streaming

@@ -54,6 +54,32 @@ class _BucketedEvaluator:
     def buckets(self):
         return tuple(self._buckets)
 
+    def _hygiene_args(self):
+        """(fn, example_args) for one serving-program trace — what a
+        single bucket evaluation runs."""
+        raise NotImplementedError
+
+    def verify_hygiene(self, cap_bytes=None):
+        """Compile-payload guard: trace one serving program and assert
+        it embeds no big constants (``utils/hygiene.py``).  A closure-
+        captured table would be constant-folded into the program and
+        shipped with every (remote) compile — tables must ride as jit
+        arguments.  Runs once per evaluator (cached); called
+        automatically from ``warmup()`` and the first ``__call__`` of
+        the double-float evaluators.  Raises ``RuntimeError`` with the
+        offending constant shapes on violation."""
+        if getattr(self, "_hygiene_ok", False):
+            return self
+        from .utils.hygiene import assert_lean_program
+
+        fn, args = self._hygiene_args()
+        assert_lean_program(
+            fn, *args, cap_bytes=cap_bytes,
+            what=f"{type(self).__name__} serving program",
+        )
+        self._hygiene_ok = True
+        return self
+
 
 class Evaluator(_BucketedEvaluator):
     """Bucketed fixed-shape evaluator over an :class:`Interp1D`.
@@ -77,8 +103,14 @@ class Evaluator(_BucketedEvaluator):
         fn = lambda t, q: t(q)
         self._fn = jax.jit(fn, donate_argnums=1) if self._donate else jax.jit(fn)
 
+    def _hygiene_args(self):
+        q = jnp.full((self._buckets[0],), self._interp.x[0],
+                     self._interp.x.dtype)
+        return self._fn, (self._interp, q)
+
     def warmup(self):
         """Precompile every bucket (one trace + compile each)."""
+        self.verify_hygiene()
         pad_val = self._interp.x[0]
         for b in self._buckets:
             q = jnp.full((b,), pad_val, self._interp.x.dtype)
@@ -124,7 +156,14 @@ class Evaluator2D(_BucketedEvaluator):
             jax.jit(fn, donate_argnums=(1, 2)) if self._donate else jax.jit(fn)
         )
 
+    def _hygiene_args(self):
+        b = self._buckets[0]
+        qx = jnp.full((b,), self._interp.x[0], self._interp.x.dtype)
+        qy = jnp.full((b,), self._interp.y[0], self._interp.y.dtype)
+        return self._fn, (self._interp, qx, qy)
+
     def warmup(self):
+        self.verify_hygiene()
         for b in self._buckets:
             qx = jnp.full((b,), self._interp.x[0], self._interp.x.dtype)
             qy = jnp.full((b,), self._interp.y[0], self._interp.y.dtype)
@@ -181,7 +220,15 @@ class EvaluatorND(_BucketedEvaluator):
             else jax.jit(fn)
         )
 
+    def _hygiene_args(self):
+        qs = [
+            jnp.full((self._buckets[0],), ax[0], ax.dtype)
+            for ax in self._interp.axes
+        ]
+        return self._fn, (self._interp, *qs)
+
     def warmup(self):
+        self.verify_hygiene()
         for b in self._buckets:
             qs = [
                 jnp.full((b,), ax[0], ax.dtype) for ax in self._interp.axes
@@ -293,36 +340,43 @@ class DoubleFloatEvaluator(_BucketedEvaluator):
             # packed ONCE here and passed as a jit ARGUMENT — packing
             # per call would re-concatenate a table that can reach
             # hundreds of MB, and closure-capturing it ships it with
-            # every (remote) compile.
+            # every (remote) compile (utils/hygiene.py).
             from .ops.pallas_eval_df import pack_bank_rows_df
             from .ops.partition import sharded_df_banked_packed
 
-            xh, xl = self._pairs[0], self._pairs[1]
             self._packed = jax.jit(pack_bank_rows_df)(*self._pairs[2:8])
             route = sharded_df_banked_packed(bank)
             self._run = jax.jit(
-                lambda packed, qh, ql: route(xh, xl, packed, qh, ql)
+                lambda xh, xl, packed, qh, ql: route(
+                    xh, xl, packed, qh, ql
+                )
             )
-            self._run_extra = (self._packed,)
+            self._run_extra = (
+                self._pairs[0], self._pairs[1], self._packed,
+            )
         elif _plan(n) is not None:
 
-            def run(qh, ql):
+            def run(xh, xl, dh, dl, ah, al, bh, bl, qh, ql):
+                pairs = (xh, xl, dh, dl, ah, al, bh, bl)
                 return jax.lax.platform_dependent(
                     qh, ql,
-                    tpu=lambda qh, ql: sharded_df_eval()(*self._pairs, qh, ql),
-                    default=lambda qh, ql: eval_xla_df(*self._pairs, qh, ql),
+                    tpu=lambda qh, ql: sharded_df_eval()(*pairs, qh, ql),
+                    default=lambda qh, ql: eval_xla_df(*pairs, qh, ql),
                 )
 
             self._run = jax.jit(run)
+            self._run_extra = tuple(self._pairs)
         else:
             # scalar axis beyond the windowed plan: plain-XLA DF form
             self._run = jax.jit(
-                lambda qh, ql: eval_xla_df(*self._pairs, qh, ql)
+                lambda *a: eval_xla_df(*a)
             )
+            self._run_extra = tuple(self._pairs)
 
     def warmup(self):
         import numpy as np
 
+        self.verify_hygiene()
         for b in self._buckets:
             q = np.full(b, self._x0)
             hi, lo = self._run(
@@ -331,12 +385,19 @@ class DoubleFloatEvaluator(_BucketedEvaluator):
             jax.block_until_ready((hi, lo))
         return self
 
+    def _hygiene_args(self):
+        import numpy as np
+
+        q = np.full(self._buckets[0], self._x0)
+        return self._run, (*self._run_extra, *_split_q(q))
+
     def __call__(self, queries):
         import numpy as np
 
         from .errors import OutOfBoundsError
         from .ops.df import df_to_f64
 
+        self.verify_hygiene()
         q = np.asarray(queries, np.float64)
         flat = q.reshape(-1)
         if flat.shape[0] == 0:
@@ -515,10 +576,10 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
 
                 self._packed = jax.jit(pack_bicubic_nodes_df)(*rows_pair)
                 route = sharded_df_bicubic_nodes(r)
-            self._run_extra = (self._packed,)
+            self._run_extra = (*self._pairs, self._packed)
             self._run = jax.jit(
-                lambda packed, a, b, c, d: route(
-                    *self._pairs, packed, a, b, c, d
+                lambda xh, xl, yh, yl, packed, a, b, c, d: route(
+                    xh, xl, yh, yl, packed, a, b, c, d
                 )
             )
             return
@@ -531,21 +592,31 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
         z_pair = df_from_f64(np.asarray(interp.data, np.float64))
         ny = y64.shape[0]
         self._packed = jax.jit(pack_bilinear_rows_df)(*z_pair)
-        self._run_extra = (self._packed,)
+        self._run_extra = (*self._pairs, self._packed)
 
         from .ops.partition import sharded_df_bilinear_packed
 
         route = sharded_df_bilinear_packed(ny, r)
 
-        def run(packed, qxh, qxl, qyh, qyl):
-            return route(*self._pairs, packed, qxh, qxl, qyh, qyl)
+        def run(xh, xl, yh, yl, packed, qxh, qxl, qyh, qyl):
+            return route(xh, xl, yh, yl, packed, qxh, qxl, qyh, qyl)
 
         self._run = jax.jit(run)
+
+    def _hygiene_args(self):
+        import numpy as np
+
+        qx = np.full(self._buckets[0], self._xr[0])
+        qy = np.full(self._buckets[0], self._yr[0])
+        return self._run, (
+            *self._run_extra, *_split_q(qx), *_split_q(qy)
+        )
 
     def warmup(self):
         """Precompile every bucket (one trace + compile each)."""
         import numpy as np
 
+        self.verify_hygiene()
         for b in self._buckets:
             qx = np.full(b, self._xr[0])
             qy = np.full(b, self._yr[0])
@@ -561,6 +632,7 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
         from .errors import OutOfBoundsError
         from .ops.df import df_from_f64, df_to_f64
 
+        self.verify_hygiene()
         qx = np.asarray(xs, np.float64)
         qy = np.asarray(ys, np.float64)
         if qx.shape != qy.shape:

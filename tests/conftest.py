@@ -39,6 +39,41 @@ def pytest_configure(config):
         "markers",
         "tpu: on-hardware parity tests (run via NDI_TPU_TESTS=1 pytest -m tpu)",
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running tests (multi-process cluster, 16M-knot "
+        "capacity sweeps, big property tables).  CI runs everything; "
+        "iterate locally with `pytest -m quick`.",
+    )
+    config.addinivalue_line(
+        "markers",
+        "quick: auto-applied to every test not marked slow/tpu "
+        "(`pytest -m quick` is the fast local loop)",
+    )
+
+
+def _slow_list():
+    path = Path(__file__).resolve().parent / "_slow_tests.txt"
+    try:
+        return {
+            line.strip()
+            for line in path.read_text().splitlines()
+            if line.strip() and not line.startswith("#")
+        }
+    except OSError:
+        return set()
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = _slow_list()
+    for item in items:
+        rel = item.nodeid.split("tests/")[-1]
+        if rel in slow and item.get_closest_marker("slow") is None:
+            item.add_marker("slow")
+        if item.get_closest_marker("slow") is None and (
+            item.get_closest_marker("tpu") is None
+        ):
+            item.add_marker("quick")
     if _is_tpu_run():
         # real-device run: no CPU re-exec, no x64 (unsupported on TPU)
         return
