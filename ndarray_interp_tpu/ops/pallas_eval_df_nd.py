@@ -1,0 +1,328 @@
+"""f64-grade InterpND evaluation on f32 hardware (double-float).
+
+The ND analogue of the DF bicubic gather route
+(``pallas_eval_df.gathered_bicubic_eval_df_packed``): per-axis DF
+``(idx, t)`` passes (the Pallas DF kernel on TPU when every axis fits a
+windowed plan, the XLA DF-lexicographic form elsewhere), ONE packed
+(hi, lo) cell-row gather, and a k-fold tensor-product Hermite (or
+multilinear) tail in double-float — the Mosaic MXU weight-form kernel
+on TPU (``_df_bicubic_weight_tail_mxu`` generalized over k axes and
+both basis families), the per-channel XLA form elsewhere.
+
+Eval contract: the same per-axis Hermite chain as the reference's 1-D
+eval (``/root/reference/src/interp1d/strategies/cubic_spline.rs:818-828``)
+applied tensor-product per axis, in the weight form of
+``models/interpnd._cubic_weights`` (identical interpolant; DF rounding
+differs from the f64 oracle at ~2^-48 of term scale).  Accuracy is
+gated on chip at ≤4e-12 scale-relative (``tests/test_tpu_parity.py``).
+
+Layout: ``pack_cubic_rows_nd_df`` packs the f64 strategy table
+(``models/interpnd.pack_cubic_rows_nd``, channel order
+``_cubic_digit_channels``: one base-4 digit per axis, axis 0 most
+significant, digit = 2*deriv + side) into block-padded (hi | lo) rows
+``(cells, 2 * nb * bp)`` with ``nb = 4^k`` (cubic) or ``2^k`` (linear,
+corner order = ``itertools.product((0, 1), ...)`` = base-2 digits,
+axis 0 most significant — the same digit convention).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .df import (
+    df_add,
+    df_mul,
+    df_sub,
+    fast_two_sum,
+    no_guard,
+    two_prod,
+    two_sum,
+)
+from .pallas_eval_df import (
+    _df_hermite_basis,
+    _df_index_frac_xla,
+    fused_index_frac_df,
+)
+
+
+def pack_rows_nd_df(rows_hi, rows_lo, nb, r):
+    """Block-padded DF ND cell rows ``(cells, 2 * nb * bp)``: the ``nb``
+    per-cell quantity blocks (ND cell layout) hi then lo, each r-block
+    padded to ``bp`` lanes (``pack_bicubic_rows_df`` generalized)."""
+    cells = rows_hi.shape[0]
+    bp = -(-r // 8) * 8
+
+    def blocks(v):
+        v3 = v.reshape(cells, nb, r)
+        if bp != r:
+            v3 = jnp.pad(v3, ((0, 0), (0, 0), (0, bp - r)))
+        return v3.reshape(cells, nb * bp)
+
+    return jnp.concatenate([blocks(rows_hi), blocks(rows_lo)], axis=1)
+
+
+def _df_linear_basis(t, one):
+    """The multilinear weights ``[1-t, t]`` as DF pairs."""
+    return (df_sub(one, t), t)
+
+
+def _df_index_frac_nd(axes_pairs, q_flat, interpret=False):
+    """Every axis's DF ``(idx, t)`` pass: Pallas DF kernels on TPU when
+    every knot count fits a windowed plan, the XLA DF-lexicographic form
+    elsewhere (``_df_index_frac_2d`` generalized).  ``q_flat`` is the
+    flat tuple ``(q0_hi, q0_lo, q1_hi, q1_lo, ...)``; returns the flat
+    tuple ``(idx_d, th_d, tl_d)`` per axis."""
+    from .pallas_eval import _plan
+
+    k = len(axes_pairs)
+
+    def xla_frac(*qs):
+        outs = []
+        for d, (xh, xl) in enumerate(axes_pairs):
+            outs.extend(
+                _df_index_frac_xla(xh, xl, qs[2 * d], qs[2 * d + 1])
+            )
+        return tuple(outs)
+
+    kernel_ok = all(
+        _plan(xh.shape[0]) is not None for xh, _ in axes_pairs
+    )
+    if not kernel_ok:
+        return xla_frac(*q_flat)
+
+    def tpu_frac(*qs):
+        outs = []
+        for d, (xh, xl) in enumerate(axes_pairs):
+            outs.extend(
+                fused_index_frac_df(
+                    xh, xl, qs[2 * d], qs[2 * d + 1], interpret=interpret
+                )
+            )
+        return tuple(outs)
+
+    return jax.lax.platform_dependent(
+        *q_flat, tpu=tpu_frac, default=xla_frac
+    )
+
+
+def _df_basis_cols(ths, tls, nbasis):
+    """Per-axis DF basis values as (B, 1)-shaped column pairs:
+    ``bases[d][digit] = (hi, lo)``."""
+    one = (jnp.ones_like(ths[0]), jnp.zeros_like(ths[0]))
+    fn = _df_hermite_basis if nbasis == 4 else _df_linear_basis
+    return [fn((th, tl), one) for th, tl in zip(ths, tls)]
+
+
+def _df_nd_weight_tail_xla(rows, ths, tls, k, bp, nbasis):
+    """Vectorized XLA DF tail: fold the per-axis basis columns into ONE
+    (B, nbasis^k) DF weight matrix (repeat/tile, axis 0 most
+    significant — the pack's channel order), DF-multiply against the
+    (B, nb, bp) row blocks, and DF-accumulate by a halving tree (the
+    Mosaic kernel's association).  The guarded-XLA twin of
+    :func:`nd_df_tail_mxu` (identical interpolant; last-bit DF rounding
+    differs from a sequential accumulation)."""
+    nb = nbasis**k
+    bases = _df_basis_cols(
+        [t.reshape(-1, 1) for t in ths], [t.reshape(-1, 1) for t in tls],
+        nbasis,
+    )
+
+    def basis_mat(basis):
+        return (
+            jnp.concatenate([p[0] for p in basis], axis=1),
+            jnp.concatenate([p[1] for p in basis], axis=1),
+        )
+
+    w = basis_mat(bases[0])
+    for d in range(1, k):
+        wa = (
+            jnp.repeat(w[0], nbasis, axis=1),
+            jnp.repeat(w[1], nbasis, axis=1),
+        )
+        m = w[0].shape[1]
+        br = basis_mat(bases[d])
+        bb = (jnp.tile(br[0], (1, m)), jnp.tile(br[1], (1, m)))
+        w = df_mul(wa, bb)
+    b = rows.shape[0]
+    blocks = (
+        rows[:, : nb * bp].reshape(b, nb, bp),
+        rows[:, nb * bp :].reshape(b, nb, bp),
+    )
+    hi, lo = df_mul((w[0][:, :, None], w[1][:, :, None]), blocks)
+    while hi.shape[1] > 1:
+        h = hi.shape[1] // 2
+        hi, lo = df_add(
+            (hi[:, :h], lo[:, :h]), (hi[:, h:], lo[:, h:])
+        )
+    return hi[:, 0], lo[:, 0]
+
+
+def _df_nd_weight_row_mxu(ths, tls, k, bp, nbasis):
+    """(B, nbasis^k * bp) DF weight row by one-hot MXU expansions —
+    ``_df_bicubic_weight_tail_mxu``'s weight build generalized: per-axis
+    (B, nbasis) basis rows, folded together one axis at a time through
+    0/1 repeat/tile matmuls (EXACT at ``Precision.HIGHEST``: every
+    output column selects a single w*1 product), then the block
+    expansion to ``bp`` lanes per channel.  Channel order: per-axis
+    digits, axis 0 most significant — ``_cubic_digit_channels`` /
+    ``itertools.product`` corner order."""
+    b = ths[0].shape[0]
+    bases = _df_basis_cols(ths, tls, nbasis)
+
+    def basis_row(basis, part):
+        im = jax.lax.broadcasted_iota(jnp.int32, (b, nbasis), 1)
+        out = basis[nbasis - 1][part]
+        for c in range(nbasis - 2, -1, -1):
+            out = jnp.where(im == c, basis[c][part], out)
+        return out
+
+    def onehot_dot(a, sel):
+        return jax.lax.dot(
+            a, sel, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    w = (basis_row(bases[0], 0), basis_row(bases[0], 1))
+    m = nbasis
+    for d in range(1, k):
+        wide = m * nbasis
+        # repeat each of the m accumulated channels nbasis times ...
+        ii = jax.lax.broadcasted_iota(jnp.int32, (m, wide), 1) // nbasis
+        jj = jax.lax.broadcasted_iota(jnp.int32, (m, wide), 0)
+        sel_a = (ii == jj).astype(jnp.float32)
+        # ... and tile this axis's nbasis weights across them
+        cc = jax.lax.broadcasted_iota(jnp.int32, (nbasis, wide), 1) % nbasis
+        kk = jax.lax.broadcasted_iota(jnp.int32, (nbasis, wide), 0)
+        sel_b = (cc == kk).astype(jnp.float32)
+        wa = (onehot_dot(w[0], sel_a), onehot_dot(w[1], sel_a))
+        br = (basis_row(bases[d], 0), basis_row(bases[d], 1))
+        bb = (onehot_dot(br[0], sel_b), onehot_dot(br[1], sel_b))
+        w = df_mul(wa, bb)
+        m = wide
+    half = m * bp
+    lane = jax.lax.broadcasted_iota(jnp.int32, (m, half), 1) // bp
+    blk = jax.lax.broadcasted_iota(jnp.int32, (m, half), 0)
+    sel = (lane == blk).astype(jnp.float32)
+    return onehot_dot(w[0], sel), onehot_dot(w[1], sel)
+
+
+def _df_nd_mxu_body(rows, ths, tls, k, bp, nbasis):
+    """EFT product on the HI half + compensated halving tree (the
+    ``_df_bicubic_weight_tail_mxu`` accumulation, any k)."""
+    wrow_h, wrow_l = _df_nd_weight_row_mxu(ths, tls, k, bp, nbasis)
+    half = (nbasis**k) * bp
+    rows_hi = rows[:, :half]
+    rows_lo = rows[:, half:]
+    p, pe = two_prod(wrow_h, rows_hi)
+    e = pe + wrow_l * rows_hi + wrow_h * rows_lo
+    while p.shape[1] > bp:
+        h = p.shape[1] // 2
+        s, se = two_sum(p[:, :h], p[:, h:])
+        e = e[:, :h] + e[:, h:] + se
+        p = s
+    return fast_two_sum(p, e)
+
+
+def _df_nd_mxu_kernel(*refs, k, bp, nbasis):
+    rows_ref = refs[0]
+    t_refs = refs[1 : 1 + 2 * k]
+    outh_ref, outl_ref = refs[1 + 2 * k], refs[2 + 2 * k]
+    with no_guard():
+        ths = [t_refs[2 * d][:] for d in range(k)]
+        tls = [t_refs[2 * d + 1][:] for d in range(k)]
+        hi, lo = _df_nd_mxu_body(rows_ref[:], ths, tls, k, bp, nbasis)
+        outh_ref[:] = hi
+        outl_ref[:] = lo
+
+
+def nd_df_tail_mxu(rows, ts_flat, k, nbasis=4, interpret=False, bq=256):
+    """Streaming Mosaic MXU weight-form DF ND tail; rows
+    ``(Q, 2 * nbasis^k * bp)``, Q a multiple of ``bq``; ``ts_flat`` =
+    ``(th_0, tl_0, ..., th_{k-1}, tl_{k-1})`` flat (B,) arrays.
+    Returns (hi, lo) of (Q, bp)."""
+    nq, ch = rows.shape
+    nb = nbasis**k
+    bp = ch // (2 * nb)
+    assert nq % bq == 0
+    grid = (nq // bq,)
+    outh, outl = pl.pallas_call(
+        functools.partial(_df_nd_mxu_kernel, k=k, bp=bp, nbasis=nbasis),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        + [
+            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        * (2 * k),
+        out_specs=[
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rows, *[t.reshape(nq, 1) for t in ts_flat])
+    return outh, outl
+
+
+def gathered_nd_eval_df_packed(k, grid_shape, r, nbasis=4, interpret=False):
+    """Factory for the DF ND gather route on a PREPACKED table: returns
+    ``route(x0_hi, x0_lo, ..., packed, q0_hi, q0_lo, ...) -> (hi, lo)``
+    of shape ``(Q, r)`` each.
+
+    ``grid_shape``: the k leading data dims (static — cell strides).
+    ``nbasis``: 4 for the tensor-product cubic (cell layout), 2 for
+    multilinear.  k-axis analogue of
+    ``gathered_bicubic_eval_df_packed``."""
+    cells = tuple(n - 1 for n in grid_shape)
+    cstrides = [1] * k
+    for d in range(k - 2, -1, -1):
+        cstrides[d] = cstrides[d + 1] * cells[d + 1]
+
+    def route(*ops):
+        axes_pairs = [
+            (ops[2 * d], ops[2 * d + 1]) for d in range(k)
+        ]
+        packed = ops[2 * k]
+        q_flat = ops[2 * k + 1 :]
+        nq = q_flat[0].shape[0]
+        npad = -(-nq // 512) * 512 - nq
+        if npad:
+            q_flat = tuple(jnp.pad(q, (0, npad)) for q in q_flat)
+        parts = _df_index_frac_nd(
+            axes_pairs, q_flat, interpret=interpret
+        )
+        idx = [parts[3 * d] for d in range(k)]
+        ts_flat = []
+        for d in range(k):
+            ts_flat += [parts[3 * d + 1], parts[3 * d + 2]]
+        cell = sum(i * s for i, s in zip(idx, cstrides))
+        rows = jnp.take(packed, cell, axis=0)
+        bp = packed.shape[1] // (2 * nbasis**k)
+
+        def mosaic(rows, *ts):
+            hi, lo = nd_df_tail_mxu(
+                rows, ts, k, nbasis=nbasis, interpret=interpret
+            )
+            return hi[:, :r], lo[:, :r]
+
+        def xla(rows, *ts):
+            ths = [ts[2 * d] for d in range(k)]
+            tls = [ts[2 * d + 1] for d in range(k)]
+            hi, lo = _df_nd_weight_tail_xla(rows, ths, tls, k, bp, nbasis)
+            return hi[:, :r], lo[:, :r]
+
+        hi, lo = jax.lax.platform_dependent(
+            rows, *ts_flat, tpu=mosaic, default=xla
+        )
+        return hi[:nq], lo[:nq]
+
+    return route

@@ -500,6 +500,36 @@ def sharded_df_bicubic_packed(r: int, interpret: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
+def sharded_df_nd_packed(
+    k: int, grid_shape: tuple, r: int, nbasis: int = 4,
+    interpret: bool = False,
+):
+    """Query-sharded DF InterpND gather route from a prepacked table
+    (``pallas_eval_df_nd.gathered_nd_eval_df_packed``): the k knot-pair
+    operands and the table replicate, the 2k flat query operands and
+    both (hi, lo) outputs shard over the query axis."""
+    from .pallas_eval_df_nd import gathered_nd_eval_df_packed
+
+    core = gathered_nd_eval_df_packed(
+        k, grid_shape, r, nbasis=nbasis, interpret=interpret
+    )
+    letters = ["n", "p", "s", "u", "v", "w"][:k]
+    rule = (
+        ", ".join(f"{L}, {L}" for L in letters)
+        + ", m c, "
+        + ", ".join(["q"] * (2 * k))
+        + " -> q b, q b"
+    )
+    return _df_route_cp(
+        core,
+        n_reps=2 * k + 1,
+        n_qs=2 * k,
+        rule=rule,
+        factors=tuple(letters) + ("m", "c", "b"),
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def sharded_df_bicubic_nodes(r: int, interpret: bool = False):
     """Query-sharded DF bicubic NODE route (memory-frugal f64-grade)."""
     from .pallas_eval_df import gathered_bicubic_nodes_eval_df

@@ -693,3 +693,171 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
             )
             outs.append(df_to_f64(hi, lo))
         return np.concatenate(outs)[:n].reshape(qx.shape + self._trailing)
+
+
+class DoubleFloatEvaluatorND(_BucketedEvaluator):
+    """N-D analogue of :class:`DoubleFloatEvaluator2D`: f64-grade serving
+    on f32 hardware for :class:`~ndarray_interp_tpu.models.interpnd.InterpND`
+    (``method="cubic"`` cell layout, or ``method="linear"``).
+
+    Runs the prepacked DF ND gather route (``ops/pallas_eval_df_nd.py``)
+    through its ``custom_partitioning`` wrapper: per-axis DF (idx, t)
+    passes (Pallas DF kernels on TPU within the windowed plan, the XLA
+    DF-lexicographic form elsewhere) + ONE packed (hi, lo) cell-row
+    gather + the k-fold tensor-product Hermite (or multilinear) DF tail
+    — the Mosaic MXU weight-form kernel on TPU, the per-channel XLA
+    form elsewhere.  Eval contract: the reference's per-axis Hermite
+    chain (``cubic_spline.rs:818-828``) tensor-product per axis.
+
+    The packed table is built ONCE at construction and kept on device
+    (2x the f32 cell table: ``2 * 4^k * r`` channels per cell for cubic,
+    ``2 * 2^k * r`` for linear) and always passed as a jit ARGUMENT
+    (``utils/hygiene.py``).  Cubic NODE-layout grids (past
+    ``config.interpnd_pack_max_elems``) have no DF route yet — raise
+    ``interpnd_pack_max_elems`` or evaluate in f64 on CPU.  Build the
+    InterpND eagerly in f64 on CPU; periodic cubic axes wrap in f64 on
+    the host (``cubic_spline.rs:804-809`` per axis)."""
+
+    def __init__(self, interp, max_batch: int = 1 << 20, buckets=None):
+        import numpy as np
+
+        from .models.interpnd import pack_corner_rows_nd
+        from .ops.df import df_from_f64
+        from .ops.pallas_eval_df_nd import pack_rows_nd_df
+        from .ops.partition import sharded_df_nd_packed
+
+        super().__init__(interp, max_batch, buckets)
+        k = interp.k
+        self._k = k
+        self._trailing = tuple(interp.data.shape[k:])
+        self._extrapolates = bool(interp.extrapolates)
+        self._wraps = tuple(interp.wraps_axis(d) for d in range(k))
+        axes64 = [np.asarray(ax, np.float64) for ax in interp.axes]
+        self._ranges = [(float(a[0]), float(a[-1])) for a in axes64]
+        grid_shape = tuple(int(n) for n in interp.data.shape[:k])
+        r = 1
+        for s in self._trailing:
+            r *= s
+
+        if interp.method == "cubic":
+            if interp.layout != "cell":
+                raise ValueError(
+                    "DoubleFloatEvaluatorND supports the cubic CELL "
+                    "layout only (one packed row gather); this grid "
+                    "packed as NODE layout — raise "
+                    "config.interpnd_pack_max_elems to force the cell "
+                    "table, or evaluate in f64 on the CPU backend"
+                )
+            rows64 = np.asarray(interp.table, np.float64)
+            nbasis = 4
+        elif interp.method == "linear":
+            # the f32 interp may run the unpacked route (big grid or
+            # int data); the DF table is packed here from f64 data
+            data64 = jnp.asarray(np.asarray(interp.data, np.float64))
+            rows64 = np.asarray(
+                jax.jit(pack_corner_rows_nd, static_argnums=1)(data64, k)
+            )
+            nbasis = 2
+        else:
+            raise ValueError(
+                "method='nearest' needs no DF route: its gather returns "
+                "stored values exactly — evaluate the f64 InterpND"
+            )
+        self._nbasis = nbasis
+
+        pairs = []
+        for a in axes64:
+            pairs.extend(df_from_f64(a))
+        self._pairs = pairs
+        rows_pair = df_from_f64(rows64)
+        # table packed ONCE, passed as a jit argument (hygiene contract)
+        self._packed = jax.jit(
+            lambda h, l: pack_rows_nd_df(h, l, nbasis**k, r)
+        )(*rows_pair)
+        route = sharded_df_nd_packed(k, grid_shape, r, nbasis=nbasis)
+        self._run_extra = (*self._pairs, self._packed)
+        self._run = jax.jit(lambda *a: route(*a))
+
+    def _hygiene_args(self):
+        import numpy as np
+
+        b = self._buckets[0]
+        qs = []
+        for lo, _ in self._ranges:
+            qs.extend(_split_q(np.full(b, lo)))
+        return self._run, (*self._run_extra, *qs)
+
+    def warmup(self):
+        """Precompile every bucket (one trace + compile each)."""
+        import numpy as np
+
+        self.verify_hygiene()
+        for b in self._buckets:
+            qs = []
+            for lo, _ in self._ranges:
+                qs.extend(_split_q(np.full(b, lo)))
+            jax.block_until_ready(self._run(*self._run_extra, *qs))
+        return self
+
+    def __call__(self, *coords):
+        import numpy as np
+
+        from .errors import OutOfBoundsError
+        from .ops.df import df_from_f64, df_to_f64
+
+        self.verify_hygiene()
+        k = self._k
+        if len(coords) != k:
+            raise ValueError(
+                f"expected {k} coordinate arrays (one per interpolated "
+                f"axis), got {len(coords)}"
+            )
+        qs = [np.asarray(c, np.float64) for c in coords]
+        shape = qs[0].shape
+        if any(q.shape != shape for q in qs[1:]):
+            raise ValueError("query coordinate shapes do not match")
+        flats = [q.reshape(-1) for q in qs]
+        n = flats[0].shape[0]
+        if n == 0:
+            return np.zeros(shape + self._trailing)
+        for d, (f, (lo, hi), wrap) in enumerate(
+            zip(flats, self._ranges, self._wraps)
+        ):
+            if np.isnan(f).any():
+                # eager API parity (docs/PARITY.md D3)
+                raise ValueError("failed to convert NaN to an index")
+            if wrap or self._extrapolates:
+                continue
+            bad = (f < lo) | (f > hi)
+            if bad.any():
+                i = int(np.argmax(bad))
+                raise OutOfBoundsError(
+                    f"point {f[i]} is out of bounds of the axis {d} "
+                    f"interpolation range [{lo}, {hi}]"
+                )
+        # periodic axes wrap in f64 on the host (cubic_spline.rs:804-809)
+        for d, wrap in enumerate(self._wraps):
+            if wrap:
+                lo, hi = self._ranges[d]
+                span = hi - lo
+                f = flats[d]
+                out_r = (f < lo) | (f > hi)
+                flats[d] = np.where(
+                    out_r, np.mod(f - lo, span) + lo, f
+                )
+        bsz = self._bucket(n)
+        outs = []
+        for start in range(0, n, bsz):
+            chunks = [f[start : start + bsz] for f in flats]
+            m = chunks[0].shape[0]
+            if m < bsz:
+                chunks = [
+                    np.concatenate([c, np.full(bsz - m, lo)])
+                    for c, (lo, _) in zip(chunks, self._ranges)
+                ]
+            args = []
+            for c in chunks:
+                args.extend(df_from_f64(c))
+            hi_, lo_ = self._run(*self._run_extra, *args)
+            outs.append(df_to_f64(hi_, lo_))
+        return np.concatenate(outs)[:n].reshape(shape + self._trailing)

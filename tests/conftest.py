@@ -39,6 +39,12 @@ def pytest_configure(config):
         "markers",
         "tpu: on-hardware parity tests (run via NDI_TPU_TESTS=1 pytest -m tpu)",
     )
+    # The re-exec and x64 switch MUST run here (before collection):
+    # test modules build jnp constants at import time, and collection
+    # imports them — enabling x64 any later silently downgrades those
+    # module-level value tables to f32 (caught as a 3e-7 oracle
+    # mismatch in test_cubic_spline).
+    _force_cpu_x64(config)
     config.addinivalue_line(
         "markers",
         "slow: long-running tests (multi-process cluster, 16M-knot "
@@ -74,6 +80,9 @@ def pytest_collection_modifyitems(config, items):
             item.get_closest_marker("tpu") is None
         ):
             item.add_marker("quick")
+
+
+def _force_cpu_x64(config):
     if _is_tpu_run():
         # real-device run: no CPU re-exec, no x64 (unsupported on TPU)
         return

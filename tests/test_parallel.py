@@ -549,3 +549,44 @@ def test_df_bicubic_node_route_under_mesh():
     np.testing.assert_allclose(
         df_to_f64(hi, lo), df_to_f64(whi, wlo), rtol=1e-5, atol=1e-5
     )
+
+
+def test_df_nd_route_under_mesh():
+    """The ND DF partition rule (k axes) with query-sharded inputs vs
+    the unsharded route — tensor-product cubic (nbasis=4) on a 3-axis
+    grid with a trailing dim."""
+    from ndarray_interp_tpu.ops.df import df_from_f64, df_to_f64
+    from ndarray_interp_tpu.ops.pallas_eval_df_nd import (
+        gathered_nd_eval_df_packed,
+        pack_rows_nd_df,
+    )
+    from ndarray_interp_tpu.ops.partition import sharded_df_nd_packed
+
+    rng = np.random.default_rng(75)
+    mesh1 = make_mesh(8, axis_names=("query",))
+    q_sh = NamedSharding(mesh1, P("query"))
+    k, r, nq = 3, 2, 2048
+    sizes = (9, 8, 7)
+    axes64 = [np.cumsum(rng.uniform(0.1, 1.0, n)) for n in sizes]
+    ncells = int(np.prod([n - 1 for n in sizes]))
+    rows64 = rng.normal(size=(ncells, (4**k) * r))
+    rows_pair = tuple(jnp.asarray(w) for w in df_from_f64(rows64))
+    packed = pack_rows_nd_df(*rows_pair, 4**k, r)
+    pairs = []
+    for a in axes64:
+        pairs.extend(jnp.asarray(w) for w in df_from_f64(a))
+    qs64 = [rng.uniform(a[0], a[-1], nq) for a in axes64]
+    q_flat, q_shard = [], []
+    for q in qs64:
+        for w in df_from_f64(q):
+            q_flat.append(jnp.asarray(w))
+            q_shard.append(jax.device_put(jnp.asarray(w), q_sh))
+    hi, lo = jax.jit(sharded_df_nd_packed(k, sizes, r, interpret=True))(
+        *pairs, packed, *q_shard
+    )
+    assert hi.sharding.spec[0] == "query", hi.sharding
+    route = gathered_nd_eval_df_packed(k, sizes, r, nbasis=4)
+    whi, wlo = jax.jit(route)(*pairs, packed, *q_flat)
+    np.testing.assert_allclose(
+        df_to_f64(hi, lo), df_to_f64(whi, wlo), rtol=1e-5, atol=1e-5
+    )

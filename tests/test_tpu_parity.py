@@ -638,3 +638,77 @@ def test_df_bicubic_mxu_tail_f64_grade_on_chip():
     want = H(f_y1, f_y2, g_y1, g_y2, ty)
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 1e-12, rel
+
+
+def test_df_nd_route_f64_grade_on_chip():
+    """Round 4: the DF InterpND gather route (k=3 tensor-product cubic:
+    per-axis DF (idx, t) + ONE packed cell-row gather + the k-fold
+    Mosaic MXU weight-form tail) reaches DF grade on chip — the
+    f64-grade story for the ND family (eval contract:
+    cubic_spline.rs:818-828 per axis)."""
+    import itertools
+
+    from ndarray_interp_tpu.ops.df import df_from_f64, df_to_f64
+    from ndarray_interp_tpu.ops.pallas_eval_df_nd import (
+        gathered_nd_eval_df_packed,
+        pack_rows_nd_df,
+    )
+
+    rng = np.random.default_rng(17)
+    k, r, nq = 3, 2, 32768
+    sizes = (48, 40, 32)
+
+    def rep(v):
+        return df_to_f64(*df_from_f64(v))
+
+    axes64 = [rep(np.cumsum(rng.uniform(0.05, 1.0, n))) for n in sizes]
+    cells = [n - 1 for n in sizes]
+    ncells = int(np.prod(cells))
+    # pre-scaled cell rows straight in f64 (the evaluator feeds the
+    # f64 InterpND.table the same way); channel order = base-4 digits,
+    # axis 0 most significant, digit = 2*deriv + side
+    rows64 = rep(rng.normal(size=(ncells, (4**k) * r)))
+    qs64 = [rep(rng.uniform(a[0], a[-1], nq)) for a in axes64]
+    rows_pair = tuple(jnp.asarray(w) for w in df_from_f64(rows64))
+    packed = pack_rows_nd_df(*rows_pair, 4**k, r)
+    args = []
+    for a in axes64:
+        args.extend(jnp.asarray(w) for w in df_from_f64(a))
+    args.append(packed)
+    for q in qs64:
+        args.extend(jnp.asarray(w) for w in df_from_f64(q))
+    route = gathered_nd_eval_df_packed(k, sizes, r, nbasis=4)
+    hi, lo = jax.jit(route)(*args)
+    got = df_to_f64(hi, lo)
+
+    # numpy f64 oracle in the same weight form
+    idx = [
+        np.clip(np.searchsorted(a, q, side="right") - 1, 0, n - 2)
+        for a, q, n in zip(axes64, qs64, sizes)
+    ]
+    ts = [
+        (q - a[i]) / (a[i + 1] - a[i])
+        for a, q, i in zip(axes64, qs64, idx)
+    ]
+
+    def basis(t):
+        u = 1.0 - t
+        p = t * u
+        pd = p * (u - t)
+        return [u + pd, t - pd, p * u, -(p * t)]
+
+    bases = [basis(t) for t in ts]
+    cstrides = [1] * k
+    for d in range(k - 2, -1, -1):
+        cstrides[d] = cstrides[d + 1] * cells[d + 1]
+    cell = sum(i * s for i, s in zip(idx, cstrides))
+    crows = rows64[cell]
+    want = np.zeros((nq, r))
+    for ch, digits in enumerate(itertools.product(range(4), repeat=k)):
+        w = bases[0][digits[0]]
+        for d in range(1, k):
+            w = w * bases[d][digits[d]]
+        want += w[:, None] * crows[:, ch * r : (ch + 1) * r]
+    scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
+    rel = (np.abs(got - want) / scale).max()
+    assert rel < 4e-12, rel
