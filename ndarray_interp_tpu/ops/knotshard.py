@@ -99,19 +99,39 @@ def pack_knot_shards(knots, data, a, b, n_shards):
     )
 
 
-def _local_index_frac(kloc, q, idx_max):
+def _local_index_frac(kloc, q, idx_max, pallas=False, interpret=False):
     """Local ``(idx, t)`` on the shard's S+1 knots, idx clamped to
-    ``[0, idx_max]`` (the shard's last *real* interval)."""
+    ``[0, idx_max]`` (the shard's last *real* interval).
+
+    ``pallas=True`` routes f32 shards through the Pallas searches —
+    the fused two-level bucketize for windowed-plan sizes
+    (``pallas_eval.fused_lower_index``) and the hierarchical big-route
+    search with its Mosaic block pass past ``_LOCAL_BIG`` — running
+    INSIDE the ``shard_map`` body (each device searches only its own
+    S+1 knots).  The default stays XLA-only: on the CPU mesh the
+    kernels need interpret mode, and on TPU the caller opts in."""
     n_loc = kloc.shape[0]
     if n_loc > _LOCAL_BIG and kloc.dtype == jnp.float32:
         # hierarchical big-route search (its exact one-hot table fetch
         # bitcast-splits f32 only — other dtypes take the searchsorted
         # path below)
-        idx, _ = big_lower_index_frac(kloc, q, pallas=False)
+        idx, _ = big_lower_index_frac(
+            kloc, q, pallas=pallas, interpret=interpret
+        )
         idx = jnp.minimum(idx, idx_max)
         x_l = kloc[idx]
         x_r = kloc[idx + 1]
         return idx, (q - x_l) / (x_r - x_l)
+    if pallas and kloc.dtype == jnp.float32:
+        from .pallas_eval import _plan, fused_lower_index
+
+        if _plan(n_loc) is not None:
+            idx = jnp.minimum(
+                fused_lower_index(kloc, q, interpret=interpret), idx_max
+            )
+            x_l = kloc[idx]
+            x_r = kloc[idx + 1]
+            return idx, (q - x_l) / (x_r - x_l)
     from .searchsorted import get_lower_index
 
     # shared clamp-to-[0, n-2] search; idx_max <= n_loc - 2 always
@@ -128,17 +148,27 @@ def _hermite(y_l, y_r, a, b, t):
     return jnp.where(lin_inf, y_l + t * (y_r - y_l), base)
 
 
-def _local_eval(kloc, dloc, aloc, bloc, q, *, n, s, d_last, axis):
+def _local_eval(kloc, dloc, aloc, bloc, q, *, n, s, d_last, axis,
+                oob="clamp", pallas=False, interpret=False):
     """One shard's contribution: zero-masked local Hermite values.
 
     Trailing (bank) dims of ``dloc``/``aloc``/``bloc`` are supported:
     the bank replicates within each knot shard (shard it over a second
-    mesh axis with the usual bank sharding if needed)."""
+    mesh axis with the usual bank sharding if needed).
+
+    ``oob="nan"`` masks out-of-range queries (strictly left of ``x[0]``
+    or right of ``x[n-1]``) to NaN instead of clamping — the pure-path
+    driver contract at ``extrapolate=False`` (the eager driver raises;
+    NaN is its jit-safe twin, docs/PARITY.md D2).  The mask costs no
+    extra communication: each OOB query is owned by exactly one edge
+    shard, which emits NaN instead of the clamped value."""
     d = jax.lax.axis_index(axis)
     start = d * s
     # last real interval this shard holds, as a LOCAL index
     idx_max = jnp.clip(n - 2 - start, 0, s - 1)
-    idx, t = _local_index_frac(kloc, q, idx_max)
+    idx, t = _local_index_frac(
+        kloc, q, idx_max, pallas=pallas, interpret=interpret
+    )
     tr = dloc.ndim - 1  # trailing (bank) dims
     te = t.reshape(t.shape + (1,) * tr)
     rows_y_l = dloc[idx]
@@ -170,19 +200,37 @@ def _local_eval(kloc, dloc, aloc, bloc, q, *, n, s, d_last, axis):
     )
     righte = right.reshape(right.shape + (1,) * tr)
     val = jnp.where(righte, val_last, val)
+    if oob == "nan":
+        # strictly-OOB queries: owned by exactly one edge shard, which
+        # emits NaN (q == x[0] / x[n-1] stay in range)
+        bad = ((d == 0) & (q < sd)) | ((d == d_last) & (q > x_last))
+        bade = bad.reshape(bad.shape + (1,) * tr)
+        val = jnp.where(bade, jnp.asarray(jnp.nan, val.dtype), val)
     owne = own.reshape(own.shape + (1,) * tr)
     return jnp.where(owne, val, jnp.zeros((), val.dtype))
 
 
 def sharded_knot_eval(kshards, dshards, ashards, bshards, q, mesh, n,
-                      axis="knot"):
+                      axis="knot", query_axis=None, oob="clamp",
+                      pallas=False, interpret=False):
     """Evaluate flat queries against knot-sharded Hermite state.
 
     ``kshards``/``dshards``: (D, S+1); ``ashards``/``bshards``: (D, S)
     from :func:`pack_knot_shards`; ``n`` the true (unpadded) knot count.
-    Queries replicate; the result is one ``psum`` over ``axis``.
-    Combine with a query-axis mesh dimension for throughput scaling —
-    this axis is for *capacity*.
+    The result is one ``psum`` over ``axis``.
+
+    ``query_axis``: optional SECOND mesh axis the queries shard over —
+    the capacity axis (knots) and the throughput axis (queries) compose
+    on one 2-D mesh: the knot ``psum`` rides only its own axis, each
+    query sub-batch evaluates against every knot shard, and the result
+    stays query-sharded (no gather).  ``None`` replicates the queries.
+
+    ``oob="nan"``: mask out-of-range queries to NaN instead of clamping
+    (the driver's pure-path ``extrapolate=False`` contract).
+
+    ``pallas=True``: run the Pallas searches (fused two-level bucketize
+    / big-route block pass) inside the shard body on f32 axes;
+    ``interpret=True`` for the CPU mesh.
     """
     n_shards = kshards.shape[0]
     s, d_last = shard_geometry(n, n_shards)
@@ -193,11 +241,14 @@ def sharded_knot_eval(kshards, dshards, ashards, bshards, q, mesh, n,
         "exactly one shard (repack with pack_knot_shards(..., "
         f"{mesh.shape[axis]}))"
     )
+    if oob not in ("clamp", "nan"):
+        raise ValueError(f"oob must be 'clamp' or 'nan', got {oob!r}")
 
     def body(kloc, dloc, aloc, bloc, ql):
         out = _local_eval(
             kloc[0], dloc[0], aloc[0], bloc[0], ql,
             n=n, s=s, d_last=d_last, axis=axis,
+            oob=oob, pallas=pallas, interpret=interpret,
         )
         return jax.lax.psum(out, axis)
 
@@ -206,13 +257,18 @@ def sharded_knot_eval(kshards, dshards, ashards, bshards, q, mesh, n,
     def spec_for(v):
         return P(axis, *([None] * (v.ndim - 1)))
 
-    rep = P()
+    qspec = P(query_axis)
+    out_tr = dshards.ndim - 2  # trailing (bank) dims of the result
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(kspec, spec_for(dshards), spec_for(ashards),
-                  spec_for(bshards), rep),
-        out_specs=rep,
+                  spec_for(bshards), qspec),
+        out_specs=P(query_axis, *([None] * out_tr)),
+        # pallas_call declares no varying-mesh-axes info, so the vma
+        # checker rejects any Pallas search inside the body; the psum
+        # makes the output's axis-variance explicit anyway
+        check_vma=not pallas,
     )(kshards, dshards, ashards, bshards, q)
 
 
@@ -228,14 +284,17 @@ def place_knot_shards(shards, mesh, axis="knot"):
     )
 
 
-def shard_interp1d_knots(interp, mesh, axis="knot"):
+def shard_interp1d_knots(interp, mesh, axis="knot", query_axis=None,
+                         oob="clamp", pallas=False, interpret=False):
     """Knot-shard an :class:`~ndarray_interp_tpu.models.interp1d.Interp1D`
     over a mesh axis; returns an evaluator ``ev(q) -> (len(q), *bank)``.
 
     Works for Linear (a = b = 0) and finished cubic/Hermite strategies
     (which carry ``a``/``b``).  The strategy's extrapolation flag is not
-    consulted — like :func:`sharded_knot_eval`, OOB queries clamp to the
-    edge intervals (the caller masks if it wants errors)."""
+    consulted — by default OOB queries clamp to the edge intervals;
+    ``oob="nan"`` applies the pure-path ``extrapolate=False`` mask.
+    ``query_axis``/``pallas``/``interpret`` forward to
+    :func:`sharded_knot_eval`."""
     x = interp.x
     data = interp.data
     strat = interp.strategy
@@ -251,7 +310,10 @@ def shard_interp1d_knots(interp, mesh, axis="knot"):
     n = x.shape[0]
 
     def ev(q):
-        return sharded_knot_eval(*shards, q, mesh=mesh, n=n, axis=axis)
+        return sharded_knot_eval(
+            *shards, q, mesh=mesh, n=n, axis=axis, query_axis=query_axis,
+            oob=oob, pallas=pallas, interpret=interpret,
+        )
 
     return ev
 

@@ -345,3 +345,168 @@ def test_mesh_size_mismatch_rejected():
     shards = pack_knot_shards(x, d, a, b, 4)  # packed for 4, mesh has 8
     with pytest.raises(AssertionError, match="packed for 4"):
         sharded_knot_eval(*shards, q, mesh=mesh, n=100, axis="knot")
+
+
+def _mesh2():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.asarray(devs[:8]).reshape(4, 2), ("knot", "query"))
+
+
+def test_two_axis_mesh_knot_by_query():
+    """Round-4: the capacity axis (knots) and the throughput axis
+    (queries) compose on one 2-D mesh — each query sub-batch evaluates
+    against every knot shard, the psum rides only the knot axis, and
+    the result stays query-sharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _mesh2()
+    n, nq = 4001, 4096
+    x, d, a, b, q = _problem(n, nq, seed=51)
+    shards = place_knot_shards(pack_knot_shards(x, d, a, b, 4), mesh)
+    qp = jax.device_put(q, NamedSharding(mesh, P("query")))
+    got_arr = jax.jit(
+        lambda *s: sharded_knot_eval(
+            *s, mesh=mesh, n=n, axis="knot", query_axis="query"
+        )
+    )(*shards, qp)
+    # the result never gathers: it stays sharded over the query axis
+    assert got_arr.sharding.spec[0] == "query", got_arr.sharding
+    got = np.asarray(got_arr)
+    want = np.asarray(
+        jax.jit(_eval_xla)(x, make_interval_table(x, d, a, b), q)
+    )
+    nan = np.isnan(want)
+    assert np.isnan(got[nan]).all()
+    np.testing.assert_allclose(got[~nan], want[~nan], rtol=2e-6, atol=1e-5)
+
+
+def test_two_axis_mesh_banked():
+    """2-D mesh with trailing bank dims: the query-sharded result keeps
+    its bank axis unsharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _mesh2()
+    n, bank, nq = 1000, 6, 1024
+    rng = np.random.default_rng(53)
+    x = jnp.asarray(np.cumsum(rng.uniform(0.05, 1.0, n)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n, bank)).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=(n - 1, bank)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(n - 1, bank)).astype(np.float32))
+    q = jnp.asarray(
+        rng.uniform(float(x[0]), float(x[-1]), nq).astype(np.float32)
+    )
+    shards = place_knot_shards(pack_knot_shards(x, d, a, b, 4), mesh)
+    qp = jax.device_put(q, NamedSharding(mesh, P("query")))
+    got = np.asarray(
+        jax.jit(
+            lambda *s: sharded_knot_eval(
+                *s, mesh=mesh, n=n, axis="knot", query_axis="query"
+            )
+        )(*shards, qp)
+    )
+    assert got.shape == (nq, bank)
+    xn = np.asarray(x)
+    idx = np.clip(np.searchsorted(xn, np.asarray(q), "right") - 1, 0, n - 2)
+    t = ((np.asarray(q) - xn[idx]) / (xn[idx + 1] - xn[idx]))[:, None]
+    dn, an, bn = np.asarray(d), np.asarray(a), np.asarray(b)
+    want = (
+        (1 - t) * dn[idx]
+        + t * dn[idx + 1]
+        + t * (1 - t) * (an[idx] * (1 - t) + bn[idx] * t)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
+def test_pallas_search_inside_shard_map():
+    """The fused Pallas bucketize runs INSIDE the shard body (interpret
+    mode on the CPU mesh) and matches the XLA-search path exactly."""
+    mesh = _mesh()
+    n = 4097  # S+1 = 513 local knots: a windowed-plan size
+    x, d, a, b, q = _problem(n, 2048, seed=57)
+    shards = pack_knot_shards(x, d, a, b, 8)
+    got = np.asarray(
+        jax.jit(
+            lambda *s: sharded_knot_eval(
+                *s, mesh=mesh, n=n, axis="knot", pallas=True,
+                interpret=True,
+            )
+        )(*shards, q)
+    )
+    want = np.asarray(
+        jax.jit(
+            lambda *s: sharded_knot_eval(*s, mesh=mesh, n=n, axis="knot")
+        )(*shards, q)
+    )
+    nan = np.isnan(want)
+    assert np.isnan(got[nan]).all()
+    np.testing.assert_array_equal(got[~nan], want[~nan])
+
+
+def test_pallas_big_route_search_inside_shard_map():
+    """Past _LOCAL_BIG local knots the big-route block search runs its
+    Pallas pass inside the shard body (interpret mode)."""
+    from ndarray_interp_tpu.ops.knotshard import _LOCAL_BIG
+
+    mesh = _mesh()
+    n = 8 * _LOCAL_BIG + 9  # local S+1 > _LOCAL_BIG on every shard
+    nq = 1024
+    rng = np.random.default_rng(58)
+    x = np.linspace(0.0, 100.0, n, dtype=np.float32)
+    d = rng.normal(size=n).astype(np.float32)
+    a = rng.normal(size=n - 1).astype(np.float32)
+    b = rng.normal(size=n - 1).astype(np.float32)
+    q = rng.uniform(-1.0, 101.0, nq).astype(np.float32)
+    shards = pack_knot_shards(
+        jnp.asarray(x), jnp.asarray(d), jnp.asarray(a), jnp.asarray(b), 8
+    )
+    got = np.asarray(
+        jax.jit(
+            lambda *s: sharded_knot_eval(
+                *s, mesh=mesh, n=n, axis="knot", pallas=True,
+                interpret=True,
+            )
+        )(*shards, jnp.asarray(q))
+    )
+    want = np.asarray(
+        jax.jit(
+            lambda *s: sharded_knot_eval(*s, mesh=mesh, n=n, axis="knot")
+        )(*shards, jnp.asarray(q))
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_oob_nan_mask_matches_driver_contract():
+    """oob='nan': strictly-OOB queries return NaN (the pure-path
+    extrapolate=False contract), edge-exact queries stay finite."""
+    mesh = _mesh()
+    n = 1000
+    x, d, a, b, _ = _problem(n, 8, seed=59)
+    rng = np.random.default_rng(60)
+    lo, hi = float(x[0]), float(x[-1])
+    q = jnp.asarray(
+        np.r_[
+            rng.uniform(lo - 2, hi + 2, 1000),
+            [lo, hi, lo - 1e-3, hi + 1e-3, -np.inf, np.inf],
+        ].astype(np.float32)
+    )
+    shards = pack_knot_shards(x, d, a, b, 8)
+    got = np.asarray(
+        jax.jit(
+            lambda *s: sharded_knot_eval(
+                *s, mesh=mesh, n=n, axis="knot", oob="nan"
+            )
+        )(*shards, q)
+    )
+    qn = np.asarray(q)
+    bad = (qn < lo) | (qn > hi)
+    assert np.isnan(got[bad]).all()
+    want = np.asarray(
+        jax.jit(_eval_xla)(x, make_interval_table(x, d, a, b), q)
+    )
+    np.testing.assert_allclose(got[~bad], want[~bad], rtol=2e-6, atol=1e-5)
+    with pytest.raises(ValueError, match="oob"):
+        sharded_knot_eval(
+            *shards, q, mesh=mesh, n=n, axis="knot", oob="mask"
+        )
