@@ -600,16 +600,37 @@ class InterpND:
         return cls(axes, data, method, extrapolate, table, bcs, layout)
 
     @staticmethod
-    def build_state(axes, data, k, method, bcs=None):
+    def route_cost_ns(k, grid_shape, r, layout):
+        """Measured-law per-query eval cost (ns, v5e) of a cubic route.
+
+        The gather engine pays ~6 ns/row independent of row width until
+        the row bytes bind at its ~300 GB/s effective rate (the law
+        measured for the 1-D routes, ``strategies/cubic.py``; confirmed
+        for ND by the standing ND2/ND2b rows).  Cell layout: ONE
+        ``4^k·r``-channel row gather.  Node layout: ``2^k`` gathers of
+        ``(2^k·r + k)``-channel node rows.  Index/frac passes and the
+        Hermite tail are common to both routes and excluded.  The model
+        says the cell route strictly dominates on time whenever it fits
+        memory (fewer gathers AND fewer bytes); the node route exists
+        for capacity (``~2^k``× data memory vs ``~4^k``×)."""
+        row = max(6.0, (4**k) * r * 4 / 300.0)
+        if layout == "cell":
+            return row
+        return (2**k) * max(6.0, ((2**k) * r + k) * 4 / 300.0)
+
+    @staticmethod
+    def build_state(axes, data, k, method, bcs=None, layout=None):
         """Derived packed state for the given config: ``(table,
         layout)``.
 
         ``linear``: the ``2^k``-corner cell table under
         ``config.interpnd_pack_max_elems`` (else ``(None, None)`` — the
         unpacked gather route).  ``cubic``: the mixed-derivative solves
-        (:func:`interpnd_node_grids`) packed as the ``4^k``-channel cell
-        table under the cap, else the ``2^k·r + k``-channel node table.
-        ``nearest`` needs no state."""
+        (:func:`interpnd_node_grids`) packed per ``layout`` — forced
+        when given, else the cheaper route by :meth:`route_cost_ns`
+        among those whose table fits the cap (the cell table past
+        ``config.interpnd_pack_max_elems`` falls back to the
+        memory-frugal node table).  ``nearest`` needs no state."""
         from .. import config
 
         if method == "linear":
@@ -626,11 +647,20 @@ class InterpND:
             r = data.size // max(
                 1, int(np.prod(data.shape[:k], dtype=np.int64))
             )
-            layout = (
-                "cell"
-                if cells * (4**k) * r <= config.interpnd_pack_max_elems
-                else "node"
-            )
+            if layout is None:
+                fits = {"node"}
+                if cells * (4**k) * r <= config.interpnd_pack_max_elems:
+                    fits.add("cell")
+                layout = min(
+                    fits,
+                    key=lambda lo: InterpND.route_cost_ns(
+                        k, data.shape[:k], r, lo
+                    ),
+                )
+            elif layout not in ("cell", "node"):
+                raise ValueError(
+                    f"layout must be 'cell' or 'node', got {layout!r}"
+                )
             # the solves + pack run jitted: built eagerly they are
             # hundreds of small ops — on the tunneled TPU backend each
             # eager op is an RPC round trip (minutes instead of ms)
@@ -861,6 +891,7 @@ class InterpNDBuilder:
         self._method = "linear"
         self._extrapolate = False
         self._bcs = None
+        self._layout = None
 
     def points(self, *axes) -> "InterpNDBuilder":
         self._points_host = tuple(_host_view(ax) for ax in axes)
@@ -892,6 +923,19 @@ class InterpNDBuilder:
 
     def extrapolate(self, yes: bool = True) -> "InterpNDBuilder":
         self._extrapolate = bool(yes)
+        return self
+
+    def layout(self, layout: str) -> "InterpNDBuilder":
+        """Force the cubic table layout: ``"cell"`` (one ``4^k·r``-
+        channel row gather per query — fastest, ``~4^k``× data memory)
+        or ``"node"`` (``2^k`` node-row gathers — ``~2^k``× memory).
+        Default: :meth:`InterpND.route_cost_ns` picks the cheaper route
+        whose table fits ``config.interpnd_pack_max_elems``."""
+        if layout not in ("cell", "node"):
+            raise ValueError(
+                f"layout must be 'cell' or 'node', got {layout!r}"
+            )
+        self._layout = layout
         return self
 
     def build(self) -> InterpND:
@@ -973,7 +1017,7 @@ class InterpNDBuilder:
         axes_ct = tuple(ax.astype(ct) for ax in axes)
         data_ct = data.astype(ct)
         table, layout = InterpND.build_state(
-            axes_ct, data_ct, k, self._method, bcs
+            axes_ct, data_ct, k, self._method, bcs, layout=self._layout
         )
         return InterpND(
             axes_ct,

@@ -9,10 +9,11 @@ HBM before the polynomial tail streamed it again (~4.5 ms for a 4k-query
 
 This kernel does the selection with exact 3-way bf16 truncation splits
 (see ``pallas_eval._split3`` — bit-identical to f32 at half the passes)
-and evaluates the Hermite form on the selected channels while they are
-still VMEM-resident, writing only the final (Q, bank) result.  The grid
-iterates bank tiles in the outer dimension so each table tile is DMA'd
-once and reused across all query tiles.
+computed IN VMEM from directly-streamed f32 table tiles, and evaluates
+the Hermite form on the selected channels while they are still
+VMEM-resident, writing only the final (Q, bank) result at its exact
+shape.  The grid iterates bank tiles in the outer dimension so each
+table tile is DMA'd once and reused across all query tiles.
 
 The per-query interval index and fraction t are computed in XLA first
 (they are shared across the whole bank row and cost O(Q)); the one-hot
@@ -43,29 +44,6 @@ _MAX_KNOTS = 2048
 _MIN_BANK = 256
 
 
-def _kernel(t_ref, oh_ref, ylh, ylm, yll, yrh, yrm, yrl, ah, am, al,
-            bh, bm, bl, out_ref):
-    f32 = jnp.float32
-    oh = oh_ref[:]  # (Bq, n) bf16, exact one-hot rows
-
-    def sel(hi, mid, lo):
-        acc = jnp.dot(oh, hi[:], preferred_element_type=f32)
-        acc = acc + jnp.dot(oh, mid[:], preferred_element_type=f32)
-        return acc + jnp.dot(oh, lo[:], preferred_element_type=f32)
-
-    y_l = sel(ylh, ylm, yll)  # (Bq, Br), bit-exact f32 rows
-    y_r = sel(yrh, yrm, yrl)
-    a = sel(ah, am, al)
-    b = sel(bh, bm, bl)
-
-    t = t_ref[:]  # (Bq, 1) -> broadcasts along the bank lanes
-    one = f32(1.0)
-    # same op order as cubic_spline.rs:818-828 / the XLA gather path
-    out_ref[:] = (
-        (one - t) * y_l + t * y_r + t * (one - t) * (a * (one - t) + b * t)
-    )
-
-
 def _banked_eval_impl(data, a, b, idx, t, interpret=False):
     """Canonicalize to 2-D operands and run the sharding-aware core."""
     from .partition import sharded_banked_eval
@@ -82,65 +60,103 @@ def _banked_eval_impl(data, a, b, idx, t, interpret=False):
     return out.reshape((idx.shape[0],) + bank_shape)
 
 
+def _direct_kernel(t_ref, oh_ref, ohp_ref, d_ref, a_ref, b_ref, out_ref):
+    f32 = jnp.float32
+    # exact 3-way bf16 truncation splits, computed IN VMEM: the f32
+    # tables stream from HBM once at 4 B/value instead of the 6 B/value
+    # (and a full prep read+write pass) that materialized splits cost
+    dh, dm, dl = _split3(d_ref[:])
+    ah, am, al = _split3(a_ref[:])
+    bh, bm, bl = _split3(b_ref[:])
+    oh = oh_ref[:]    # (Bq, n) one-hot at idx
+    ohp = ohp_ref[:]  # (Bq, n) one-hot at idx + 1
+    ohab = oh[:, : a_ref.shape[0]]  # idx <= n-2, so column n-1 is 0
+
+    def sel(o, hi, mid, lo):
+        acc = jnp.dot(o, hi, preferred_element_type=f32)
+        acc = acc + jnp.dot(o, mid, preferred_element_type=f32)
+        return acc + jnp.dot(o, lo, preferred_element_type=f32)
+
+    y_l = sel(oh, dh, dm, dl)   # d[:-1] and d[1:] merge into one d read
+    y_r = sel(ohp, dh, dm, dl)
+    a = sel(ohab, ah, am, al)
+    b = sel(ohab, bh, bm, bl)
+    t = t_ref[:]
+    one = f32(1.0)
+    out_ref[:] = (
+        (one - t) * y_l + t * y_r + t * (one - t) * (a * (one - t) + b * t)
+    )
+
+
 def _banked_core(d2, a2, b2, idx, t, interpret=False):
+    """Direct-read banked kernel: the f32 tables stream from HBM
+    unmodified (12 B per knot-value across the 3 channels; ``d[:-1]``
+    and ``d[1:]`` merge into one ``d`` read selected by a second
+    one-hot at ``idx + 1``) and the exact bf16 truncation splits are
+    computed in VMEM per tile.  This replaced a formulation that
+    materialized the 12 bf16 splits in HBM first — 24 B/value of
+    kernel reads plus a full-table prep pass under jit, which at the
+    1e6-bank NS5b scale cost ~3x the table bytes and dominated the
+    kernel (measured 14.0 -> ~7 ms/256q, BASELINE.md NS5b row).
+    Selection stays exact one-hot bf16 matmuls accumulated in f32 —
+    bit-identical to the gather formulation for finite tables.
+
+    Blocks: bank tiles iterate in the OUTER grid dimension so each
+    table tile is DMA'd once and reused across all query tiles; the
+    bank tile width Br is chosen against the ~16 MB scoped-VMEM budget
+    (Pallas double-buffers every block), which the direct reads leave
+    roomy enough for Br up to 2048 at short knot axes — 4x fewer
+    per-tile fixed costs than the split formulation's 512 cap.  Output
+    is written at its EXACT (nq, bank) shape: Mosaic masks the ragged
+    edge blocks, so no pad-and-slice epilogue copy of the ~1 GB result.
+    """
     n = d2.shape[0]
     bank = d2.shape[1]
     nq = idx.shape[0]
-    n_pad = -(-(n - 1) // 128) * 128  # one-hot lane dim
-
-    splits = []
-    for tblv in (d2[:-1], d2[1:], a2, b2):
-        if n - 1 < n_pad:
-            tblv = jnp.concatenate(
-                [tblv, jnp.zeros((n_pad - (n - 1), bank), tblv.dtype)]
-            )
-        splits.extend(_split3(tblv))
 
     Bq = min(512, -(-nq // 8) * 8)
     nqb = -(-nq // Bq)
-    # Br = 512 is near the VMEM ceiling already: Pallas double-buffers
-    # every block (measured: a Br=1024 plan with 8.5 MB of blocks OOMs
-    # the 16 MB scoped VMEM at exactly 17.0 MB = 2x), so the 12 bf16
-    # table splits + the (Bq, Br) f32 out cap Br at ~512-768 — widening
-    # to amortize the ~2k-block fixed cost at 1e6-bank scales
-    # (BASELINE.md NS5b roofline row) is not available on this chip.
-    Br = 512 if bank >= 512 else -(-bank // 128) * 128
+    # per-lane VMEM bytes: 3 f32 table rows double-buffered (24n) +
+    # 9 bf16 split temps (18n) + f32 out double-buffered (8 Bq)
+    per_lane = 24 * n + 18 * n + 8 * Bq
+    Br = 128
+    while Br < 2048 and Br < bank and 2 * Br * per_lane <= 10_000_000:
+        Br *= 2
+    Br = min(Br, -(-bank // 128) * 128) if bank >= 128 else bank
     nbb = -(-bank // Br)
 
-    idx_p = jnp.pad(idx, (0, nqb * Bq - nq)).reshape(nqb * Bq, 1)
-    t_p = jnp.pad(t, (0, nqb * Bq - nq)).reshape(nqb * Bq, 1)
-    oh = (
-        idx_p == jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
-    ).astype(jnp.bfloat16)  # (Q_pad, n_pad)
-
-    if nbb * Br != bank:
-        splits = [
-            jnp.pad(s, ((0, 0), (0, nbb * Br - bank))) for s in splits
-        ]
+    idx2 = idx.reshape(nq, 1)
+    t2 = t.reshape(nq, 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    oh = (idx2 == lanes).astype(jnp.bfloat16)
+    ohp = (idx2 + 1 == lanes).astype(jnp.bfloat16)
 
     out = pl.pallas_call(
-        _kernel,
+        _direct_kernel,
         # bank outer: each table tile is fetched once and reused across
         # every query tile (constant index over the inner dimension)
         grid=(nbb, nqb),
         in_specs=[
             pl.BlockSpec((Bq, 1), lambda bi, qi: (qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bq, n_pad), lambda bi, qi: (qi, 0),
+            pl.BlockSpec((Bq, n), lambda bi, qi: (qi, 0),
                          memory_space=pltpu.VMEM),
-        ]
-        + [
-            pl.BlockSpec((n_pad, Br), lambda bi, qi: (0, bi),
-                         memory_space=pltpu.VMEM)
-        ]
-        * 12,
+            pl.BlockSpec((Bq, n), lambda bi, qi: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, Br), lambda bi, qi: (0, bi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n - 1, Br), lambda bi, qi: (0, bi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n - 1, Br), lambda bi, qi: (0, bi),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec(
             (Bq, Br), lambda bi, qi: (qi, bi), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((nqb * Bq, nbb * Br), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nq, bank), jnp.float32),
         interpret=interpret,
-    )(t_p, oh, *splits)
-    return out[:nq, :bank]
+    )(t2, oh, ohp, d2, a2, b2)
+    return out
 
 
 @jax.custom_vjp

@@ -848,3 +848,58 @@ def test_int_data_promotes_to_float():
     out = itp.interp(0.5, 0.5)
     assert jnp.issubdtype(out.dtype, jnp.inexact)
     np.testing.assert_allclose(float(out), (0 + 1 + 4 + 5) / 4.0)
+
+
+# ---------------------------------------------------------------------------
+# Layout cost model + forced-layout dispatch (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_route_cost_model_cell_dominates():
+    """The measured-law model (one 4^k r-channel gather vs 2^k node-row
+    gathers) says the cell route is never slower — node exists for
+    memory, so auto-dispatch picks cell whenever it fits the cap."""
+    for k in (2, 3, 4):
+        for r in (1, 4, 16, 64):
+            c = InterpND.route_cost_ns(k, (64,) * k, r, "cell")
+            n = InterpND.route_cost_ns(k, (64,) * k, r, "node")
+            assert c <= n, (k, r, c, n)
+    # at k=3, r=1 the node route is ~8 gathers at the 6 ns/row floor
+    assert InterpND.route_cost_ns(3, (64,) * 3, 1, "node") == 8 * 6.0
+
+
+def test_layout_dispatch_by_cap_and_force():
+    from ndarray_interp_tpu import config
+
+    axes, data, rng = _grid_case(3, seed=77, sizes=[9, 8, 7])
+    # small grid: auto picks cell
+    auto = InterpND.builder(data).points(*axes).method("cubic").build()
+    assert auto.layout == "cell"
+    # force node on the same grid: identical interpolant, 2^k gathers
+    node = (
+        InterpND.builder(data)
+        .points(*axes)
+        .method("cubic")
+        .layout("node")
+        .build()
+    )
+    assert node.layout == "node"
+    qs = _queries(axes, rng, n=200)
+    np.testing.assert_allclose(
+        np.asarray(node.interp_array(*qs)),
+        np.asarray(auto.interp_array(*qs)),
+        rtol=1e-12,
+        atol=1e-12,
+    )
+    # shrink the cap: auto falls back to node
+    old = config.interpnd_pack_max_elems
+    try:
+        config.interpnd_pack_max_elems = 100
+        small = (
+            InterpND.builder(data).points(*axes).method("cubic").build()
+        )
+        assert small.layout == "node"
+    finally:
+        config.interpnd_pack_max_elems = old
+    with pytest.raises(ValueError, match="layout"):
+        InterpND.builder(data).method("cubic").layout("packed")

@@ -36,7 +36,17 @@ def make_case(n, bank_shape, nq, seed=0):
 
 @pytest.mark.parametrize(
     "n,bank_shape,nq",
-    [(16, (300,), 100), (255, (520,), 1000), (129, (16, 33), 77)],
+    [
+        (16, (300,), 100),
+        (255, (520,), 1000),
+        (129, (16, 33), 77),
+        # direct-read kernel ragged edges: bank % Br != 0 (Mosaic-masked
+        # edge blocks), nq % Bq != 0, odd knot counts, tiny query count
+        (64, (999,), 513),
+        (64, (1300,), 257),
+        (33, (256,), 8),
+        (65, (300,), 64),
+    ],
 )
 def test_bit_exact_vs_gather_form(n, bank_shape, nq):
     data, a, b, idx, t = make_case(n, bank_shape, nq)
