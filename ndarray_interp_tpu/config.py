@@ -43,6 +43,21 @@ jit_const_cap_bytes: int = int(
     os.environ.get("NDI_JIT_CONST_CAP_BYTES", 8 * 1024 * 1024)
 )
 
+#: Largest knot count for the dense-operator spline build on TPU.  For a
+#: shared knot axis and a uniform boundary family the whole build map
+#: ``data → (a, b)`` (assembly + tridiagonal solve + coefficient pass) is
+#: LINEAR, so it can be probed once with an identity bank (an (n, n)
+#: solve) and applied to the real bank as ONE ``Precision.HIGHEST``
+#: matmul at stream-floor traffic — measured 4.8× faster than the PCR
+#: route at the NS5b shape (64 knots × 1e6 bank: 20.5 → 4.3 ms on v5e)
+#: and neutral at 256 knots.  Past this knot count the O(n²·bank) MXU
+#: work overtakes PCR's O(n·log n·bank) streams (measured 0.7× at 2048),
+#: so larger systems keep PCR.  CPU always keeps the reference-order
+#: scan solver (bit-identical to ``cubic_spline.rs:678-721``).
+dense_build_max_n: int = int(
+    os.environ.get("NDI_DENSE_BUILD_MAX_N", 512)
+)
+
 #: Largest packed InterpND corner-row table, in ELEMENTS.  The table
 #: stores all ``2^k`` cell corners contiguously per cell (``2^k``× the
 #: grid data's memory) so linear evaluation is ONE row gather per query;

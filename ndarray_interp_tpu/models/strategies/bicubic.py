@@ -32,6 +32,11 @@ docs/ROADMAP.md.
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
+
+import jax
 import jax.numpy as jnp
 from jax.tree_util import register_pytree_node_class
 
@@ -40,9 +45,11 @@ from .cubic import (
     _FIRST_DERIV,
     _NOT_A_KNOT,
     _SECOND_DERIV,
+    _dense_build_ok,
+    _dense_k,
     _solve_for_k,
-    _solve_periodic,
     _solve_periodic_core,
+    _validate_periodic_data,
 )
 
 # per-axis boundary kinds (a subset of the 1-D families that is uniform
@@ -56,13 +63,38 @@ _AXIS_KINDS = {
 
 
 def _solve_axis0(x, grid, bc, validate=False):
-    """Spline derivative solve along axis 0 with a named boundary kind."""
-    if bc == "periodic":
-        return (_solve_periodic if validate else _solve_periodic_core)(
-            x, grid
+    """Spline derivative solve along axis 0 with a named boundary kind.
+
+    Wide grids take the dense-operator route on TPU (``cubic._dense_k``:
+    the solve probed once on an identity bank, applied as one
+    ``Precision.HIGHEST`` matmul — every axis kind here is uniform with
+    zero payload, so the map is linear; see ``config.dense_build_max_n``).
+    CPU keeps the reference-order scan solver."""
+    periodic = bc == "periodic"
+    if periodic and validate:
+        _validate_periodic_data(grid)
+    kind, val = (0, 0.0) if periodic else _AXIS_KINDS[bc]
+    n = x.shape[0]
+    tsize = int(np.prod(grid.shape[1:])) if grid.ndim > 1 else 0
+    if _dense_build_ok(n, tsize):
+        return jax.lax.platform_dependent(
+            x,
+            grid,
+            tpu=functools.partial(_dense_k, kind=kind, periodic=periodic),
+            default=functools.partial(
+                _k_xla, kind=kind, periodic=periodic
+            ),
         )
-    kind, val = _AXIS_KINDS[bc]
+    if periodic:
+        return _solve_periodic_core(x, grid)
     return _solve_for_k(x, grid, kind, val, kind, val)
+
+
+def _k_xla(x, grid, kind, periodic):
+    """Non-dense twin of the per-axis k-solve (platform default)."""
+    if periodic:
+        return _solve_periodic_core(x, grid)
+    return _solve_for_k(x, grid, kind, 0.0, kind, 0.0)
 
 
 def _hermite(y_l, y_r, k_l, k_r, dx, t):

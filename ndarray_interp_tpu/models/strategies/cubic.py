@@ -33,6 +33,7 @@ TPU-native differences:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -354,13 +355,13 @@ def _solve_for_k(x, y, left_kind, left_val, right_kind, right_val):
     return thomas_solve_fast(a_up, a_mid, a_low, rhs)
 
 
-def _solve_periodic(x, y):
-    """Periodic boundary: validation + condensed solve
-    (``cubic_spline.rs:480-565``).
+def _validate_periodic_data(y):
+    """Eager first==last check for the periodic family
+    (``cubic_spline.rs:483-489``).
 
-    The first==last value check is data-dependent, so it only runs eagerly;
-    building under ``jit``/``pjit`` skips it (like ``new_unchecked``, the
-    caller vouches for the data)."""
+    The check is data-dependent, so it only runs eagerly; building under
+    ``jit``/``pjit`` skips it (like ``new_unchecked``, the caller vouches
+    for the data)."""
     if not isinstance(y, jax.core.Tracer):
         y0_host = np.asarray(y[0])
         ylast_host = np.asarray(y[y.shape[0] - 1])
@@ -369,6 +370,12 @@ def _solve_periodic(x, y):
                 "for periodic boundary condition the first and last value "
                 f"must be equal. First: {y0_host}, last: {ylast_host}"
             )
+
+
+def _solve_periodic(x, y):
+    """Periodic boundary: validation + condensed solve
+    (``cubic_spline.rs:480-565``)."""
+    _validate_periodic_data(y)
     return _solve_periodic_core(x, y)
 
 
@@ -452,6 +459,93 @@ def _ab_from_k(x, data, k):
 
 
 # ---------------------------------------------------------------------------
+# dense-operator build (TPU wide-bank route)
+# ---------------------------------------------------------------------------
+# For ONE shared knot axis and a uniform boundary family (zero derivative
+# payloads — every kind the named families and the per-axis 2-D/N-D solves
+# use), the whole build pipeline is LINEAR in the data bank: the rhs
+# assembly (cubic_spline.rs:456-471 and every boundary-row candidate with
+# payload 0), the tridiagonal solve, the periodic condensed solve + its
+# Sherman-Morrison correction (rhs2 and the correction denominator are
+# x-only), and the (a, b) coefficient pass are all linear maps y ↦ ·.
+# So the operator can be PROBED: run the existing pipeline once on an
+# identity bank (an (n, n) solve — tiny next to a wide bank) and apply the
+# resulting (m, n) matrix to the real bank as ONE MXU matmul at
+# ``Precision.HIGHEST`` (f32-faithful).  Traffic drops from ~log2(n)
+# full-bank passes (PCR) to read-y + write-out: measured 20.5 → 4.3 ms on
+# the NS5b build (64 knots × 1e6 splines, v5e).  Results differ from the
+# PCR/scan orders by normal f32 rounding only (~4e-7 relative, the same
+# order as PCR-vs-scan); the CPU path keeps the reference-order scan
+# solver bit-identical to ``cubic_spline.rs:678-721``.
+
+
+def _dense_matmul(op, y):
+    """Apply a probed (m, n) build operator to a (n, *trailing) bank."""
+    flat = y.reshape((y.shape[0], -1))
+    out = jax.lax.dot_general(
+        op,
+        flat,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape((op.shape[0],) + y.shape[1:])
+
+
+def _dense_k(x, y, kind, periodic):
+    """Knot-derivative solve as a probed dense operator: k = K @ y."""
+    eye = jnp.eye(x.shape[0], dtype=y.dtype)
+    k_op = (
+        _solve_periodic_core(x, eye)
+        if periodic
+        else _solve_for_k(x, eye, kind, 0.0, kind, 0.0)
+    )
+    return _dense_matmul(k_op, y)
+
+
+def _dense_ab(x, y, kind, periodic):
+    """Full build map as one probed operator: (a; b) = F @ y.
+
+    Composes the k-solve with ``_ab_from_k`` (also linear in (k, y)) so
+    the wide-bank build is a single matmul with no (n, bank)
+    intermediate."""
+    n = x.shape[0]
+    eye = jnp.eye(n, dtype=y.dtype)
+    k_cols = (
+        _solve_periodic_core(x, eye)
+        if periodic
+        else _solve_for_k(x, eye, kind, 0.0, kind, 0.0)
+    )
+    a_cols, b_cols = _ab_from_k(x, eye, k_cols)
+    f_op = jnp.concatenate([a_cols, b_cols], axis=0)  # (2(n-1), n)
+    ab = _dense_matmul(f_op, y)
+    return ab[: n - 1], ab[n - 1 :]
+
+
+def _periodic_ab(x, y):
+    """Non-dense twin of the periodic build map (platform default)."""
+    return _ab_from_k(x, y, _solve_periodic_core(x, y))
+
+
+def _uniform_ab(x, y, kind):
+    """Non-dense twin of the uniform-boundary build map."""
+    return _ab_from_k(x, y, _solve_for_k(x, y, kind, 0.0, kind, 0.0))
+
+
+def _dense_build_ok(n, trailing_size):
+    """Static eligibility for the dense route: uniform-boundary banks
+    wide enough that the O(n²·bank) MXU matmul beats PCR's O(n·log n)
+    streams (measured crossover ~1k knots on v5e; ``config``
+    knob), and wider than the (n, n) identity probe itself."""
+    from ... import config
+
+    return (
+        getattr(config, "use_fused_kernel", True)
+        and n <= config.dense_build_max_n
+        and trailing_size >= n
+    )
+
+
+# ---------------------------------------------------------------------------
 # strategy builder + finished strategy
 # ---------------------------------------------------------------------------
 class CubicSpline(Interp1DStrategyBuilder):
@@ -506,8 +600,19 @@ class CubicSpline(Interp1DStrategyBuilder):
         # same bank as (2048, 4096)).  Results are reshaped back.
         flat = len(trailing) > 1
         y = data.reshape((data.shape[0], -1)) if flat else data
+        n = x.shape[0]
+        tsize = y.shape[1] if y.ndim == 2 else 0
         if bc.kind == "periodic":
-            k = _solve_periodic(x, y)
+            _validate_periodic_data(y)
+            if _dense_build_ok(n, tsize):
+                c_a, c_b = jax.lax.platform_dependent(
+                    x,
+                    y,
+                    tpu=functools.partial(_dense_ab, kind=0, periodic=True),
+                    default=_periodic_ab,
+                )
+                return self._unflatten_ab(c_a, c_b, trailing, flat)
+            k = _solve_periodic_core(x, y)
         elif bc.kind == "individual":
             expected = (1,) + trailing
             if tuple(bc.rows.shape) != expected:
@@ -538,9 +643,23 @@ class CubicSpline(Interp1DStrategyBuilder):
                 "natural": _SECOND_DERIV,
                 "clamped": _FIRST_DERIV,
             }[bc.kind]
+            if _dense_build_ok(n, tsize):
+                c_a, c_b = jax.lax.platform_dependent(
+                    x,
+                    y,
+                    tpu=functools.partial(
+                        _dense_ab, kind=kind, periodic=False
+                    ),
+                    default=functools.partial(_uniform_ab, kind=kind),
+                )
+                return self._unflatten_ab(c_a, c_b, trailing, flat)
             k = _solve_for_k(x, y, kind, 0.0, kind, 0.0)
 
         c_a, c_b = _ab_from_k(x, y, k)
+        return self._unflatten_ab(c_a, c_b, trailing, flat)
+
+    @staticmethod
+    def _unflatten_ab(c_a, c_b, trailing, flat):
         if flat:
             c_a = c_a.reshape((c_a.shape[0],) + trailing)
             c_b = c_b.reshape((c_b.shape[0],) + trailing)

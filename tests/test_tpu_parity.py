@@ -95,6 +95,32 @@ def test_banked_eval_bit_exact():
     np.testing.assert_array_equal(got, want)
 
 
+def test_dense_build_matches_pcr_on_chip():
+    """The dense-operator wide-bank build (probed (2(n-1), n) matrix ×
+    HIGHEST-precision MXU matmul, ``cubic._dense_ab``) agrees with the
+    PCR elimination on chip to normal f32 rounding — the two routes'
+    mutual deviation must stay at the ~1e-6 scale-relative grade both
+    hold against the f64 oracle (measured 4e-7 at the NS5b shape)."""
+    from ndarray_interp_tpu.models.strategies.cubic import (
+        _NOT_A_KNOT,
+        _dense_ab,
+        _uniform_ab,
+    )
+
+    rng = np.random.default_rng(11)
+    n, bank = 64, 512
+    xh = np.cumsum(np.abs(rng.normal(size=n)) + 1e-3)
+    x = jnp.asarray(xh.astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n, bank)).astype(np.float32))
+    a_p, b_p = jax.jit(lambda x, y: _uniform_ab(x, y, _NOT_A_KNOT))(x, y)
+    a_d, b_d = jax.jit(
+        lambda x, y: _dense_ab(x, y, _NOT_A_KNOT, periodic=False)
+    )(x, y)
+    scale = float(jnp.max(jnp.abs(a_p)))
+    assert float(jnp.max(jnp.abs(a_d - a_p))) / scale < 1e-5
+    assert float(jnp.max(jnp.abs(b_d - b_p))) / scale < 1e-5
+
+
 def test_fused_index_frac_exact():
     from ndarray_interp_tpu.ops.pallas_eval import fused_index_frac
     from ndarray_interp_tpu.ops.searchsorted import get_lower_index
