@@ -568,6 +568,33 @@ def main():
             "beyond-reference + BASELINE.json:5",
         )
 
+        # NS3f: the "f48" tier — bf16-lo packed rows (1.5 KB vs DF's
+        # 2 KB), ~2^-33 scale-relative; 75% of NS3d's table traffic
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            gathered_bicubic_eval_f48_packed,
+            pack_bicubic_rows_f48,
+        )
+
+        packed3f = jax.jit(
+            lambda h, l: pack_bicubic_rows_f48(h, l, r3d)
+        )(*(jnp.asarray(v) for v in rows_pair))
+
+        def f48_run(a, b, c, d, packed):
+            return gathered_bicubic_eval_f48_packed(
+                *xy_pairs, packed, a, b, c, d, r=r3d
+            )
+
+        t = device_timer(
+            f48_run, (qx3h, qx3l, qy3h, qy3l, packed3f), var=0, links=2
+        )
+        record(
+            f"NS3f: bicubic {g_shape} f48 EVAL (~2^-33 tier, 75% DF "
+            f"table), {qn//1000}k 2-D queries (device)",
+            t,
+            qn,
+            "beyond-reference + BASELINE.json:5 (f48 tier)",
+        )
+
     # NS4: Akima + PCHIP through the strategy protocol
     for name, s in (("akima", Akima()), ("pchip", Pchip())):
         k_fn = jax.jit(

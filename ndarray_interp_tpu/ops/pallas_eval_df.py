@@ -17,6 +17,32 @@ kernel (measured: see BASELINE.md).
 Interval selection compares DF pairs lexicographically, so knots that are
 *equal in f32 but distinct in f64* still select the correct interval —
 bucketize decisions match the f64 oracle's, not f32-rounded ones.
+
+Route map — what is SHIPPED vs what is a RECORD.  Shipped entry points
+(what serving/partition dispatch to):
+
+====================================  ==========================================
+entry point                           route
+====================================  ==========================================
+``fused_eval_1d_df``                  1-D DF windowed kernel (<=64k knots);
+                                      guarded-XLA twin ``eval_xla_df``
+``fused_index_frac_df``               DF (idx, t) bucketize pass (shared)
+``gathered_bank_eval_df[_packed]``    wide-bank DF: packed-row gather +
+                                      ``banked_df_tail`` Mosaic kernel
+``gathered_bilinear_eval_df[_packed]``2-D linear DF: ``bilinear_df_tail``
+``gathered_bicubic_eval_df[_packed]`` 2-D cubic DF cell route, tail="mxu" →
+                                      ``bicubic_df_tail_mxu`` (47.8 ms/1M NS3d);
+                                      guarded-XLA fallback ``_df_bicubic_tail``
+``gathered_bicubic_nodes_eval_df``    2-D cubic DF NODE route (memory-frugal):
+                                      ``bicubic_df_node_tail`` (84.8 ms/1M)
+====================================  ==========================================
+
+RECORDS (measured-negative, kept with tests, not on any route):
+``bicubic_df_tail`` as a Mosaic tail (67.2 ms — still shipped as the
+guarded-XLA CPU tail), ``tail="nested"``/``tail="weight"`` dispatch
+options, ``fetch="pair"`` on the node route (5,242.8 ms), and everything
+in ``ops/df_records.py`` (the per-block weight-form tail family).  The
+f32 record kernels live in ``ops/pallas_tail.py``.
 """
 
 from __future__ import annotations
@@ -1024,148 +1050,6 @@ def _df_bicubic_weights(tx, ty, one):
     return w16
 
 
-def _df_bicubic_weight_tail(rows, txh, txl, tyh, tyl, bp):
-    """Weight-form DF bicubic tail body: per-query DF weights, one EFT
-    product per cell-row block, compensated sequential accumulation.
-
-    MEASURED NEGATIVE RESULT (round 3, NS3d 1M queries): 94.7 ms at
-    bq=256 vs 67.2 ms for the nested form (``_df_bicubic_tail``) — the
-    32 sub-lane (B, bp) row slices live lane-padded and the serial
-    compensated chain costs more than the weight algebra saves.  An
-    earlier lane-packed full-row form (one ``two_prod`` across the
-    whole (B, 32*bp) row + 5 tree levels) measured 52.3 ms but its
-    full-row temporaries exceed scoped VMEM at bq=512 (19.3–28.1 MB,
-    three forms measured) and its 16-piece sub-128-lane concats
-    relayout.  The MXU one-hot weight-row build
-    (``_df_bicubic_weight_tail_mxu``, 55.8 ms, fits VMEM at bq=256)
-    fixed both and is the route default.  Kept (with tests) as the
-    record.  Hi products and hi sums are exact (EFT); residuals
-    accumulate in plain f32 at ~2^-48 of term scale — same grade as
-    the nested form, different last-bit rounding."""
-    b = rows.shape[0]
-    ch = rows.shape[1]
-    tx = (txh, txl)
-    ty = (tyh, tyl)
-    one = (jnp.ones_like(txh), jnp.zeros_like(txh))
-    w16 = _df_bicubic_weights(tx, ty, one)
-    from . import df as _dfmod
-
-    if _dfmod._GUARDED:
-        # XLA fallback: per-block (B, 1) x (B, bp) two_prods — the ONE
-        # broadcast pattern pinned safe against the XLA:CPU emitter's
-        # FMA contraction (two_prod materializes the broadcast through
-        # the integer domain internally).  Building lane-packed weight
-        # rows out of broadcast_to + concatenate instead collapses the
-        # Veltkamp splits below HLO no matter where the barriers go —
-        # measured 7e-8 for plain, bitcast-after-concat, AND
-        # materialize-per-piece variants, vs ~1e-13 for this form.
-        ps, es = [], []
-        for j in range(32):
-            w = w16[j % 16]
-            blk = rows[:, j * bp : (j + 1) * bp]
-            p, pe = two_prod(w[0], blk)
-            ps.append(p)
-            es.append(pe + w[1] * blk)
-        while len(ps) > 1:
-            nps, nes = [], []
-            for j in range(0, len(ps), 2):
-                s, se = two_sum(ps[j], ps[j + 1])
-                nps.append(s)
-                nes.append(es[j] + es[j + 1] + se)
-            ps, es = nps, nes
-        return fast_two_sum(ps[0], es[0])
-
-    # Mosaic: per-block broadcast EFT products + a compensated tree
-    # reduce.  Mosaic broadcasts (B, 1) weights against (B, bp) blocks
-    # natively (the nested tail leans on the same), the hi/lo block
-    # pair shares its weight's Veltkamp split, and nothing is
-    # concatenated: lane-packing the weights into full rows measured
-    # worse (52.3 ms NS3d — the 16-piece sub-128-lane concats and
-    # broadcast_to relayout) and its full-row temporaries OOM scoped
-    # VMEM at bq=512 (19.3-20.9 MB, two forms measured).
-    del ch
-
-    def split(a):  # Veltkamp (no guards: Mosaic preserves the EFTs)
-        c = a * jnp.asarray(4097.0, a.dtype)
-        hi = c - (c - a)
-        return hi, a - hi
-
-    # Sequential compensated accumulation, NOT a tree: sub-128-lane
-    # (B, bp) arrays are stored lane-padded in VMEM, so a tree keeping
-    # 2x32 of them live costs 28 MB scoped at bq=512 (measured OOM);
-    # the running (s, e) pair keeps ~4 live.  two_sum is exact in any
-    # association, so the order change costs nothing.
-    s = e = None
-    for bidx in range(16):
-        w = w16[bidx]
-        wh, wl = split(w[0])
-        for off in (0, 16):  # hi block, then its lo twin
-            j = bidx + off
-            blk = rows[:, j * bp : (j + 1) * bp]
-            p = w[0] * blk
-            bh, bl = split(blk)
-            err = ((wh * bh - p) + wh * bl + wl * bh) + wl * bl
-            err = err + w[1] * blk
-            if s is None:
-                s, e = p, err
-            else:
-                s, se = two_sum(s, p)
-                e = e + (err + se)
-    return fast_two_sum(s, e)
-
-
-def _df_bicubic_weight_kernel(
-    rows_ref, txh_ref, txl_ref, tyh_ref, tyl_ref, outh_ref, outl_ref, *, bp
-):
-    from .df import no_guard
-
-    with no_guard():
-        out = _df_bicubic_weight_tail(
-            rows_ref[:], txh_ref[:], txl_ref[:], tyh_ref[:], tyl_ref[:], bp
-        )
-        outh_ref[:] = out[0]
-        outl_ref[:] = out[1]
-
-
-def bicubic_df_tail_w(rows, txh, txl, tyh, tyl, interpret=False, bq=256):
-    """Weight-form streaming Mosaic DF bicubic tail (see
-    ``_df_bicubic_weight_tail``); same contract as ``bicubic_df_tail``.
-    bq=256: even with the sequential accumulation keeping ~4 live
-    (B, bp) arrays, the r=16 plan measures 17.46 MB scoped VMEM at
-    bq=512 (the 32 lane-padded row slices dominate) — one block size
-    down fits; the lane-packed full-row forms measured 19.3–28.1 MB
-    across three variants and are gone."""
-    nq, ch = rows.shape
-    bp = ch // 32
-    assert nq % bq == 0
-    nb = nq // bq
-    outh, outl = pl.pallas_call(
-        functools.partial(_df_bicubic_weight_kernel, bp=bp),
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ]
-        + [
-            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ]
-        * 4,
-        out_specs=[
-            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
-            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
-        ],
-        interpret=interpret,
-    )(
-        rows,
-        txh.reshape(nq, 1), txl.reshape(nq, 1),
-        tyh.reshape(nq, 1), tyl.reshape(nq, 1),
-    )
-    return outh, outl
-
-
 def _df_bicubic_weight_tail_mxu(rows, txh, txl, tyh, tyl, bp):
     """Full-lane weight-form DF bicubic tail: MXU one-hot weight-row
     build + ONE EFT product across the whole (B, 32*bp) row +
@@ -1188,8 +1072,18 @@ def _df_bicubic_weight_tail_mxu(rows, txh, txl, tyh, tyl, bp):
     hi sums are exact; residuals accumulate in f32 at ~2^-48 of term
     scale (same grade as the nested tail, different last-bit
     rounding).  Mosaic-only (the guarded-XLA CPU twin stays
-    ``_df_bicubic_weight_tail``)."""
-    b = rows.shape[0]
+    ``df_records._df_bicubic_weight_tail``)."""
+    half = 16 * bp
+    return _df_bicubic_mxu_core(
+        rows[:, :half], rows[:, half:], txh, txl, tyh, tyl, bp
+    )
+
+
+def _df_bicubic_mxu_core(rows_hi, rows_lo, txh, txl, tyh, tyl, bp):
+    """Body of ``_df_bicubic_weight_tail_mxu`` over pre-split (hi, lo)
+    row halves — shared with the f48 tier, whose lo half arrives
+    bf16-packed and is unpacked before this core."""
+    b = rows_hi.shape[0]
     tx = (txh, txl)
     ty = (tyh, tyl)
     one = (jnp.ones_like(txh), jnp.zeros_like(txh))
@@ -1252,8 +1146,6 @@ def _df_bicubic_weight_tail_mxu(rows, txh, txl, tyh, tyl, bp):
     # so w_hi*row_lo in plain f32 already lands at ~2^-48 of term
     # scale and w_lo*row_lo is negligible — same grade as running
     # two_prod across the full row, at half the EFT width
-    rows_hi = rows[:, :half]
-    rows_lo = rows[:, half:]
     p, pe = two_prod(wrow_h, rows_hi)
     e = pe + wrow_l * rows_hi + wrow_h * rows_lo
     # compensated halving tree: lane j of the half sums block (j//bp)
@@ -1315,6 +1207,152 @@ def bicubic_df_tail_mxu(rows, txh, txl, tyh, tyl, interpret=False, bq=512):
     return outh, outl
 
 
+def pack_bicubic_rows_f48(rows_hi, rows_lo, r):
+    """"f48" bicubic cell rows ``(cells, 24*bp)``: the 16 pre-scaled hi
+    blocks exactly as in ``pack_bicubic_rows_df``, plus the 16 lo blocks
+    ROUNDED TO bf16 and packed two-per-f32-lane — packed lane ``l`` of
+    the 8-block lo section holds ``bf16(lo block l//bp)`` in its high 16
+    bits and ``bf16(lo block l//bp + 8)`` in the low 16 (bf16 → f32 is
+    exactly appending 16 zero bits, so unpacking is two integer masks).
+
+    1.5 KB rows at r=16 vs the DF table's 2 KB — 75% of the memory and
+    gather traffic for ~2^-33 relative accuracy (f32 hi + 8 lo mantissa
+    bits) instead of DF's ~2^-48: the intermediate grade between the
+    f32 cell route (~2^-24) and full DF, for workloads that need better
+    than single precision but not the full double-float cost
+    (docs/ROADMAP.md, "DF bicubic cost")."""
+    cells = rows_hi.shape[0]
+    bp = -(-r // 8) * 8
+
+    def blocks(v):
+        v3 = v.reshape(cells, 16, r)
+        if bp != r:
+            v3 = jnp.pad(v3, ((0, 0), (0, 0), (0, bp - r)))
+        return v3.reshape(cells, 16 * bp)
+
+    hi = blocks(rows_hi)
+    lo16 = jax.lax.bitcast_convert_type(
+        blocks(rows_lo).astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    half = 8 * bp
+    packed_lo = jax.lax.bitcast_convert_type(
+        (lo16[:, :half] << 16) | lo16[:, half:], jnp.float32
+    )
+    return jnp.concatenate([hi, packed_lo], axis=1)
+
+
+def _unpack_f48_lo(packed_lo):
+    """Unpack the bf16-pair lo section back to 16 f32 blocks: high 16
+    bits → blocks 0..7, low 16 bits (shifted up) → blocks 8..15.  Both
+    halves are 8bp lanes (128-aligned at r=16), so the concat is a
+    lane-aligned block join in Mosaic."""
+    u = jax.lax.bitcast_convert_type(packed_lo, jnp.uint32)
+    first = jax.lax.bitcast_convert_type(
+        u & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    second = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    return jnp.concatenate([first, second], axis=1)
+
+
+def _f48_bicubic_mxu_kernel(
+    rows_ref, txh_ref, txl_ref, tyh_ref, tyl_ref, outh_ref, outl_ref, *, bp
+):
+    from .df import no_guard
+
+    with no_guard():
+        rows = rows_ref[:]
+        half = 16 * bp
+        out = _df_bicubic_mxu_core(
+            rows[:, :half],
+            _unpack_f48_lo(rows[:, half:]),
+            txh_ref[:], txl_ref[:], tyh_ref[:], tyl_ref[:], bp,
+        )
+        outh_ref[:] = out[0]
+        outl_ref[:] = out[1]
+
+
+def bicubic_f48_tail(rows, txh, txl, tyh, tyl, interpret=False, bq=512):
+    """Streaming Mosaic MXU tail for the f48 tier: unpack the bf16 lo
+    pairs in VMEM, then the exact ``_df_bicubic_weight_tail_mxu`` chain.
+    Same contract as ``bicubic_df_tail`` with 24bp-channel rows."""
+    nq, ch = rows.shape
+    bp = ch // 24
+    assert nq % bq == 0
+    nb = nq // bq
+    outh, outl = pl.pallas_call(
+        functools.partial(_f48_bicubic_mxu_kernel, bp=bp),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        + [
+            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        * 4,
+        out_specs=[
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        rows,
+        txh.reshape(nq, 1), txl.reshape(nq, 1),
+        tyh.reshape(nq, 1), tyl.reshape(nq, 1),
+    )
+    return outh, outl
+
+
+def gathered_bicubic_eval_f48_packed(
+    x_hi, x_lo, y_hi, y_lo, packed, qx_hi, qx_lo, qy_hi, qy_lo,
+    r=1, interpret=False,
+):
+    """The f48-tier bicubic cell route: identical to
+    ``gathered_bicubic_eval_df_packed`` (DF (idx, t) passes + ONE row
+    gather + Mosaic MXU tail) but from a ``pack_bicubic_rows_f48`` table
+    — 24bp channels per row instead of 32bp.  Returns an (hi, lo) pair
+    like the DF route; accuracy ~2^-33 scale-relative (the lo half is
+    bf16-rounded), memory and gather traffic 75% of DF."""
+    ny1 = y_hi.shape[0] - 1
+    nq = qx_hi.shape[0]
+    npad = -(-nq // 512) * 512 - nq
+    if npad:
+        qx_hi = jnp.pad(qx_hi, (0, npad))
+        qx_lo = jnp.pad(qx_lo, (0, npad))
+        qy_hi = jnp.pad(qy_hi, (0, npad))
+        qy_lo = jnp.pad(qy_lo, (0, npad))
+
+    xi, txh, txl, yi, tyh, tyl = _df_index_frac_2d(
+        x_hi, x_lo, y_hi, y_lo, qx_hi, qx_lo, qy_hi, qy_lo,
+        interpret=interpret,
+    )
+
+    rows = jnp.take(packed, xi * ny1 + yi, axis=0)
+    bp = packed.shape[1] // 24
+
+    def mosaic(rows, a1, a2, a3, a4):
+        hi, lo = bicubic_f48_tail(rows, a1, a2, a3, a4, interpret=interpret)
+        return hi[:, :r], lo[:, :r]
+
+    def xla(rw, a1, a2, a3, a4):
+        half = 16 * bp
+        full = jnp.concatenate(
+            [rw[:, :half], _unpack_f48_lo(rw[:, half:])], axis=1
+        )
+        hi, lo = _df_bicubic_tail(
+            full, a1[:, None], a2[:, None], a3[:, None], a4[:, None], bp
+        )
+        return hi[:, :r], lo[:, :r]
+
+    hi, lo = jax.lax.platform_dependent(
+        rows, txh, txl, tyh, tyl, tpu=mosaic, default=xla
+    )
+    return hi[:nq], lo[:nq]
+
+
 def gathered_bicubic_eval_df(
     x_hi, x_lo, y_hi, y_lo, rows_hi, rows_lo, qx_hi, qx_lo, qy_hi, qy_lo,
     r=1, interpret=False,
@@ -1364,11 +1402,10 @@ def gathered_bicubic_eval_df_packed(
 
     rows = jnp.take(packed, xi * ny1 + yi, axis=0)
     bp = packed.shape[1] // 32
-    tail_fn = {
-        "weight": bicubic_df_tail_w,
-        "mxu": bicubic_df_tail_mxu,
-        "nested": bicubic_df_tail,
-    }[tail]
+    if tail == "weight":  # measured-negative record (ops/df_records.py)
+        from .df_records import bicubic_df_tail_w as tail_fn
+    else:
+        tail_fn = {"mxu": bicubic_df_tail_mxu, "nested": bicubic_df_tail}[tail]
 
     def mosaic(rows, a1, a2, a3, a4):
         hi, lo = tail_fn(rows, a1, a2, a3, a4, interpret=interpret)

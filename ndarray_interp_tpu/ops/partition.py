@@ -482,13 +482,25 @@ def sharded_df_bilinear_packed(ny: int, r: int, interpret: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
-def sharded_df_bicubic_packed(r: int, interpret: bool = False):
-    """Query-sharded DF bicubic gather route from a prepacked table."""
-    from .pallas_eval_df import gathered_bicubic_eval_df_packed
+def sharded_df_bicubic_packed(
+    r: int, interpret: bool = False, tier: str = "df"
+):
+    """Query-sharded DF bicubic gather route from a prepacked table.
+    ``tier="f48"`` routes through the bf16-lo packed table
+    (``pallas_eval_df.gathered_bicubic_eval_f48_packed``) — identical
+    operand/sharding structure, 24bp-channel rows."""
+    from .pallas_eval_df import (
+        gathered_bicubic_eval_df_packed,
+        gathered_bicubic_eval_f48_packed,
+    )
 
+    route = {
+        "df": gathered_bicubic_eval_df_packed,
+        "f48": gathered_bicubic_eval_f48_packed,
+    }[tier]
     return _df_route_cp(
         lambda xh, xl, yh, yl, packed, a, b, c, d:
-            gathered_bicubic_eval_df_packed(
+            route(
                 xh, xl, yh, yl, packed, a, b, c, d, r=r,
                 interpret=interpret,
             ),

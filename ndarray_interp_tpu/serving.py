@@ -520,12 +520,16 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
     Trailing (bank) dims supported; build the Interp2D eagerly in f64 on
     CPU; periodic bicubic axes wrap in f64 on the host."""
 
-    def __init__(self, interp, max_batch: int = 1 << 20, buckets=None):
+    def __init__(
+        self, interp, max_batch: int = 1 << 20, buckets=None, grade="df"
+    ):
         import numpy as np
 
         from .models.strategies.bicubic import BicubicStrategy
         from .ops.df import df_from_f64
 
+        if grade not in ("df", "f48"):
+            raise ValueError(f"grade must be 'df' or 'f48', got {grade!r}")
         super().__init__(interp, max_batch, buckets)
         self._trailing = tuple(interp.data.shape[2:])
         self._extrapolates = bool(
@@ -563,13 +567,26 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
                 np.asarray(interp.strategy.rows, np.float64)
             )
             if interp.strategy.layout == "cell":
-                from .ops.pallas_eval_df import pack_bicubic_rows_df
+                from .ops.pallas_eval_df import (
+                    pack_bicubic_rows_df,
+                    pack_bicubic_rows_f48,
+                )
                 from .ops.partition import sharded_df_bicubic_packed
 
+                # grade="f48": bf16-lo packed rows — 75% of the DF
+                # table's memory/gather traffic at ~2^-33 relative
+                # (between the f32 route's 2^-24 and DF's 2^-48)
+                pack = {
+                    "df": pack_bicubic_rows_df, "f48": pack_bicubic_rows_f48
+                }[grade]
                 self._packed = jax.jit(
-                    lambda h, l: pack_bicubic_rows_df(h, l, r)
+                    lambda h, l: pack(h, l, r)
                 )(*rows_pair)
-                route = sharded_df_bicubic_packed(r)
+                route = sharded_df_bicubic_packed(r, tier=grade)
+            elif grade != "df":
+                raise ValueError(
+                    "grade='f48' supports the bicubic cell layout only"
+                )
             else:
                 from .ops.pallas_eval_df import pack_bicubic_nodes_df
                 from .ops.partition import sharded_df_bicubic_nodes
@@ -583,6 +600,10 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
                 )
             )
             return
+        if grade != "df":
+            raise ValueError(
+                "grade='f48' supports the bicubic cell layout only"
+            )
         from .ops.pallas_eval_df import pack_bilinear_rows_df
 
         pairs = []

@@ -876,7 +876,7 @@ class TestDFBicubicWeightTail:
         branches on _GUARDED; see _df_bicubic_weight_tail)."""
         import jax
 
-        from ndarray_interp_tpu.ops.pallas_eval_df import (
+        from ndarray_interp_tpu.ops.df_records import (
             _df_bicubic_weight_tail,
         )
 
@@ -899,10 +899,8 @@ class TestDFBicubicWeightTail:
         build index the right blocks — interpret-mode values are
         f32-grade (EFTs rewritten) but any block mix-up would be O(1)
         wrong."""
-        from ndarray_interp_tpu.ops.pallas_eval_df import (
-            bicubic_df_tail_mxu,
-            bicubic_df_tail_w,
-        )
+        from ndarray_interp_tpu.ops.df_records import bicubic_df_tail_w
+        from ndarray_interp_tpu.ops.pallas_eval_df import bicubic_df_tail_mxu
 
         fn = {"weight": bicubic_df_tail_w, "mxu": bicubic_df_tail_mxu}[tail]
         rows64, rows, tx64, ty64, t = self._fixture(r=r)
@@ -946,6 +944,150 @@ class TestDFBicubicWeightTail:
         )(*args)
         for gw, gn in zip(out_w, out_n):
             np.testing.assert_array_equal(np.asarray(gw), np.asarray(gn))
+
+
+class TestF48BicubicTier:
+    """Round 4: the bf16-lo "f48" accuracy tier — the one unmeasured
+    variant from the round-3 DF-cost analysis (docs/ROADMAP.md): pack
+    the cell table's lo half as bf16 pairs two-per-f32-lane (1.5 KB
+    rows at r=16 vs DF's 2 KB), giving ~2^-33 scale-relative accuracy —
+    the intermediate grade between the f32 route (~2^-24) and full DF
+    (~2^-48) at 75% of DF's memory and gather traffic."""
+
+    def _grid(self, trailing=(3,), seed=37):
+        import jax
+
+        from ndarray_interp_tpu.interp2d import Bicubic, Interp2D
+
+        rng = np.random.default_rng(seed)
+        nx, ny = 20, 16
+        x = np.cumsum(rng.uniform(0.2, 1.0, nx))
+        y = np.cumsum(rng.uniform(0.2, 1.0, ny))
+        z = rng.normal(size=(nx, ny) + trailing)
+        itp = (
+            Interp2D.builder(jnp.asarray(z))
+            .x(jnp.asarray(x))
+            .y(jnp.asarray(y))
+            .strategy(Bicubic().extrapolate(True))
+            .build()
+        )
+        assert itp.data.dtype == jnp.float64, "run with x64 (conftest)"
+        return itp, rng
+
+    def test_pack_unpack_roundtrip_exact(self):
+        """Unpacking returns EXACTLY bf16(lo) widened to f32 (bf16→f32
+        appends 16 zero bits), and the hi half is untouched."""
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            _unpack_f48_lo,
+            pack_bicubic_rows_df,
+            pack_bicubic_rows_f48,
+        )
+
+        rng = np.random.default_rng(5)
+        cells, r = 37, 16
+        hi = jnp.asarray(rng.normal(size=(cells, 16 * r)).astype(np.float32))
+        lo = jnp.asarray(
+            (rng.normal(size=(cells, 16 * r)) * 1e-8).astype(np.float32)
+        )
+        pk = pack_bicubic_rows_f48(hi, lo, r)
+        bp = 16
+        assert pk.shape == (cells, 24 * bp)
+        got_lo = np.asarray(_unpack_f48_lo(pk[:, 16 * bp :]))
+        want_lo = np.asarray(
+            jnp.asarray(lo).astype(jnp.bfloat16).astype(jnp.float32)
+        )
+        np.testing.assert_array_equal(got_lo, want_lo)
+        np.testing.assert_array_equal(
+            np.asarray(pk[:, : 16 * bp]),
+            np.asarray(pack_bicubic_rows_df(hi, lo, r)[:, : 16 * bp]),
+        )
+
+    def test_route_grade_on_cpu(self):
+        """Full f48 route (guarded-XLA branch) vs the f64 strategy:
+        ~1e-9 scale-relative (measured 1.3e-9) — an order past the f32
+        route, two-three short of DF; gate with headroom at 1e-8."""
+        import jax
+
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            gathered_bicubic_eval_f48_packed,
+            pack_bicubic_rows_f48,
+        )
+
+        itp, rng = self._grid(trailing=(3,))
+        x64 = np.asarray(itp.x, np.float64)
+        y64 = np.asarray(itp.y, np.float64)
+        rows64 = np.asarray(itp.strategy.rows, np.float64)
+        packed = pack_bicubic_rows_f48(
+            *[jnp.asarray(v) for v in df_from_f64(rows64)], 3
+        )
+        qx = rng.uniform(x64[0], x64[-1], 400)
+        qy = rng.uniform(y64[0], y64[-1], 400)
+        args = []
+        for v in (x64, y64):
+            args.extend(jnp.asarray(w) for w in df_from_f64(v))
+        args.append(packed)
+        for v in (qx, qy):
+            args.extend(jnp.asarray(w) for w in df_from_f64(v))
+        hi, lo = jax.jit(
+            lambda *a: gathered_bicubic_eval_f48_packed(*a, r=3)
+        )(*args)
+        got = df_to_f64(hi, lo).reshape(400, 3)
+        want = np.asarray(itp.interp_array(qx, qy))
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
+        assert (np.abs(got - want) / scale).max() < 1e-8
+
+    def test_tail_interpret_plumbing(self):
+        """The Mosaic f48 tail's in-kernel unpack + MXU chain indexes
+        the right blocks — interpret-mode values are f32-grade (EFTs
+        rewritten) but any block or bit-shift mix-up would be O(1)
+        wrong."""
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            bicubic_f48_tail,
+            pack_bicubic_rows_f48,
+        )
+
+        rng = np.random.default_rng(11)
+        B, r = 512, 16
+        rows64 = rng.normal(size=(B, 16 * r))
+        rh, rl = (jnp.asarray(v) for v in df_from_f64(rows64))
+        rows = pack_bicubic_rows_f48(rh, rl, r)
+        tx64 = rng.uniform(-0.5, 1.5, B)
+        ty64 = rng.uniform(-0.5, 1.5, B)
+        t = []
+        for v in (tx64, ty64):
+            t.extend(jnp.asarray(w) for w in df_from_f64(v))
+        hi, lo = bicubic_f48_tail(rows, *t, interpret=True)
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        want = TestDFBicubicWeightTail._oracle(rows64, tx64, ty64, r)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-5
+
+    def test_serving_grade_kwarg(self):
+        """DoubleFloatEvaluator2D(grade="f48") serves the tier; the
+        packed table is 75% of the DF table's channels; non-cell
+        layouts and bilinear reject the tier with a clear error."""
+        from ndarray_interp_tpu.interp2d import Interp2D
+        from ndarray_interp_tpu.serving import DoubleFloatEvaluator2D
+
+        itp, rng = self._grid(trailing=(2,))
+        ev48 = DoubleFloatEvaluator2D(itp, max_batch=512, grade="f48")
+        evdf = DoubleFloatEvaluator2D(itp, max_batch=512)
+        assert ev48._packed.shape[1] * 4 == evdf._packed.shape[1] * 3
+        x64 = np.asarray(itp.x, np.float64)
+        y64 = np.asarray(itp.y, np.float64)
+        qx = rng.uniform(x64[0], x64[-1], 300)
+        qy = rng.uniform(y64[0], y64[-1], 300)
+        got = ev48(qx, qy)
+        want = np.asarray(itp.interp_array(qx, qy))
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
+        assert (np.abs(got - want) / scale).max() < 1e-8
+        with pytest.raises(ValueError, match="cell layout only"):
+            DoubleFloatEvaluator2D(
+                Interp2D.builder(jnp.asarray(np.ones((4, 4)))).build(),
+                grade="f48",
+            )
+        with pytest.raises(ValueError, match="grade must be"):
+            DoubleFloatEvaluator2D(itp, grade="f24")
 
 
 def test_df_lower_index_blocked_matches_direct():

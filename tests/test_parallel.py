@@ -503,6 +503,17 @@ def test_df_bicubic_route_under_mesh():
     np.testing.assert_allclose(
         df_to_f64(hi, lo), df_to_f64(whi, wlo), rtol=1e-5, atol=1e-5
     )
+    # the f48 tier shares the rule's operand structure (24bp rows)
+    from ndarray_interp_tpu.ops.pallas_eval_df import pack_bicubic_rows_f48
+
+    packed48 = pack_bicubic_rows_f48(*rows_pair, r)
+    hi48, lo48 = jax.jit(sharded_df_bicubic_packed(r, True, tier="f48"))(
+        *pairs, packed48, *qxp, *qyp
+    )
+    assert hi48.sharding.spec[0] == "query", hi48.sharding
+    np.testing.assert_allclose(
+        df_to_f64(hi48, lo48), df_to_f64(whi, wlo), rtol=1e-5, atol=1e-5
+    )
 
 
 def test_df_bicubic_node_route_under_mesh():

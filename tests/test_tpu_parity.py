@@ -666,6 +666,54 @@ def test_df_bicubic_mxu_tail_f64_grade_on_chip():
     assert rel < 1e-12, rel
 
 
+def test_f48_bicubic_tail_grade_on_chip():
+    """Round 4: the bf16-lo "f48" tier's Mosaic tail (in-kernel bit
+    unpack + the MXU weight chain) lands at its design grade on chip —
+    ~2^-33 scale-relative (measured ~1e-9 through the route on CPU),
+    an order past the f32 route's ~2^-24, at 75% of the DF table's
+    memory and gather traffic.  Pins that Mosaic's integer bitcast/
+    shift unpack is exact and the tier is genuinely intermediate."""
+    from ndarray_interp_tpu.ops.df import df_from_f64
+    from ndarray_interp_tpu.ops.pallas_eval_df import (
+        bicubic_f48_tail,
+        pack_bicubic_rows_f48,
+    )
+
+    rng = np.random.default_rng(11)
+    B, r = 512, 16
+    rows64 = rng.normal(size=(B, 16 * r))
+    rh, rl = (jnp.asarray(v) for v in df_from_f64(rows64))
+    rows = pack_bicubic_rows_f48(rh, rl, r)
+    tx64 = rng.uniform(-0.5, 1.5, B)
+    ty64 = rng.uniform(-0.5, 1.5, B)
+    t = []
+    for v in (tx64, ty64):
+        t.extend(jnp.asarray(w) for w in df_from_f64(v))
+    hi, lo = jax.jit(bicubic_f48_tail)(rows, *t)
+    got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+
+    def H(yl, yr, Kl, Kr, tq):
+        d = yr - yl
+        return (1 - tq) * yl + tq * yr + tq * (1 - tq) * (
+            (Kl - d) * (1 - tq) + (d - Kr) * tq
+        )
+
+    g = rows64.reshape(B, 4, 4, r)
+    tx = tx64[:, None]
+    ty = ty64[:, None]
+    f_y1 = H(g[:, 0, 0], g[:, 0, 2], g[:, 1, 0], g[:, 1, 2], tx)
+    f_y2 = H(g[:, 0, 1], g[:, 0, 3], g[:, 1, 1], g[:, 1, 3], tx)
+    g_y1 = H(g[:, 2, 0], g[:, 2, 2], g[:, 3, 0], g[:, 3, 2], tx)
+    g_y2 = H(g[:, 2, 1], g[:, 2, 3], g[:, 3, 1], g[:, 3, 3], tx)
+    want = H(f_y1, f_y2, g_y1, g_y2, ty)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    # bf16-lo grade, amplified ~10x by the Hermite sums; well past f32
+    assert rel < 1e-8, rel
+    # the lo half is real: an hi-only (plain f32-table) tail sits at
+    # ~2^-25 table grade ~ 3e-8; f48 must land clearly below it
+    assert rel < 3e-9, rel
+
+
 def test_df_nd_route_f64_grade_on_chip():
     """Round 4: the DF InterpND gather route (k=3 tensor-product cubic:
     per-axis DF (idx, t) + ONE packed cell-row gather + the k-fold
