@@ -31,6 +31,7 @@ from ndarray_interp_tpu.ops.df import df_from_f64
 from ndarray_interp_tpu.ops.pallas_eval_df_nd import (
     gathered_nd_eval_df_packed,
     pack_rows_nd_df,
+    pack_rows_nd_f48,
 )
 
 
@@ -121,6 +122,22 @@ def main():
     print(
         f"ND3 DF tricubic 64^3 (f64-grade): {t*1e3:.2f} ms/1M  "
         f"packed table {packed.size * 4 / 1e6:.0f} MB", flush=True,
+    )
+
+    # ---- ND3b: the f48 tier on the same workload (75% table traffic) ------
+    packed48 = jax.jit(lambda h, l: pack_rows_nd_f48(h, l, 4**k, r))(rh, rl)
+    args48 = list(args)
+    args48[2 * k] = packed48
+    route48 = gathered_nd_eval_df_packed(k, sizes, r, nbasis=4, tier="f48")
+
+    def f48_run(*a):
+        hi, lo = route48(*a)
+        return hi + lo
+
+    t = device_timer(f48_run, tuple(args48), var=qi, links=4)
+    print(
+        f"ND3b f48 tricubic 64^3 (~2^-33 tier): {t*1e3:.2f} ms/1M  "
+        f"packed table {packed48.size * 4 / 1e6:.0f} MB", flush=True,
     )
 
 

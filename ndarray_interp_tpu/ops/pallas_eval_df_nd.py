@@ -46,6 +46,7 @@ from .df import (
 from .pallas_eval_df import (
     _df_hermite_basis,
     _df_index_frac_xla,
+    _unpack_f48_lo,
     fused_index_frac_df,
 )
 
@@ -64,6 +65,34 @@ def pack_rows_nd_df(rows_hi, rows_lo, nb, r):
         return v3.reshape(cells, nb * bp)
 
     return jnp.concatenate([blocks(rows_hi), blocks(rows_lo)], axis=1)
+
+
+def pack_rows_nd_f48(rows_hi, rows_lo, nb, r):
+    """"f48" ND cell rows ``(cells, 3/2 * nb * bp)``: hi blocks as in
+    ``pack_rows_nd_df`` plus the lo blocks rounded to bf16 and packed
+    two-per-f32-lane (block j pairs with block j + nb/2 — the layout
+    ``pallas_eval_df._unpack_f48_lo`` inverts).  75% of the DF table's
+    memory/gather traffic at ~2^-33 relative; ``nb`` (= nbasis^k) is
+    always even.  The k-axis generalization of
+    ``pallas_eval_df.pack_bicubic_rows_f48``."""
+    cells = rows_hi.shape[0]
+    bp = -(-r // 8) * 8
+
+    def blocks(v):
+        v3 = v.reshape(cells, nb, r)
+        if bp != r:
+            v3 = jnp.pad(v3, ((0, 0), (0, 0), (0, bp - r)))
+        return v3.reshape(cells, nb * bp)
+
+    hi = blocks(rows_hi)
+    lo16 = jax.lax.bitcast_convert_type(
+        blocks(rows_lo).astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    half = (nb // 2) * bp
+    packed_lo = jax.lax.bitcast_convert_type(
+        (lo16[:, :half] << 16) | lo16[:, half:], jnp.float32
+    )
+    return jnp.concatenate([hi, packed_lo], axis=1)
 
 
 def _df_linear_basis(t, one):
@@ -211,13 +240,12 @@ def _df_nd_weight_row_mxu(ths, tls, k, bp, nbasis):
     return onehot_dot(w[0], sel), onehot_dot(w[1], sel)
 
 
-def _df_nd_mxu_body(rows, ths, tls, k, bp, nbasis):
+def _df_nd_mxu_body(rows_hi, rows_lo, ths, tls, k, bp, nbasis):
     """EFT product on the HI half + compensated halving tree (the
-    ``_df_bicubic_weight_tail_mxu`` accumulation, any k)."""
+    ``_df_bicubic_weight_tail_mxu`` accumulation, any k); the (hi, lo)
+    row halves arrive pre-split (the f48 tier unpacks its bf16 lo half
+    before this body)."""
     wrow_h, wrow_l = _df_nd_weight_row_mxu(ths, tls, k, bp, nbasis)
-    half = (nbasis**k) * bp
-    rows_hi = rows[:, :half]
-    rows_lo = rows[:, half:]
     p, pe = two_prod(wrow_h, rows_hi)
     e = pe + wrow_l * rows_hi + wrow_h * rows_lo
     while p.shape[1] > bp:
@@ -228,30 +256,45 @@ def _df_nd_mxu_body(rows, ths, tls, k, bp, nbasis):
     return fast_two_sum(p, e)
 
 
-def _df_nd_mxu_kernel(*refs, k, bp, nbasis):
+def _df_nd_mxu_kernel(*refs, k, bp, nbasis, tier):
     rows_ref = refs[0]
     t_refs = refs[1 : 1 + 2 * k]
     outh_ref, outl_ref = refs[1 + 2 * k], refs[2 + 2 * k]
     with no_guard():
         ths = [t_refs[2 * d][:] for d in range(k)]
         tls = [t_refs[2 * d + 1][:] for d in range(k)]
-        hi, lo = _df_nd_mxu_body(rows_ref[:], ths, tls, k, bp, nbasis)
+        rows = rows_ref[:]
+        half = (nbasis**k) * bp
+        rows_hi = rows[:, :half]
+        if tier == "f48":
+            rows_lo = _unpack_f48_lo(rows[:, half:])
+        else:
+            rows_lo = rows[:, half:]
+        hi, lo = _df_nd_mxu_body(
+            rows_hi, rows_lo, ths, tls, k, bp, nbasis
+        )
         outh_ref[:] = hi
         outl_ref[:] = lo
 
 
-def nd_df_tail_mxu(rows, ts_flat, k, nbasis=4, interpret=False, bq=256):
+def nd_df_tail_mxu(
+    rows, ts_flat, k, nbasis=4, interpret=False, bq=256, tier="df"
+):
     """Streaming Mosaic MXU weight-form DF ND tail; rows
-    ``(Q, 2 * nbasis^k * bp)``, Q a multiple of ``bq``; ``ts_flat`` =
+    ``(Q, 2 * nbasis^k * bp)`` (DF) or ``(Q, 3/2 * nbasis^k * bp)``
+    (``tier="f48"``: bf16-pair lo half, unpacked in-kernel), Q a
+    multiple of ``bq``; ``ts_flat`` =
     ``(th_0, tl_0, ..., th_{k-1}, tl_{k-1})`` flat (B,) arrays.
     Returns (hi, lo) of (Q, bp)."""
     nq, ch = rows.shape
     nb = nbasis**k
-    bp = ch // (2 * nb)
+    bp = ch // (2 * nb) if tier == "df" else (2 * ch) // (3 * nb)
     assert nq % bq == 0
     grid = (nq // bq,)
     outh, outl = pl.pallas_call(
-        functools.partial(_df_nd_mxu_kernel, k=k, bp=bp, nbasis=nbasis),
+        functools.partial(
+            _df_nd_mxu_kernel, k=k, bp=bp, nbasis=nbasis, tier=tier
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -273,14 +316,18 @@ def nd_df_tail_mxu(rows, ts_flat, k, nbasis=4, interpret=False, bq=256):
     return outh, outl
 
 
-def gathered_nd_eval_df_packed(k, grid_shape, r, nbasis=4, interpret=False):
+def gathered_nd_eval_df_packed(
+    k, grid_shape, r, nbasis=4, interpret=False, tier="df"
+):
     """Factory for the DF ND gather route on a PREPACKED table: returns
     ``route(x0_hi, x0_lo, ..., packed, q0_hi, q0_lo, ...) -> (hi, lo)``
     of shape ``(Q, r)`` each.
 
     ``grid_shape``: the k leading data dims (static — cell strides).
     ``nbasis``: 4 for the tensor-product cubic (cell layout), 2 for
-    multilinear.  k-axis analogue of
+    multilinear.  ``tier="f48"`` expects a ``pack_rows_nd_f48`` table
+    (bf16-pair lo half — 75% of the DF memory/gather traffic at ~2^-33
+    relative).  k-axis analogue of
     ``gathered_bicubic_eval_df_packed``."""
     cells = tuple(n - 1 for n in grid_shape)
     cstrides = [1] * k
@@ -306,17 +353,27 @@ def gathered_nd_eval_df_packed(k, grid_shape, r, nbasis=4, interpret=False):
             ts_flat += [parts[3 * d + 1], parts[3 * d + 2]]
         cell = sum(i * s for i, s in zip(idx, cstrides))
         rows = jnp.take(packed, cell, axis=0)
-        bp = packed.shape[1] // (2 * nbasis**k)
+        nb = nbasis**k
+        ch = packed.shape[1]
+        bp = ch // (2 * nb) if tier == "df" else (2 * ch) // (3 * nb)
 
         def mosaic(rows, *ts):
             hi, lo = nd_df_tail_mxu(
-                rows, ts, k, nbasis=nbasis, interpret=interpret
+                rows, ts, k, nbasis=nbasis, interpret=interpret, tier=tier
             )
             return hi[:, :r], lo[:, :r]
 
         def xla(rows, *ts):
             ths = [ts[2 * d] for d in range(k)]
             tls = [ts[2 * d + 1] for d in range(k)]
+            if tier == "f48":
+                rows = jnp.concatenate(
+                    [
+                        rows[:, : nb * bp],
+                        _unpack_f48_lo(rows[:, nb * bp :]),
+                    ],
+                    axis=1,
+                )
             hi, lo = _df_nd_weight_tail_xla(rows, ths, tls, k, bp, nbasis)
             return hi[:, :r], lo[:, :r]
 

@@ -514,16 +514,17 @@ def sharded_df_bicubic_packed(
 @functools.lru_cache(maxsize=None)
 def sharded_df_nd_packed(
     k: int, grid_shape: tuple, r: int, nbasis: int = 4,
-    interpret: bool = False,
+    interpret: bool = False, tier: str = "df",
 ):
     """Query-sharded DF InterpND gather route from a prepacked table
     (``pallas_eval_df_nd.gathered_nd_eval_df_packed``): the k knot-pair
     operands and the table replicate, the 2k flat query operands and
-    both (hi, lo) outputs shard over the query axis."""
+    both (hi, lo) outputs shard over the query axis.  ``tier="f48"``
+    expects a ``pack_rows_nd_f48`` table (same operand structure)."""
     from .pallas_eval_df_nd import gathered_nd_eval_df_packed
 
     core = gathered_nd_eval_df_packed(
-        k, grid_shape, r, nbasis=nbasis, interpret=interpret
+        k, grid_shape, r, nbasis=nbasis, interpret=interpret, tier=tier
     )
     letters = ["n", "p", "s", "u", "v", "w"][:k]
     rule = (

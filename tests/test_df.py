@@ -1241,3 +1241,66 @@ class TestDoubleFloatND:
         # sequences to plain f32 — this checks routing/layout only;
         # the DF grade itself is pinned on chip (test_tpu_parity.py)
         assert (np.abs(got - want) / scale).max() < 1e-4
+
+    @pytest.mark.parametrize("k,method", [(2, "cubic"), (2, "linear")])
+    def test_evaluator_nd_f48_grade(self, k, method):
+        """The ND f48 tier (bf16-pair lo half): 75% of the DF table's
+        channels, ~2^-33-grade results (measured 4e-10 cubic / 2e-9
+        linear on this fixture) — between f32 and DF, as in 2-D."""
+        from ndarray_interp_tpu.interpnd import InterpND
+        from ndarray_interp_tpu.serving import DoubleFloatEvaluatorND
+
+        axes, data, rng = self._case(k, trailing=(2,), seed=13)
+        itp = (
+            InterpND.builder(data).points(*axes).method(method).build()
+        )
+        ev48 = DoubleFloatEvaluatorND(itp, max_batch=512, grade="f48")
+        evdf = DoubleFloatEvaluatorND(itp, max_batch=512)
+        assert ev48._packed.shape[1] * 4 == evdf._packed.shape[1] * 3
+        qs = [rng.uniform(a[0], a[-1], 300) for a in axes]
+        got = ev48(*qs)
+        want = np.asarray(itp.interp_array(*qs))
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
+        assert (np.abs(got - want) / scale).max() < 1e-8
+        with pytest.raises(ValueError, match="grade must be"):
+            DoubleFloatEvaluatorND(itp, grade="f24")
+
+    @pytest.mark.parametrize("k,nbasis", [(2, 4), (3, 2)])
+    def test_nd_f48_tail_interpret_matches_xla(self, k, nbasis):
+        """The f48 tail's in-kernel bf16 unpack + MXU chain (interpret
+        mode) against the unpack-then-XLA twin — routing/layout check
+        (EFTs rewritten under interpret; grade pinned on chip)."""
+        from ndarray_interp_tpu.ops.df import df_from_f64, df_to_f64
+        from ndarray_interp_tpu.ops.pallas_eval_df import _unpack_f48_lo
+        from ndarray_interp_tpu.ops.pallas_eval_df_nd import (
+            _df_nd_weight_tail_xla,
+            nd_df_tail_mxu,
+            pack_rows_nd_f48,
+        )
+
+        rng = np.random.default_rng(47 + k + nbasis)
+        r, nq = 8, 256
+        bp = 8
+        nb = nbasis**k
+        payload = rng.normal(size=(nq, nb * r))
+        h, l = (jnp.asarray(v) for v in df_from_f64(payload))
+        rows = pack_rows_nd_f48(h, l, nb, r)
+        assert rows.shape == (nq, (3 * nb * bp) // 2)
+        ts64 = [rng.uniform(0.0, 1.0, nq) for _ in range(k)]
+        ts_flat = []
+        for t in ts64:
+            ts_flat.extend(jnp.asarray(v) for v in df_from_f64(t))
+        hi, lo = nd_df_tail_mxu(
+            rows, ts_flat, k, nbasis=nbasis, interpret=True, tier="f48"
+        )
+        full = jnp.concatenate(
+            [rows[:, : nb * bp], _unpack_f48_lo(rows[:, nb * bp :])],
+            axis=1,
+        )
+        ths = [ts_flat[2 * d] for d in range(k)]
+        tls = [ts_flat[2 * d + 1] for d in range(k)]
+        whi, wlo = _df_nd_weight_tail_xla(full, ths, tls, k, bp, nbasis)
+        got = df_to_f64(hi[:, :r], lo[:, :r])
+        want = df_to_f64(whi[:, :r], wlo[:, :r])
+        scale = np.maximum(np.abs(want), 1e-3)
+        assert (np.abs(got - want) / scale).max() < 1e-4

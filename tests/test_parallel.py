@@ -601,3 +601,14 @@ def test_df_nd_route_under_mesh():
     np.testing.assert_allclose(
         df_to_f64(hi, lo), df_to_f64(whi, wlo), rtol=1e-5, atol=1e-5
     )
+    # the ND f48 tier shares the rule's operand structure
+    from ndarray_interp_tpu.ops.pallas_eval_df_nd import pack_rows_nd_f48
+
+    packed48 = pack_rows_nd_f48(*rows_pair, 4**k, r)
+    hi48, lo48 = jax.jit(
+        sharded_df_nd_packed(k, sizes, r, interpret=True, tier="f48")
+    )(*pairs, packed48, *q_shard)
+    assert hi48.sharding.spec[0] == "query", hi48.sharding
+    np.testing.assert_allclose(
+        df_to_f64(hi48, lo48), df_to_f64(whi, wlo), rtol=1e-5, atol=1e-5
+    )

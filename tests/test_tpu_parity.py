@@ -786,3 +786,15 @@ def test_df_nd_route_f64_grade_on_chip():
     scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
     rel = (np.abs(got - want) / scale).max()
     assert rel < 4e-12, rel
+
+    # the ND f48 tier on the same fixture: bf16-pair lo half unpacked
+    # in-kernel; ~2^-33-grade — clearly past f32, short of DF
+    from ndarray_interp_tpu.ops.pallas_eval_df_nd import pack_rows_nd_f48
+
+    packed48 = pack_rows_nd_f48(*rows_pair, 4**k, r)
+    args48 = list(args)
+    args48[2 * k] = packed48
+    route48 = gathered_nd_eval_df_packed(k, sizes, r, nbasis=4, tier="f48")
+    hi48, lo48 = jax.jit(route48)(*args48)
+    rel48 = (np.abs(df_to_f64(hi48, lo48) - want) / scale).max()
+    assert rel48 < 3e-9, rel48
