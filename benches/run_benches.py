@@ -439,6 +439,30 @@ def main():
             "BASELINE.json:5 / VERDICT r2 task 3",
         )
 
+        # NS2d: the "f48" tier on the same workload — bf16-lo packed
+        # rows (6bp channels vs DF's 8bp): ~2^-33 grade at 75% of the
+        # DF table's memory and gather traffic
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            gathered_bank_eval_f48_packed,
+            pack_bank_rows_f48,
+        )
+
+        packed48 = jax.jit(pack_bank_rows_f48)(*dfargs[2:8])
+
+        def f48_run(qh, ql, packed):
+            return gathered_bank_eval_f48_packed(
+                dfargs[0], dfargs[1], packed, bank10k, qh, ql
+            )
+
+        t = device_timer(f48_run, (qdfh, qdfl, packed48), var=0, links=2)
+        record(
+            f"NS2d: {n10k}-knot x{bank10k} bank f48 EVAL (~2^-33 tier, "
+            f"75% DF table), {nq//1000}k queries (device)",
+            t,
+            nq * bank10k,
+            "beyond-reference + BASELINE.json:5 (f48 tier)",
+        )
+
     # NS1b: large knot axis (256k) — hierarchical search + one gather
     # (ops/bigknots.py); the in-VMEM windowed kernel stops at 64k
     nbig = 66_000 if args.quick else 262_144
@@ -529,6 +553,36 @@ def main():
             t,
             qn,
             "BASELINE.json config 3 + :5 (f64-grade)",
+        )
+
+        # NS3g: the bilinear "f48" tier — bf16-lo packed corner rows
+        # (6bp channels vs DF's 8bp), ~2^-33 grade at 75% of the
+        # DF table's memory and gather traffic
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            gathered_bilinear_eval_f48_packed,
+            pack_bilinear_rows_f48,
+        )
+
+        r3 = 1
+        for s_ in g_shape[2:]:
+            r3 *= s_
+        packed3g = jax.jit(pack_bilinear_rows_f48)(df3[4], df3[5])
+
+        def f48_bl_run(a, b, c, d, packed):
+            return gathered_bilinear_eval_f48_packed(
+                df3[0], df3[1], df3[2], df3[3], packed,
+                g_shape[1], r3, a, b, c, d,
+            )
+
+        t = device_timer(
+            f48_bl_run, (qx3h, qx3l, qy3h, qy3l, packed3g), var=0, links=2
+        )
+        record(
+            f"NS3g: bilinear {g_shape} f48 EVAL (~2^-33 tier, 75% DF "
+            f"table), {qn//1000}k 2-D queries (device)",
+            t,
+            qn,
+            "beyond-reference + BASELINE.json:5 (f48 tier)",
         )
 
     # NS3d: bicubic at f64 grade — DF cell-row gather route

@@ -544,21 +544,13 @@ def pack_bank_rows_df(d_hi, d_lo, a_hi, a_lo, b_hi, b_lo):
     )
 
 
-def _df_xla_tail(rows, th, tl, bank):
-    """Guarded-EFT XLA DF Hermite on gathered rows — the non-TPU tail.
-    NOTE on TPU this formulation is ~12x slower than the Mosaic tail
-    kernel: every optimization barrier pins a (Q, bank) intermediate to
-    HBM (measured 172 ms vs ~14 ms on 10k x 64 x 1M)."""
-    bp = rows.shape[1] // 8
-
-    def sl(i):
-        return rows[:, i * bp : i * bp + bank]
-
-    y_l = (sl(0), sl(4))
-    y_r = (sl(1), sl(5))
-    a = (sl(2), sl(6))
-    b = (sl(3), sl(7))
-    t = (th[:, None], tl[:, None])
+def _df_bank_hermite(y_l, y_r, a, b, t):
+    """The DF symmetric-Hermite chain on banked (hi, lo) block pairs —
+    shared by the Mosaic tail kernels (under ``no_guard``: Mosaic
+    preserves the EFTs) and the guarded-XLA fallback tails.  The
+    ``lin_inf`` escape matches the f32 kernel's contract: ±inf queries
+    on a linear segment (a=b=0) evaluate the linear form so the result
+    is ±inf, not NaN from inf·0."""
     one = (jnp.ones_like(t[0]), jnp.zeros_like(t[0]))
     omt = df_sub(one, t)
     base = df_add(
@@ -574,6 +566,22 @@ def _df_xla_tail(rows, th, tl, bank):
     return (
         jnp.where(lin_inf, alt, base[0]),
         jnp.where(lin_inf, jnp.zeros_like(alt), base[1]),
+    )
+
+
+def _df_xla_tail(rows, th, tl, bank):
+    """Guarded-EFT XLA DF Hermite on gathered rows — the non-TPU tail.
+    NOTE on TPU this formulation is ~12x slower than the Mosaic tail
+    kernel: every optimization barrier pins a (Q, bank) intermediate to
+    HBM (measured 172 ms vs ~14 ms on 10k x 64 x 1M)."""
+    bp = rows.shape[1] // 8
+
+    def sl(i):
+        return rows[:, i * bp : i * bp + bank]
+
+    return _df_bank_hermite(
+        (sl(0), sl(4)), (sl(1), sl(5)), (sl(2), sl(6)), (sl(3), sl(7)),
+        (th[:, None], tl[:, None]),
     )
 
 
@@ -648,25 +656,9 @@ def _df_tail_kernel(rows_ref, th_ref, tl_ref, outh_ref, outl_ref, *, bp):
         def sl(i):
             return rows[:, i * bp : (i + 1) * bp]
 
-        y_l = (sl(0), sl(4))
-        y_r = (sl(1), sl(5))
-        a = (sl(2), sl(6))
-        b = (sl(3), sl(7))
-        one = (jnp.ones_like(t[0]), jnp.zeros_like(t[0]))
-        omt = df_sub(one, t)
-        base = df_add(
-            df_add(df_mul(omt, y_l), df_mul(t, y_r)),
-            df_mul(df_mul(t, omt), df_add(df_mul(a, omt), df_mul(b, t))),
+        outh_ref[:], outl_ref[:] = _df_bank_hermite(
+            (sl(0), sl(4)), (sl(1), sl(5)), (sl(2), sl(6)), (sl(3), sl(7)), t
         )
-        tn = t[0]
-        lin_inf = (
-            jnp.isinf(tn)
-            & (a[0] == 0.0) & (a[1] == 0.0)
-            & (b[0] == 0.0) & (b[1] == 0.0)
-        )
-        alt = y_l[0] + tn * (y_r[0] - y_l[0])
-        outh_ref[:] = jnp.where(lin_inf, alt, base[0])
-        outl_ref[:] = jnp.where(lin_inf, jnp.zeros_like(alt), base[1])
 
 
 def banked_df_tail(rows, th, tl, interpret=False):
@@ -703,6 +695,140 @@ def banked_df_tail(rows, th, tl, interpret=False):
     return outh, outl
 
 
+# -- f48 banked route (bf16-lo tier for the 1-D wide-bank workload) -----------
+
+
+def pack_bank_rows_f48(d_hi, d_lo, a_hi, a_lo, b_hi, b_lo):
+    """"f48" banked per-interval rows ``(n-1, 6*bp)``: the 4 hi blocks
+    ``[y_l | y_r | a | b]`` exactly as in :func:`pack_bank_rows_df`,
+    plus the 4 lo blocks ROUNDED TO bf16 and packed two-per-f32-lane —
+    ``[y_l_lo | y_r_lo]`` in the high 16 bits of the 2bp packed lanes,
+    ``[a_lo | b_lo]`` in the low 16 (``_unpack_f48_lo`` inverts, same
+    bit layout as the bicubic tier's :func:`pack_bicubic_rows_f48`).
+
+    75% of the DF table's memory and gather traffic for ~2^-33
+    scale-relative accuracy (f32 hi + 8 lo mantissa bits) instead of
+    DF's ~2^-48 — the intermediate grade between the f32 banked route
+    (~2^-24) and full DF for wide-bank 1-D serving (NS2-series)."""
+    bank = d_hi.shape[1]
+    bp = -(-bank // 8) * 8
+    pad = ((0, 0), (0, bp - bank))
+
+    def p(v):
+        return jnp.pad(v, pad)
+
+    hi = jnp.concatenate(
+        [p(d_hi[:-1]), p(d_hi[1:]), p(a_hi), p(b_hi)], axis=1
+    )
+    lo16 = jax.lax.bitcast_convert_type(
+        jnp.concatenate(
+            [p(d_lo[:-1]), p(d_lo[1:]), p(a_lo), p(b_lo)], axis=1
+        ).astype(jnp.bfloat16),
+        jnp.uint16,
+    ).astype(jnp.uint32)
+    half = 2 * bp
+    packed_lo = jax.lax.bitcast_convert_type(
+        (lo16[:, :half] << 16) | lo16[:, half:], jnp.float32
+    )
+    return jnp.concatenate([hi, packed_lo], axis=1)
+
+
+def _f48_bank_tail_kernel(rows_ref, th_ref, tl_ref, outh_ref, outl_ref, *, bp):
+    """f48 banked Hermite tail: unpack the bf16-pair lo section in VMEM,
+    then the exact `_df_bank_hermite` chain of `_df_tail_kernel`."""
+    from .df import no_guard
+
+    with no_guard():
+        rows = rows_ref[:]  # (B, 6*bp)
+        hi = rows[:, : 4 * bp]
+        lo = _unpack_f48_lo(rows[:, 4 * bp :])
+        t = (th_ref[:], tl_ref[:])
+
+        def s(v, i):
+            return v[:, i * bp : (i + 1) * bp]
+
+        outh_ref[:], outl_ref[:] = _df_bank_hermite(
+            (s(hi, 0), s(lo, 0)), (s(hi, 1), s(lo, 1)),
+            (s(hi, 2), s(lo, 2)), (s(hi, 3), s(lo, 3)), t
+        )
+
+
+def banked_f48_tail(rows, th, tl, interpret=False):
+    """Streaming Mosaic f48 Hermite tail on gathered packed rows
+    ``(Q, 6*bp)`` (Q a multiple of 512).  Same contract as
+    :func:`banked_df_tail` with the bf16-lo packed table."""
+    nq, ch = rows.shape
+    bp = ch // 6
+    bq = 512  # same VMEM ceiling as banked_df_tail
+    assert nq % bq == 0, "pad idx/t to a 512 multiple before the gather"
+    nb = nq // bq
+    outh, outl = pl.pallas_call(
+        functools.partial(_f48_bank_tail_kernel, bp=bp),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rows, th.reshape(nq, 1), tl.reshape(nq, 1))
+    return outh, outl
+
+
+def gathered_bank_eval_f48_packed(
+    x_hi, x_lo, packed, bank, q_hi, q_lo, interpret=False
+):
+    """The f48-tier banked gather route: identical to
+    :func:`gathered_bank_eval_df_packed` (DF (idx, t) kernel → ONE
+    packed row gather → Mosaic tail) but from a
+    :func:`pack_bank_rows_f48` table — 6bp channels per row instead of
+    8bp.  Returns (hi, lo) of shape ``(nq, bank)``; accuracy ~2^-33
+    scale-relative, memory and gather traffic 75% of DF."""
+    from .pallas_eval import _plan
+
+    nq = q_hi.shape[0]
+    npad = -(-nq // 512) * 512 - nq
+    if npad:
+        q_hi = jnp.pad(q_hi, (0, npad))
+        q_lo = jnp.pad(q_lo, (0, npad))
+    if _plan(x_hi.shape[0]) is not None:
+        idx, th, tl = jax.lax.platform_dependent(
+            q_hi, q_lo,
+            tpu=lambda a, b: fused_index_frac_df(
+                x_hi, x_lo, a, b, interpret=interpret
+            ),
+            default=lambda a, b: _df_index_frac_xla(x_hi, x_lo, a, b),
+        )
+    else:
+        idx, th, tl = _df_index_frac_xla(x_hi, x_lo, q_hi, q_lo)
+    rows = jnp.take(packed, idx, axis=0)
+    bp = packed.shape[1] // 6
+
+    def mosaic(rows, th, tl):
+        hi, lo = banked_f48_tail(rows, th, tl, interpret=interpret)
+        return hi[:, :bank], lo[:, :bank]
+
+    def xla(rw, th, tl):
+        full = jnp.concatenate(
+            [rw[:, : 4 * bp], _unpack_f48_lo(rw[:, 4 * bp :])], axis=1
+        )
+        hi, lo = _df_xla_tail(full, th, tl, bank)
+        return hi, lo
+
+    hi, lo = jax.lax.platform_dependent(
+        rows, th, tl, tpu=mosaic, default=xla
+    )
+    return hi[:nq], lo[:nq]
+
+
 # -- DF bilinear gather route (config-3 f64-grade story) ----------------------
 
 
@@ -730,13 +856,21 @@ def pack_bilinear_rows_df(z_hi, z_lo):
     )
 
 
+def _df_bilinear_core(z11, z12, z21, z22, tx, ty):
+    """The DF bilinear chain on corner (hi, lo) pairs — shared by the
+    Mosaic tail kernels and the guarded-XLA fallback.  Lerp-with-t
+    form: z1 + t*(z2 - z1), equivalent to the reference calc_frac to
+    DF rounding."""
+    zq1 = df_add(z11, df_mul(tx, df_sub(z21, z11)))
+    zq2 = df_add(z12, df_mul(tx, df_sub(z22, z12)))
+    return df_add(zq1, df_mul(ty, df_sub(zq2, zq1)))
+
+
 def _df_bilinear_tail_kernel(
     rows_ref, txh_ref, txl_ref, tyh_ref, tyl_ref, outh_ref, outl_ref, *, bp
 ):
     """DF bilinear on gathered corner rows, fully inside Mosaic (EFTs
-    preserved, no barrier-pinned HBM round trips — see _df_tail_kernel).
-    Lerp-with-t form: z1 + t*(z2 - z1), equivalent to the reference
-    calc_frac to DF rounding."""
+    preserved, no barrier-pinned HBM round trips — see _df_tail_kernel)."""
     from .df import no_guard
 
     with no_guard():
@@ -747,13 +881,10 @@ def _df_bilinear_tail_kernel(
         def sl(i):
             return rows[:, i * bp : (i + 1) * bp]
 
-        z11 = (sl(0), sl(4))
-        z12 = (sl(1), sl(5))
-        z21 = (sl(2), sl(6))
-        z22 = (sl(3), sl(7))
-        zq1 = df_add(z11, df_mul(tx, df_sub(z21, z11)))
-        zq2 = df_add(z12, df_mul(tx, df_sub(z22, z12)))
-        out = df_add(zq1, df_mul(ty, df_sub(zq2, zq1)))
+        out = _df_bilinear_core(
+            (sl(0), sl(4)), (sl(1), sl(5)), (sl(2), sl(6)), (sl(3), sl(7)),
+            tx, ty,
+        )
         outh_ref[:] = out[0]
         outl_ref[:] = out[1]
 
@@ -800,16 +931,129 @@ def _df_bilinear_xla_tail(rows, txh, txl, tyh, tyl, r):
     def sl(i):
         return rows[:, i * bp : i * bp + r]
 
-    z11 = (sl(0), sl(4))
-    z12 = (sl(1), sl(5))
-    z21 = (sl(2), sl(6))
-    z22 = (sl(3), sl(7))
-    tx = (txh[:, None], txl[:, None])
-    ty = (tyh[:, None], tyl[:, None])
-    zq1 = df_add(z11, df_mul(tx, df_sub(z21, z11)))
-    zq2 = df_add(z12, df_mul(tx, df_sub(z22, z12)))
-    out = df_add(zq1, df_mul(ty, df_sub(zq2, zq1)))
+    out = _df_bilinear_core(
+        (sl(0), sl(4)), (sl(1), sl(5)), (sl(2), sl(6)), (sl(3), sl(7)),
+        (txh[:, None], txl[:, None]), (tyh[:, None], tyl[:, None]),
+    )
     return out[0], out[1]
+
+
+def pack_bilinear_rows_f48(z_hi, z_lo):
+    """"f48" bilinear corner rows ``((nx-1)(ny-1), 6*bp)``: the 4 hi
+    corner blocks exactly as in :func:`pack_bilinear_rows_df`, plus
+    the 4 lo blocks ROUNDED TO bf16 and packed two-per-f32-lane (same
+    bit layout as the bank/bicubic tiers; ``_unpack_f48_lo`` inverts).
+    75% of the DF table's memory and gather traffic at ~2^-33
+    scale-relative accuracy."""
+    dfpk = pack_bilinear_rows_df(z_hi, z_lo)
+    bp = dfpk.shape[1] // 8
+    hi = dfpk[:, : 4 * bp]
+    lo16 = jax.lax.bitcast_convert_type(
+        dfpk[:, 4 * bp :].astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    half = 2 * bp
+    packed_lo = jax.lax.bitcast_convert_type(
+        (lo16[:, :half] << 16) | lo16[:, half:], jnp.float32
+    )
+    return jnp.concatenate([hi, packed_lo], axis=1)
+
+
+def _f48_bilinear_tail_kernel(
+    rows_ref, txh_ref, txl_ref, tyh_ref, tyl_ref, outh_ref, outl_ref, *, bp
+):
+    """f48 bilinear tail: unpack the bf16-pair lo section in VMEM,
+    then the exact `_df_bilinear_core` chain."""
+    from .df import no_guard
+
+    with no_guard():
+        rows = rows_ref[:]  # (B, 6*bp)
+        hi = rows[:, : 4 * bp]
+        lo = _unpack_f48_lo(rows[:, 4 * bp :])
+        tx = (txh_ref[:], txl_ref[:])
+        ty = (tyh_ref[:], tyl_ref[:])
+
+        def s(v, i):
+            return v[:, i * bp : (i + 1) * bp]
+
+        out = _df_bilinear_core(
+            (s(hi, 0), s(lo, 0)), (s(hi, 1), s(lo, 1)),
+            (s(hi, 2), s(lo, 2)), (s(hi, 3), s(lo, 3)), tx, ty,
+        )
+        outh_ref[:] = out[0]
+        outl_ref[:] = out[1]
+
+
+def bilinear_f48_tail(rows, txh, txl, tyh, tyl, interpret=False):
+    """Streaming Mosaic f48 bilinear tail; rows ``(Q, 6*bp)``, Q a
+    multiple of 512.  Same contract as :func:`bilinear_df_tail`."""
+    nq, ch = rows.shape
+    bp = ch // 6
+    bq = 512
+    assert nq % bq == 0
+    nb = nq // bq
+    specs_t = [
+        pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ] * 4
+    outh, outl = pl.pallas_call(
+        functools.partial(_f48_bilinear_tail_kernel, bp=bp),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        + specs_t,
+        out_specs=[
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        rows,
+        txh.reshape(nq, 1), txl.reshape(nq, 1),
+        tyh.reshape(nq, 1), tyl.reshape(nq, 1),
+    )
+    return outh, outl
+
+
+def gathered_bilinear_eval_f48_packed(
+    x_hi, x_lo, y_hi, y_lo, packed, ny, r, qx_hi, qx_lo, qy_hi, qy_lo,
+    interpret=False,
+):
+    """The f48-tier bilinear gather route from a PREPACKED
+    :func:`pack_bilinear_rows_f48` table — 6bp channels per row instead
+    of 8bp; otherwise identical to
+    :func:`gathered_bilinear_eval_df_packed`."""
+    nq = qx_hi.shape[0]
+    npad = -(-nq // 512) * 512 - nq
+    if npad:
+        qx_hi = jnp.pad(qx_hi, (0, npad))
+        qx_lo = jnp.pad(qx_lo, (0, npad))
+        qy_hi = jnp.pad(qy_hi, (0, npad))
+        qy_lo = jnp.pad(qy_lo, (0, npad))
+    xi, txh, txl, yi, tyh, tyl = _df_index_frac_2d(
+        x_hi, x_lo, y_hi, y_lo, qx_hi, qx_lo, qy_hi, qy_lo,
+        interpret=interpret,
+    )
+    rows = jnp.take(packed, xi * (ny - 1) + yi, axis=0)
+    bp = packed.shape[1] // 6
+
+    def mosaic(rows, a1, a2, a3, a4):
+        hi, lo = bilinear_f48_tail(rows, a1, a2, a3, a4, interpret=interpret)
+        return hi[:, :r], lo[:, :r]
+
+    def xla(rw, a1, a2, a3, a4):
+        full = jnp.concatenate(
+            [rw[:, : 4 * bp], _unpack_f48_lo(rw[:, 4 * bp :])], axis=1
+        )
+        return _df_bilinear_xla_tail(full, a1, a2, a3, a4, r)
+
+    hi, lo = jax.lax.platform_dependent(
+        rows, txh, txl, tyh, tyl, tpu=mosaic, default=xla
+    )
+    return hi[:nq], lo[:nq]
 
 
 def gathered_bilinear_eval_df(

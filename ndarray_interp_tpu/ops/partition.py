@@ -448,12 +448,24 @@ def _df_route_cp(core, n_reps, n_qs, rule, factors):
 
 
 @functools.lru_cache(maxsize=None)
-def sharded_df_banked_packed(bank: int, interpret: bool = False):
-    """Query-sharded DF banked gather route from a prepacked table."""
-    from .pallas_eval_df import gathered_bank_eval_df_packed
+def sharded_df_banked_packed(
+    bank: int, interpret: bool = False, tier: str = "df"
+):
+    """Query-sharded DF banked gather route from a prepacked table.
+    ``tier="f48"`` routes through the bf16-lo packed table
+    (``pallas_eval_df.gathered_bank_eval_f48_packed``) — identical
+    operand/sharding structure, 6bp-channel rows."""
+    from .pallas_eval_df import (
+        gathered_bank_eval_df_packed,
+        gathered_bank_eval_f48_packed,
+    )
 
+    route = {
+        "df": gathered_bank_eval_df_packed,
+        "f48": gathered_bank_eval_f48_packed,
+    }[tier]
     return _df_route_cp(
-        lambda xh, xl, packed, qh, ql: gathered_bank_eval_df_packed(
+        lambda xh, xl, packed, qh, ql: route(
             xh, xl, packed, bank, qh, ql, interpret=interpret
         ),
         n_reps=3,
@@ -464,13 +476,24 @@ def sharded_df_banked_packed(bank: int, interpret: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
-def sharded_df_bilinear_packed(ny: int, r: int, interpret: bool = False):
-    """Query-sharded DF bilinear gather route from a prepacked table."""
-    from .pallas_eval_df import gathered_bilinear_eval_df_packed
+def sharded_df_bilinear_packed(
+    ny: int, r: int, interpret: bool = False, tier: str = "df"
+):
+    """Query-sharded DF bilinear gather route from a prepacked table.
+    ``tier="f48"`` routes through the bf16-lo packed table — identical
+    operand/sharding structure, 6bp-channel rows."""
+    from .pallas_eval_df import (
+        gathered_bilinear_eval_df_packed,
+        gathered_bilinear_eval_f48_packed,
+    )
 
+    route = {
+        "df": gathered_bilinear_eval_df_packed,
+        "f48": gathered_bilinear_eval_f48_packed,
+    }[tier]
     return _df_route_cp(
         lambda xh, xl, yh, yl, packed, a, b, c, d:
-            gathered_bilinear_eval_df_packed(
+            route(
                 xh, xl, yh, yl, packed, ny, r, a, b, c, d,
                 interpret=interpret,
             ),

@@ -289,13 +289,23 @@ class DoubleFloatEvaluator(_BucketedEvaluator):
     raises :class:`~ndarray_interp_tpu.errors.OutOfBoundsError` on the
     host (eager check, like ``interp_array``); periodic mode wraps in
     f64 before splitting.
+
+    ``grade="f48"`` (banked route only) packs the row table's lo half
+    as bf16 pairs — 75% of the DF table's memory and gather traffic at
+    ~2^-33 scale-relative accuracy, the intermediate tier between the
+    f32 route (~2^-24) and full DF (~2^-48); same tier family as
+    :class:`DoubleFloatEvaluator2D` / :class:`DoubleFloatEvaluatorND`.
     """
 
-    def __init__(self, interp, max_batch: int = 1 << 20, buckets=None):
+    def __init__(
+        self, interp, max_batch: int = 1 << 20, buckets=None, grade="df"
+    ):
         import numpy as np
 
         from .ops.df import df_from_f64
 
+        if grade not in ("df", "f48"):
+            raise ValueError(f"grade must be 'df' or 'f48', got {grade!r}")
         super().__init__(interp, max_batch, buckets)
         strat = interp.strategy
         a = getattr(strat, "a", None)
@@ -334,6 +344,11 @@ class DoubleFloatEvaluator(_BucketedEvaluator):
         from .ops.pallas_eval import _plan
         from .ops.pallas_eval_df import eval_xla_df
 
+        if grade != "df" and not self._bank_shape:
+            raise ValueError(
+                "grade='f48' supports the banked (trailing-dims) route "
+                "only; the scalar kernel is always full double-float"
+            )
         if self._bank_shape:
             # banked gather route: DF (idx, t) kernel + ONE packed
             # (hi, lo) row gather + Mosaic/XLA DF tail.  The table is
@@ -341,11 +356,19 @@ class DoubleFloatEvaluator(_BucketedEvaluator):
             # per call would re-concatenate a table that can reach
             # hundreds of MB, and closure-capturing it ships it with
             # every (remote) compile (utils/hygiene.py).
-            from .ops.pallas_eval_df import pack_bank_rows_df
+            # grade="f48": bf16-lo packed rows — 75% of the DF table's
+            # memory/gather traffic at ~2^-33 accuracy (vs DF ~2^-48)
+            from .ops.pallas_eval_df import (
+                pack_bank_rows_df,
+                pack_bank_rows_f48,
+            )
             from .ops.partition import sharded_df_banked_packed
 
-            self._packed = jax.jit(pack_bank_rows_df)(*self._pairs[2:8])
-            route = sharded_df_banked_packed(bank)
+            pack = {"df": pack_bank_rows_df, "f48": pack_bank_rows_f48}[
+                grade
+            ]
+            self._packed = jax.jit(pack)(*self._pairs[2:8])
+            route = sharded_df_banked_packed(bank, tier=grade)
             self._run = jax.jit(
                 lambda xh, xl, packed, qh, ql: route(
                     xh, xl, packed, qh, ql
@@ -585,7 +608,8 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
                 route = sharded_df_bicubic_packed(r, tier=grade)
             elif grade != "df":
                 raise ValueError(
-                    "grade='f48' supports the bicubic cell layout only"
+                    "grade='f48' supports the bicubic cell layout and "
+                    "bilinear only"
                 )
             else:
                 from .ops.pallas_eval_df import pack_bicubic_nodes_df
@@ -600,11 +624,10 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
                 )
             )
             return
-        if grade != "df":
-            raise ValueError(
-                "grade='f48' supports the bicubic cell layout only"
-            )
-        from .ops.pallas_eval_df import pack_bilinear_rows_df
+        from .ops.pallas_eval_df import (
+            pack_bilinear_rows_df,
+            pack_bilinear_rows_f48,
+        )
 
         pairs = []
         for v in (x64, y64):
@@ -612,12 +635,15 @@ class DoubleFloatEvaluator2D(_BucketedEvaluator):
         self._pairs = pairs
         z_pair = df_from_f64(np.asarray(interp.data, np.float64))
         ny = y64.shape[0]
-        self._packed = jax.jit(pack_bilinear_rows_df)(*z_pair)
+        pack = {"df": pack_bilinear_rows_df, "f48": pack_bilinear_rows_f48}[
+            grade
+        ]
+        self._packed = jax.jit(pack)(*z_pair)
         self._run_extra = (*self._pairs, self._packed)
 
         from .ops.partition import sharded_df_bilinear_packed
 
-        route = sharded_df_bilinear_packed(ny, r)
+        route = sharded_df_bilinear_packed(ny, r, tier=grade)
 
         def run(xh, xl, yh, yl, packed, qxh, qxl, qyh, qyl):
             return route(xh, xl, yh, yl, packed, qxh, qxl, qyh, qyl)

@@ -1062,11 +1062,12 @@ class TestF48BicubicTier:
         scale = np.abs(want).max()
         assert np.abs(got - want).max() / scale < 1e-5
 
-    def test_serving_grade_kwarg(self):
+    def test_serving_grade_kwarg(self, monkeypatch):
         """DoubleFloatEvaluator2D(grade="f48") serves the tier; the
-        packed table is 75% of the DF table's channels; non-cell
-        layouts and bilinear reject the tier with a clear error."""
-        from ndarray_interp_tpu.interp2d import Interp2D
+        packed table is 75% of the DF table's channels; the bicubic
+        NODE layout rejects the tier with a clear error."""
+        from ndarray_interp_tpu import config
+        from ndarray_interp_tpu.interp2d import Bicubic, Interp2D
         from ndarray_interp_tpu.serving import DoubleFloatEvaluator2D
 
         itp, rng = self._grid(trailing=(2,))
@@ -1081,13 +1082,239 @@ class TestF48BicubicTier:
         want = np.asarray(itp.interp_array(qx, qy))
         scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
         assert (np.abs(got - want) / scale).max() < 1e-8
-        with pytest.raises(ValueError, match="cell layout only"):
-            DoubleFloatEvaluator2D(
-                Interp2D.builder(jnp.asarray(np.ones((4, 4)))).build(),
+        # node layout (forced by a tiny pack cap) has no f48 table
+        monkeypatch.setattr(config, "bicubic_pack_max_elems", 1)
+        node_itp = (
+            Interp2D.builder(jnp.asarray(np.ones((8, 8))))
+            .strategy(Bicubic())
+            .build()
+        )
+        assert node_itp.strategy.layout == "node"
+        with pytest.raises(ValueError, match="cell layout and bilinear"):
+            DoubleFloatEvaluator2D(node_itp, grade="f48")
+        with pytest.raises(ValueError, match="grade must be"):
+            DoubleFloatEvaluator2D(itp, grade="f24")
+
+    def test_bilinear_f48_route_and_serving(self):
+        """The bilinear f48 tier (round 4 completion: every packed DF
+        gather surface carries the tier): route grade vs the f64
+        bilinear oracle, serving kwarg, and the 6/8-channel table."""
+        from ndarray_interp_tpu.interp2d import Interp2D
+        from ndarray_interp_tpu.serving import DoubleFloatEvaluator2D
+
+        rng = np.random.default_rng(41)
+        nx, ny, tr = 24, 18, 2
+        x = jnp.asarray(np.cumsum(rng.uniform(0.2, 1.0, nx)))
+        y = jnp.asarray(np.cumsum(rng.uniform(0.2, 1.0, ny)))
+        z = jnp.asarray(rng.normal(size=(nx, ny, tr)))
+        itp = Interp2D.builder(z).x(x).y(y).build()
+        ev48 = DoubleFloatEvaluator2D(itp, max_batch=512, grade="f48")
+        evdf = DoubleFloatEvaluator2D(itp, max_batch=512)
+        assert ev48._packed.shape[1] * 4 == evdf._packed.shape[1] * 3
+        qx = rng.uniform(float(x[0]), float(x[-1]), 300)
+        qy = rng.uniform(float(y[0]), float(y[-1]), 300)
+        got = ev48(qx, qy)
+        want = np.asarray(itp.interp_array(qx, qy))
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
+        assert (np.abs(got - want) / scale).max() < 1e-8
+
+    def test_bilinear_f48_tail_interpret_plumbing(self):
+        """The Mosaic f48 bilinear tail's in-kernel unpack indexes the
+        right corner blocks (interpret-mode values f32-grade)."""
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            _df_bilinear_xla_tail,
+            _unpack_f48_lo,
+            bilinear_f48_tail,
+            pack_bilinear_rows_f48,
+        )
+
+        rng = np.random.default_rng(43)
+        nx, ny, r = 16, 12, 3
+        z64 = rng.normal(size=(nx, ny, r))
+        packed = pack_bilinear_rows_f48(
+            *(jnp.asarray(v) for v in df_from_f64(z64))
+        )
+        idx = jnp.asarray(rng.integers(0, (nx - 1) * (ny - 1), 512), jnp.int32)
+        rows = jnp.take(packed, idx, axis=0)
+        bp = packed.shape[1] // 6
+        t = []
+        for _ in range(2):
+            t.extend(
+                jnp.asarray(v) for v in df_from_f64(rng.uniform(0, 1, 512))
+            )
+        hi, lo = bilinear_f48_tail(rows, *t, interpret=True)
+        full = jnp.concatenate(
+            [rows[:, : 4 * bp], _unpack_f48_lo(rows[:, 4 * bp :])], axis=1
+        )
+        whi, wlo = _df_bilinear_xla_tail(full, *t, r)
+        got = np.asarray(hi[:, :r], np.float64) + np.asarray(
+            lo[:, :r], np.float64
+        )
+        want = df_to_f64(whi, wlo)
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(z64).max())
+        assert (np.abs(got - want) / scale).max() < 1e-5
+
+
+class TestF48BankTier:
+    """Round 4: the bf16-lo "f48" tier extended to the banked 1-D
+    route (NS2-series) — the last DF eval surface without it.  Same
+    bit layout as the bicubic tier: lo blocks bf16-rounded and packed
+    two-per-f32-lane, 6bp-channel rows = 75% of the DF table."""
+
+    def _fixture(self, n=512, bank=16, nq=2048, seed=12):
+        rng = np.random.default_rng(seed)
+        x64 = np.cumsum(rng.uniform(0.05, 1.0, n))
+        d64 = rng.normal(size=(n, bank))
+        a64 = rng.normal(size=(n - 1, bank))
+        b64 = rng.normal(size=(n - 1, bank))
+        q64 = np.r_[
+            rng.uniform(x64[0] - 1, x64[-1] + 1, nq - 4),
+            [x64[0], x64[-1], x64[7], x64[n // 2]],
+        ]
+        return x64, d64, a64, b64, q64
+
+    def test_pack_unpack_roundtrip_exact(self):
+        """Unpacking returns EXACTLY bf16(lo) widened to f32, the hi
+        half matches the DF pack, and channels are 6/8 of DF's."""
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            _unpack_f48_lo,
+            pack_bank_rows_df,
+            pack_bank_rows_f48,
+        )
+
+        rng = np.random.default_rng(5)
+        n, bank = 41, 13  # bank < bp: exercises the pad path
+        bp = 16
+        pairs = []
+        for shape in [(n, bank), (n - 1, bank), (n - 1, bank)]:
+            v64 = rng.normal(size=shape)
+            pairs.extend(jnp.asarray(w) for w in df_from_f64(v64))
+        pk = pack_bank_rows_f48(*pairs)
+        dfpk = pack_bank_rows_df(*pairs)
+        assert pk.shape == (n - 1, 6 * bp)
+        assert dfpk.shape == (n - 1, 8 * bp)
+        np.testing.assert_array_equal(
+            np.asarray(pk[:, : 4 * bp]), np.asarray(dfpk[:, : 4 * bp])
+        )
+        got_lo = np.asarray(_unpack_f48_lo(pk[:, 4 * bp :]))
+        want_lo = np.asarray(
+            dfpk[:, 4 * bp :].astype(jnp.bfloat16).astype(jnp.float32)
+        )
+        np.testing.assert_array_equal(got_lo, want_lo)
+
+    def test_route_grade_on_cpu(self):
+        """Full f48 route (guarded-XLA branch) vs the exact DF banked
+        form: bf16-rounding the lo half costs ~2^-33 scale-relative
+        (measured ~1e-10); gate with headroom at 1e-8."""
+        import jax
+
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            eval_xla_df_banked,
+            gathered_bank_eval_f48_packed,
+            pack_bank_rows_f48,
+        )
+
+        x64, d64, a64, b64, q64 = self._fixture()
+        bank = d64.shape[1]
+        dfd, dfa, dfb = (
+            df_from_f64(d64), df_from_f64(a64), df_from_f64(b64)
+        )
+        packed = pack_bank_rows_f48(
+            *(jnp.asarray(v) for v in (*dfd, *dfa, *dfb))
+        )
+        xp = [jnp.asarray(v) for v in df_from_f64(x64)]
+        qp = [jnp.asarray(v) for v in df_from_f64(q64)]
+        hi, lo = jax.jit(
+            lambda xh, xl, pk, qh, ql: gathered_bank_eval_f48_packed(
+                xh, xl, pk, bank, qh, ql
+            )
+        )(*xp, packed, *qp)
+        got = df_to_f64(hi, lo)
+        whi, wlo = eval_xla_df_banked(
+            *xp,
+            *(jnp.asarray(v) for v in dfd),
+            *(jnp.asarray(v) for v in dfa),
+            *(jnp.asarray(v) for v in dfb),
+            *qp,
+        )
+        want = df_to_f64(whi, wlo)
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(d64).max())
+        assert (np.abs(got - want) / scale).max() < 1e-8
+
+    def test_tail_interpret_plumbing(self):
+        """The Mosaic f48 bank tail's in-kernel unpack indexes the
+        right blocks — interpret-mode values are f32-grade (EFTs
+        rewritten) but any block or bit-shift mix-up would be O(1)
+        wrong."""
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            _df_xla_tail,
+            _unpack_f48_lo,
+            banked_f48_tail,
+            pack_bank_rows_f48,
+        )
+
+        x64, d64, a64, b64, _ = self._fixture(nq=1024)
+        packed = pack_bank_rows_f48(
+            *(
+                jnp.asarray(v)
+                for v in (
+                    *df_from_f64(d64), *df_from_f64(a64), *df_from_f64(b64)
+                )
+            )
+        )
+        rng = np.random.default_rng(3)
+        idx = jnp.asarray(rng.integers(0, len(x64) - 1, 1024), jnp.int32)
+        th, tl = (
+            jnp.asarray(v)
+            for v in df_from_f64(rng.uniform(-0.5, 1.5, 1024))
+        )
+        rows = jnp.take(packed, idx, axis=0)
+        bank = d64.shape[1]
+        bp = packed.shape[1] // 6
+        hi, lo = banked_f48_tail(rows, th, tl, interpret=True)
+        full = jnp.concatenate(
+            [rows[:, : 4 * bp], _unpack_f48_lo(rows[:, 4 * bp :])], axis=1
+        )
+        whi, wlo = _df_xla_tail(full, th, tl, bank)
+        got = np.asarray(hi[:, :bank], np.float64) + np.asarray(
+            lo[:, :bank], np.float64
+        )
+        want = df_to_f64(whi, wlo)
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(d64).max())
+        assert (np.abs(got - want) / scale).max() < 1e-5
+
+    def test_serving_grade_kwarg(self):
+        """DoubleFloatEvaluator(grade="f48") serves the tier on banked
+        interpolators; the packed table is 75% of the DF table's
+        channels; the scalar route and bad grades reject clearly."""
+        from ndarray_interp_tpu.interp1d import CubicSpline, Interp1D
+        from ndarray_interp_tpu.serving import DoubleFloatEvaluator
+
+        rng = np.random.default_rng(23)
+        n, bank = 96, 5
+        x = jnp.asarray(np.cumsum(rng.uniform(0.1, 1.0, n)))
+        data = jnp.asarray(rng.normal(size=(n, bank)))
+        itp = (
+            Interp1D.builder(data)
+            .x(x)
+            .strategy(CubicSpline().extrapolate(True))
+            .build()
+        )
+        ev48 = DoubleFloatEvaluator(itp, max_batch=512, grade="f48")
+        evdf = DoubleFloatEvaluator(itp, max_batch=512)
+        assert ev48._packed.shape[1] * 4 == evdf._packed.shape[1] * 3
+        q = rng.uniform(float(x[0]) - 1, float(x[-1]) + 1, 300)
+        got = ev48(q)
+        want = np.asarray(itp.interp_array(q))
+        scale = np.maximum(np.abs(want), 0.01 * np.abs(want).max())
+        assert (np.abs(got - want) / scale).max() < 1e-8
+        with pytest.raises(ValueError, match="banked"):
+            DoubleFloatEvaluator(
+                Interp1D.builder(jnp.asarray(np.ones(8))).build(),
                 grade="f48",
             )
         with pytest.raises(ValueError, match="grade must be"):
-            DoubleFloatEvaluator2D(itp, grade="f24")
+            DoubleFloatEvaluator(itp, grade="f24")
 
 
 def test_df_lower_index_blocked_matches_direct():

@@ -435,6 +435,17 @@ def test_df_gather_routes_under_mesh(mesh):
     np.testing.assert_allclose(
         df_to_f64(hi, lo), df_to_f64(whi, wlo), rtol=1e-5, atol=1e-5
     )
+    # the banked f48 tier shares the rule's operand structure (6bp rows)
+    from ndarray_interp_tpu.ops.pallas_eval_df import pack_bank_rows_f48
+
+    packed48 = pack_bank_rows_f48(*pairs[2:8])
+    hi48, lo48 = jax.jit(sharded_df_banked_packed(bank, True, tier="f48"))(
+        pairs[0], pairs[1], packed48, qh_s, ql_s
+    )
+    assert hi48.sharding.spec[0] == "query", hi48.sharding
+    np.testing.assert_allclose(
+        df_to_f64(hi48, lo48), df_to_f64(whi, wlo), rtol=1e-5, atol=1e-5
+    )
 
     # bilinear
     nx, ny = 48, 40
@@ -459,6 +470,18 @@ def test_df_gather_routes_under_mesh(mesh):
     )
     np.testing.assert_allclose(
         df_to_f64(hi2, lo2).ravel(), df_to_f64(w2h, w2l).ravel(),
+        rtol=1e-5, atol=1e-5,
+    )
+    # the bilinear f48 tier shares the rule's operand structure
+    from ndarray_interp_tpu.ops.pallas_eval_df import pack_bilinear_rows_f48
+
+    packed2f = pack_bilinear_rows_f48(p2[4], p2[5])
+    h2f, l2f = jax.jit(sharded_df_bilinear_packed(ny, 1, True, tier="f48"))(
+        p2[0], p2[1], p2[2], p2[3], packed2f, *qxp, *qyp
+    )
+    assert h2f.sharding.spec[0] == "query", h2f.sharding
+    np.testing.assert_allclose(
+        df_to_f64(h2f, l2f).ravel(), df_to_f64(w2h, w2l).ravel(),
         rtol=1e-5, atol=1e-5,
     )
 

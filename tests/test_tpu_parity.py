@@ -714,6 +714,88 @@ def test_f48_bicubic_tail_grade_on_chip():
     assert rel < 3e-9, rel
 
 
+def test_f48_bank_tail_grade_on_chip():
+    """Round 4: the banked 1-D f48 tier's Mosaic tail (in-kernel bf16
+    unpack + the DF Hermite chain) lands at its design grade on chip —
+    ~2^-33 scale-relative, clearly past both the f32 route (~2^-24)
+    and an hi-only table (~2^-25), at 75% of the DF table's memory and
+    gather traffic.  Completes the tier family: every DF eval surface
+    (bank / bicubic / ND) now has a measured f48 variant."""
+    from ndarray_interp_tpu.ops.df import df_from_f64
+    from ndarray_interp_tpu.ops.pallas_eval_df import (
+        banked_f48_tail,
+        pack_bank_rows_f48,
+    )
+
+    rng = np.random.default_rng(13)
+    n, bank, B = 129, 16, 512
+    d64 = rng.normal(size=(n, bank))
+    a64 = rng.normal(size=(n - 1, bank))
+    b64 = rng.normal(size=(n - 1, bank))
+    packed = pack_bank_rows_f48(
+        *(
+            jnp.asarray(v)
+            for v in (*df_from_f64(d64), *df_from_f64(a64), *df_from_f64(b64))
+        )
+    )
+    idx64 = rng.integers(0, n - 1, B)
+    t64 = rng.uniform(-0.5, 1.5, B)
+    rows = jnp.take(packed, jnp.asarray(idx64, jnp.int32), axis=0)
+    th, tl = (jnp.asarray(v) for v in df_from_f64(t64))
+    hi, lo = jax.jit(banked_f48_tail)(rows, th, tl)
+    got = (
+        np.asarray(hi[:, :bank], np.float64)
+        + np.asarray(lo[:, :bank], np.float64)
+    )
+    t = t64[:, None]
+    want = (
+        (1 - t) * d64[idx64]
+        + t * d64[idx64 + 1]
+        + t * (1 - t) * (a64[idx64] * (1 - t) + b64[idx64] * t)
+    )
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 3e-9, rel
+
+
+def test_f48_bilinear_tail_grade_on_chip():
+    """Round 4: the bilinear f48 tier's Mosaic tail lands at its
+    design grade on chip (~2^-33 scale-relative; gate 3e-9 like the
+    bank/bicubic tiers)."""
+    from ndarray_interp_tpu.ops.df import df_from_f64
+    from ndarray_interp_tpu.ops.pallas_eval_df import (
+        bilinear_f48_tail,
+        pack_bilinear_rows_f48,
+    )
+
+    rng = np.random.default_rng(19)
+    nx, ny, r, B = 48, 40, 16, 512
+    z64 = rng.normal(size=(nx, ny, r))
+    packed = pack_bilinear_rows_f48(
+        *(jnp.asarray(v) for v in df_from_f64(z64))
+    )
+    cells = (nx - 1) * (ny - 1)
+    idx64 = rng.integers(0, cells, B)
+    tx64 = rng.uniform(0, 1, B)
+    ty64 = rng.uniform(0, 1, B)
+    rows = jnp.take(packed, jnp.asarray(idx64, jnp.int32), axis=0)
+    t = []
+    for v in (tx64, ty64):
+        t.extend(jnp.asarray(w) for w in df_from_f64(v))
+    hi, lo = jax.jit(bilinear_f48_tail)(rows, *t)
+    got = (
+        np.asarray(hi[:, :r], np.float64) + np.asarray(lo[:, :r], np.float64)
+    )
+    xi, yi = idx64 // (ny - 1), idx64 % (ny - 1)
+    z11, z12 = z64[xi, yi], z64[xi, yi + 1]
+    z21, z22 = z64[xi + 1, yi], z64[xi + 1, yi + 1]
+    tx, ty = tx64[:, None], ty64[:, None]
+    zq1 = z11 + tx * (z21 - z11)
+    zq2 = z12 + tx * (z22 - z12)
+    want = zq1 + ty * (zq2 - zq1)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 3e-9, rel
+
+
 def test_df_nd_route_f64_grade_on_chip():
     """Round 4: the DF InterpND gather route (k=3 tensor-product cubic:
     per-axis DF (idx, t) + ONE packed cell-row gather + the k-fold
