@@ -209,13 +209,20 @@ def main():
     queries = rng.uniform(0.0, 100.0, n_q)
 
     # --- CPU baseline: SciPy CubicSpline evaluation -----------------------
+    # The oracle runs on a 1-vCPU host whose wall clock wobbles +-10% with
+    # background load; a single-shot measurement made vs_baseline swing
+    # 107 -> 119 within one round (VERDICT r4 weak #2).  Take the median of
+    # >=3 independent measurements and record every run in ``extra``.
     import scipy.interpolate as si
 
     cs = si.CubicSpline(knots, values, bc_type="not-a-knot")
-    t_scipy = measure(
-        lambda q: cs(q).sum(), queries, reps=2 if cheap else 5, warmup=1
-    )
-    scipy_qps = n_q / t_scipy
+    scipy_runs = [
+        n_q / measure(
+            lambda q: cs(q).sum(), queries, reps=2 if cheap else 5, warmup=1
+        )
+        for _ in range(3)
+    ]
+    scipy_qps = float(np.median(scipy_runs))
 
     # --- TPU (or default-backend) measurement -----------------------------
     import jax
@@ -331,6 +338,7 @@ def main():
             "device": str(jax.devices()[0]),
             "eval_ms_1M": round(t_ours * 1e3, 3),
             "scipy_cpu_qps": round(scipy_qps, 1),
+            "scipy_cpu_qps_runs": [round(r, 1) for r in scipy_runs],
             "build_ms_10k_knot_x64_bank": round(t_build * 1e3, 3),
             "eval_ms_10k_knot_x64_bank_per_1M_q": round(
                 t_bank * 1e3 * (1_000_000 / nq10), 3

@@ -38,7 +38,6 @@ def main():
     dtype = jnp.float32
 
     # ---- NS3f: bicubic f48 on the NS3 grid --------------------------------
-    from ndarray_interp_tpu.models.interp2d import Interp2D as _I2
     from ndarray_interp_tpu.models.strategies.bicubic import Bicubic
 
     g_shape = (512, 512, 16)

@@ -43,6 +43,15 @@ jit_const_cap_bytes: int = int(
     os.environ.get("NDI_JIT_CONST_CAP_BYTES", 8 * 1024 * 1024)
 )
 
+#: Trace-time closure-capture guard at the raw route entry points
+#: (``gathered_*`` / packed DF/f48/ND routes): calling a route under
+#: jit/vmap/grad with a CONCRETE table bigger than
+#: :data:`jit_const_cap_bytes` raises immediately instead of embedding
+#: the table in the program (``utils/hygiene.py:check_route_tables``).
+#: On by default — the check is trace-time-only and free at runtime;
+#: set ``NDI_ROUTE_HYGIENE=0`` to disable.
+route_hygiene: bool = os.environ.get("NDI_ROUTE_HYGIENE", "1") != "0"
+
 #: Largest knot count for the dense-operator spline build on TPU.  For a
 #: shared knot axis and a uniform boundary family the whole build map
 #: ``data → (a, b)`` (assembly + tridiagonal solve + coefficient pass) is

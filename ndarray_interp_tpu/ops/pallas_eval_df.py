@@ -65,6 +65,7 @@ from .df import (
     two_sum,
 )
 from .pallas_eval import _dot3, _pack_windows, _plan, _split3
+from ..utils.hygiene import check_route_tables
 
 
 def _select(win, oh_l, w):
@@ -609,6 +610,9 @@ def gathered_bank_eval_df_packed(
     packs once at evaluator build — re-packing a multi-hundred-MB table
     per call, or closure-capturing it into a jitted lambda, repeats the
     copy and ships it with every remote compile)."""
+    check_route_tables(
+        "gathered_bank_eval_df_packed", [("packed", packed)], (q_hi, q_lo)
+    )
     from .pallas_eval import _plan
 
     nq = q_hi.shape[0]
@@ -792,6 +796,9 @@ def gathered_bank_eval_f48_packed(
     :func:`pack_bank_rows_f48` table — 6bp channels per row instead of
     8bp.  Returns (hi, lo) of shape ``(nq, bank)``; accuracy ~2^-33
     scale-relative, memory and gather traffic 75% of DF."""
+    check_route_tables(
+        "gathered_bank_eval_f48_packed", [("packed", packed)], (q_hi, q_lo)
+    )
     from .pallas_eval import _plan
 
     nq = q_hi.shape[0]
@@ -832,6 +839,22 @@ def gathered_bank_eval_f48_packed(
 # -- DF bilinear gather route (config-3 f64-grade story) ----------------------
 
 
+def _bilinear_corner_blocks(g, bp):
+    """Corner blocks ``(nx-1, ny-1, 4*bp)`` of ``g``: ``[z11|z12|z21|z22]``
+    with trailing dims flattened and channel-padded to ``bp``."""
+    nx, ny = g.shape[0], g.shape[1]
+    r = 1
+    for s in g.shape[2:]:
+        r *= s
+    g = g.reshape(nx, ny, r)
+    quad = jnp.stack(
+        [g[:-1, :-1], g[:-1, 1:], g[1:, :-1], g[1:, 1:]], axis=2
+    )  # (nx-1, ny-1, 4, r)
+    if bp != r:
+        quad = jnp.pad(quad, ((0, 0),) * 3 + ((0, bp - r),))
+    return quad.reshape(nx - 1, ny - 1, 4 * bp)
+
+
 def pack_bilinear_rows_df(z_hi, z_lo):
     """DF per-cell corner rows ``((nx-1)(ny-1), 8*bp)``: the 4 corner
     blocks hi then lo, trailing dims flattened and padded to bp
@@ -841,19 +864,10 @@ def pack_bilinear_rows_df(z_hi, z_lo):
     for s in z_hi.shape[2:]:
         r *= s
     bp = -(-r // 8) * 8
-
-    def corners(g):
-        g = g.reshape(nx, ny, r)
-        quad = jnp.stack(
-            [g[:-1, :-1], g[:-1, 1:], g[1:, :-1], g[1:, 1:]], axis=2
-        )  # (nx-1, ny-1, 4, r)
-        if bp != r:
-            quad = jnp.pad(quad, ((0, 0),) * 3 + ((0, bp - r),))
-        return quad.reshape(nx - 1, ny - 1, 4 * bp)
-
-    return jnp.concatenate([corners(z_hi), corners(z_lo)], axis=-1).reshape(
-        (nx - 1) * (ny - 1), 8 * bp
-    )
+    return jnp.concatenate(
+        [_bilinear_corner_blocks(z_hi, bp), _bilinear_corner_blocks(z_lo, bp)],
+        axis=-1,
+    ).reshape((nx - 1) * (ny - 1), 8 * bp)
 
 
 def _df_bilinear_core(z11, z12, z21, z22, tx, ty):
@@ -944,12 +958,22 @@ def pack_bilinear_rows_f48(z_hi, z_lo):
     the 4 lo blocks ROUNDED TO bf16 and packed two-per-f32-lane (same
     bit layout as the bank/bicubic tiers; ``_unpack_f48_lo`` inverts).
     75% of the DF table's memory and gather traffic at ~2^-33
-    scale-relative accuracy."""
-    dfpk = pack_bilinear_rows_df(z_hi, z_lo)
-    bp = dfpk.shape[1] // 8
-    hi = dfpk[:, : 4 * bp]
+    scale-relative accuracy.  Packs directly from the (hi, lo) corners —
+    no transient 8bp DF table is materialized (tables can reach
+    hundreds of MB; the DF intermediate would be a ~1.33x build-time
+    memory peak)."""
+    nx, ny = z_hi.shape[0], z_hi.shape[1]
+    r = 1
+    for s in z_hi.shape[2:]:
+        r *= s
+    bp = -(-r // 8) * 8
+    ncell = (nx - 1) * (ny - 1)
+    hi = _bilinear_corner_blocks(z_hi, bp).reshape(ncell, 4 * bp)
     lo16 = jax.lax.bitcast_convert_type(
-        dfpk[:, 4 * bp :].astype(jnp.bfloat16), jnp.uint16
+        _bilinear_corner_blocks(z_lo, bp)
+        .reshape(ncell, 4 * bp)
+        .astype(jnp.bfloat16),
+        jnp.uint16,
     ).astype(jnp.uint32)
     half = 2 * bp
     packed_lo = jax.lax.bitcast_convert_type(
@@ -1026,6 +1050,10 @@ def gathered_bilinear_eval_f48_packed(
     :func:`pack_bilinear_rows_f48` table — 6bp channels per row instead
     of 8bp; otherwise identical to
     :func:`gathered_bilinear_eval_df_packed`."""
+    check_route_tables(
+        "gathered_bilinear_eval_f48_packed", [("packed", packed)],
+        (qx_hi, qx_lo, qy_hi, qy_lo),
+    )
     nq = qx_hi.shape[0]
     npad = -(-nq // 512) * 512 - nq
     if npad:
@@ -1085,6 +1113,10 @@ def gathered_bilinear_eval_df_packed(
 ):
     """The bilinear DF gather route from a PREPACKED corner table (see
     gathered_bank_eval_df_packed).  Returns flat (nq, r) pairs."""
+    check_route_tables(
+        "gathered_bilinear_eval_df_packed", [("packed", packed)],
+        (qx_hi, qx_lo, qy_hi, qy_lo),
+    )
     nq = qx_hi.shape[0]
     npad = -(-nq // 512) * 512 - nq
     if npad:
@@ -1486,10 +1518,12 @@ def pack_bicubic_rows_f48(rows_hi, rows_lo, r):
 
 
 def _unpack_f48_lo(packed_lo):
-    """Unpack the bf16-pair lo section back to 16 f32 blocks: high 16
-    bits → blocks 0..7, low 16 bits (shifted up) → blocks 8..15.  Both
-    halves are 8bp lanes (128-aligned at r=16), so the concat is a
-    lane-aligned block join in Mosaic."""
+    """Unpack a bf16-pair lo section back to twice as many f32 lanes:
+    high 16 bits → the first half of the output blocks, low 16 bits
+    (shifted up) → the second half.  Shared by the bank / bilinear /
+    bicubic / ND f48 tiers — each half is half the packed section's
+    lanes (2bp for bank/bilinear, 8bp for bicubic at r=16, where it is
+    also 128-aligned), so the concat is a block join in Mosaic."""
     u = jax.lax.bitcast_convert_type(packed_lo, jnp.uint32)
     first = jax.lax.bitcast_convert_type(
         u & jnp.uint32(0xFFFF0000), jnp.float32
@@ -1560,6 +1594,10 @@ def gathered_bicubic_eval_f48_packed(
     — 24bp channels per row instead of 32bp.  Returns an (hi, lo) pair
     like the DF route; accuracy ~2^-33 scale-relative (the lo half is
     bf16-rounded), memory and gather traffic 75% of DF."""
+    check_route_tables(
+        "gathered_bicubic_eval_f48_packed", [("packed", packed)],
+        (qx_hi, qx_lo, qy_hi, qy_lo),
+    )
     ny1 = y_hi.shape[0] - 1
     nq = qx_hi.shape[0]
     npad = -(-nq // 512) * 512 - nq
@@ -1630,6 +1668,10 @@ def gathered_bicubic_eval_df_packed(
     pre-round-3 ship), or "weight" (the per-block sequential form,
     94.7 ms — kept with tests as the record of why full-lane
     arithmetic matters)."""
+    check_route_tables(
+        "gathered_bicubic_eval_df_packed", [("packed", packed)],
+        (qx_hi, qx_lo, qy_hi, qy_lo),
+    )
     ny1 = y_hi.shape[0] - 1
     nq = qx_hi.shape[0]
     npad = -(-nq // 512) * 512 - nq
@@ -1828,6 +1870,10 @@ def gathered_bicubic_nodes_eval_df(
     Semantics anchor: the 2-D eval contract of
     ``interp2d/mod.rs:175-196``; accuracy matches the cell route
     (``tests/test_df.py::TestDFBicubicNodeRoute``)."""
+    check_route_tables(
+        "gathered_bicubic_nodes_eval_df", [("packed", packed)],
+        (qx_hi, qx_lo, qy_hi, qy_lo),
+    )
     ny = y_hi.shape[0]
     nq = qx_hi.shape[0]
     npad = -(-nq // bq) * bq - nq

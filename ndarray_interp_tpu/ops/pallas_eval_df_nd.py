@@ -340,6 +340,11 @@ def gathered_nd_eval_df_packed(
         ]
         packed = ops[2 * k]
         q_flat = ops[2 * k + 1 :]
+        from ..utils.hygiene import check_route_tables
+
+        check_route_tables(
+            "gathered_nd_eval_df_packed route", [("packed", packed)], q_flat
+        )
         nq = q_flat[0].shape[0]
         npad = -(-nq // 512) * 512 - nq
         if npad:

@@ -186,12 +186,23 @@ def _bilinear_gathered_impl(rows_tbl, cell, qx, qy, r, interpret=False):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _bilinear_gathered_vjp(rows_tbl, cell, qx, qy, r):
+    return _bilinear_gathered_impl(rows_tbl, cell, qx, qy, r)
+
+
 def bilinear_gathered_eval(rows_tbl, cell, qx, qy, r):
     """Bilinear gather route: one packed corner-row gather + streaming
     lerp tail (reference semantics ``bilinear.rs:64-98``).  rows_tbl:
     ((nx-1)*(ny-1), >=4r+4); cell/qx/qy flat.  Backward = VJP of the
-    XLA formulation."""
-    return _bilinear_gathered_impl(rows_tbl, cell, qx, qy, r)
+    XLA formulation.  Hygiene check in this wrapper, outside the
+    custom_vjp (which lifts all args to tracers — see
+    ``gathered_bank_eval``)."""
+    from ..utils.hygiene import check_route_tables
+
+    check_route_tables(
+        "bilinear_gathered_eval", [("rows_tbl", rows_tbl)], (cell, qx, qy)
+    )
+    return _bilinear_gathered_vjp(rows_tbl, cell, qx, qy, r)
 
 
 def _bl_fwd(rows_tbl, cell, qx, qy, r):
@@ -212,7 +223,7 @@ def _bl_bwd(r, res, g):
     return gr, gcell, gx, gy
 
 
-bilinear_gathered_eval.defvjp(_bl_fwd, _bl_bwd)
+_bilinear_gathered_vjp.defvjp(_bl_fwd, _bl_bwd)
 
 
 # -- bicubic: weight-form streaming tail --------------------------------------
@@ -316,15 +327,26 @@ def _bicubic_gathered_impl(rows_tbl, cell, tx, ty, r, interpret=False):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _bicubic_gathered_vjp(rows_tbl, cell, tx, ty, r):
+    return _bicubic_gathered_impl(rows_tbl, cell, tx, ty, r)
+
+
 def bicubic_gathered_eval(rows_tbl, cell, tx, ty, r):
     """Bicubic cell-gather route: ONE packed 16r-channel row gather +
     the streaming weight-form Mosaic tail (``bicubic_weight_tail``).
     rows_tbl: ((nx-1)*(ny-1), 16r) from ``bicubic.pack_bicubic_rows``;
-    cell/tx/ty flat.  Backward = VJP of the XLA weight form.
+    cell/tx/ty flat.  Backward = VJP of the XLA weight form.  Hygiene
+    check in this wrapper, outside the custom_vjp (see
+    ``gathered_bank_eval``).
 
     NOT routed by the strategy: measured 30.0 ms/1M on NS3b vs
     15.6 ms for the XLA nested tail (see ``_bicubic_weight_kernel``)."""
-    return _bicubic_gathered_impl(rows_tbl, cell, tx, ty, r)
+    from ..utils.hygiene import check_route_tables
+
+    check_route_tables(
+        "bicubic_gathered_eval", [("rows_tbl", rows_tbl)], (cell, tx, ty)
+    )
+    return _bicubic_gathered_vjp(rows_tbl, cell, tx, ty, r)
 
 
 def _bc_fwd(rows_tbl, cell, tx, ty, r):
@@ -347,7 +369,7 @@ def _bc_bwd(r, res, g):
     return gr, gcell, gx, gy
 
 
-bicubic_gathered_eval.defvjp(_bc_fwd, _bc_bwd)
+_bicubic_gathered_vjp.defvjp(_bc_fwd, _bc_bwd)
 
 
 def _bicubic_mxu_weight_row(tx, ty, bp):
@@ -442,6 +464,12 @@ def bicubic_mxu_tail(rows, tx, ty, interpret=False, bq=1024):
 
 
 @jax.custom_vjp
+def _gathered_bank_eval_vjp(data2, a2, b2, idx, t):
+    from .partition import sharded_gathered_eval
+
+    return sharded_gathered_eval(False)(data2, a2, b2, idx, t)
+
+
 def gathered_bank_eval(data2, a2, b2, idx, t):
     """Gather-route banked evaluation: ONE packed row gather -> streaming
     Hermite tail.  f32; ``idx``/``t`` flat (from ``fused_index_frac``).
@@ -452,10 +480,20 @@ def gathered_bank_eval(data2, a2, b2, idx, t):
     VJP of the gather formulation (like ``banked_eval``); under a mesh
     the query/bank axes partition with zero communication
     (``ops/partition.py``).
-    """
-    from .partition import sharded_gathered_eval
 
-    return sharded_gathered_eval(False)(data2, a2, b2, idx, t)
+    The hygiene check lives in this wrapper, OUTSIDE the custom_vjp:
+    custom_vjp lifts every argument to a tracer before the primal body
+    runs, so a closure-captured concrete table is only distinguishable
+    here (``utils/hygiene.py:check_route_tables``).
+    """
+    from ..utils.hygiene import check_route_tables
+
+    check_route_tables(
+        "gathered_bank_eval",
+        [("data2", data2), ("a2", a2), ("b2", b2)],
+        (idx, t),
+    )
+    return _gathered_bank_eval_vjp(data2, a2, b2, idx, t)
 
 
 def _gathered_impl(data2, a2, b2, idx, t, interpret=False):
@@ -517,4 +555,4 @@ def _bwd(res, g):
     return gd, ga, gb, gidx, gt
 
 
-gathered_bank_eval.defvjp(_fwd, _bwd)
+_gathered_bank_eval_vjp.defvjp(_fwd, _bwd)

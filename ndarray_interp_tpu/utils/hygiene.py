@@ -109,6 +109,59 @@ def assert_lean_program(fn, *args, cap_bytes=None, what="jitted program",
     return total
 
 
+def check_route_tables(what, tables, queries):
+    """Trace-time closure-capture guard for raw route entry points.
+
+    The serving evaluators assert program leanness at warmup, but the
+    round-3 outage originated one level lower: a raw route function
+    (``gathered_*_packed``) traced with a big CONCRETE table while the
+    queries were tracers — i.e. the table was a closure capture about to
+    be constant-folded into the program.  That exact combination is
+    detectable right at the route entry, with no extra tracing: if any
+    query argument is a tracer (we are inside jit/vmap/grad) while a
+    table argument is a concrete device/numpy array bigger than
+    :data:`config.jit_const_cap_bytes`, raise.
+
+    Eager calls (no tracer anywhere) are exempt — a concrete table there
+    transfers once and is never embedded in a program.  Tables passed as
+    proper jit arguments are tracers during the trace and are exempt.
+    Disable with ``NDI_ROUTE_HYGIENE=0`` (:data:`config.route_hygiene`).
+
+    ``tables``: iterable of ``(name, array_or_None)``;
+    ``queries``: iterable of the query-side arguments.
+    """
+    if not config.route_hygiene:
+        return
+    import jax
+
+    if not any(isinstance(q, jax.core.Tracer) for q in queries):
+        return
+    cap = config.jit_const_cap_bytes
+    offenders = [
+        (name, tuple(getattr(a, "shape", ())),
+         str(getattr(a, "dtype", "?")), int(getattr(a, "nbytes", 0)))
+        for name, a in tables
+        if a is not None
+        and not isinstance(a, jax.core.Tracer)
+        and getattr(a, "nbytes", 0) > cap
+    ]
+    if offenders:
+        detail = ", ".join(
+            f"{n}{s} {d} = {nb / 2**20:.1f} MB"
+            for n, s, d, nb in offenders
+        )
+        raise RuntimeError(
+            f"{what} was traced (jit/vmap/grad) with concrete "
+            f"closure-captured table argument(s) over the "
+            f"{cap / 2**20:.1f} MB hygiene cap: [{detail}]. The table "
+            f"would be constant-folded into the compiled program and "
+            f"shipped with every (remote) compile — pass it through the "
+            f"jitted function's ARGUMENTS instead (docs/DESIGN.md, "
+            f"compile-payload hygiene; set NDI_ROUTE_HYGIENE=0 to "
+            f"override)."
+        )
+
+
 def lowered_text_bytes(fn, *args, **kwargs):
     """Size in bytes of the lowered StableHLO text for ``fn(*args)`` —
     a direct proxy for the compile payload a remote compiler receives.

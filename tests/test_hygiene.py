@@ -151,3 +151,104 @@ class TestServingHygiene:
         monkeypatch.setattr(config, "jit_const_cap_bytes", -1)
         with pytest.raises(RuntimeError, match="embeds"):
             ev.verify_hygiene()
+
+
+class TestRouteGuard:
+    """Trace-time closure-capture guard at the raw route entry points
+    (VERDICT r4 task 9): the round-3 outage class is caught where it
+    originated — a ``gathered_*_packed`` route traced with a concrete
+    table — not only inside the serving evaluators."""
+
+    def _df_bank_args(self, n=16, bank=4, nq=8):
+        rng = np.random.default_rng(0)
+        x = np.linspace(0.0, 1.0, n).astype(np.float32)
+        from ndarray_interp_tpu.ops.pallas_eval_df import pack_bank_rows_df
+
+        def z(shape):
+            return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+        packed = pack_bank_rows_df(
+            z((n, bank)), z((n, bank)) * 1e-8,
+            z((n - 1, bank)), z((n - 1, bank)) * 1e-8,
+            z((n - 1, bank)), z((n - 1, bank)) * 1e-8,
+        )
+        q = jnp.asarray(
+            rng.uniform(0.05, 0.95, nq).astype(np.float32)
+        )
+        return jnp.asarray(x), packed, bank, q
+
+    def test_closure_captured_table_trips(self, monkeypatch):
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            gathered_bank_eval_df_packed,
+        )
+
+        x, packed, bank, q = self._df_bank_args()
+        monkeypatch.setattr(config, "jit_const_cap_bytes", 64)
+
+        fn = jax.jit(
+            lambda qh: gathered_bank_eval_df_packed(
+                x, jnp.zeros_like(x), packed, bank, qh, jnp.zeros_like(qh)
+            )[0]
+        )
+        with pytest.raises(RuntimeError, match="closure-captured"):
+            fn(q)
+
+    def test_argument_table_passes(self, monkeypatch):
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            gathered_bank_eval_df_packed,
+        )
+
+        x, packed, bank, q = self._df_bank_args()
+        monkeypatch.setattr(config, "jit_const_cap_bytes", 64)
+
+        fn = jax.jit(
+            lambda tbl, qh: gathered_bank_eval_df_packed(
+                x, jnp.zeros_like(x), tbl, bank, qh, jnp.zeros_like(qh)
+            )[0]
+        )
+        out = fn(packed, q)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_eager_call_exempt(self, monkeypatch):
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            gathered_bank_eval_df_packed,
+        )
+
+        x, packed, bank, q = self._df_bank_args()
+        monkeypatch.setattr(config, "jit_const_cap_bytes", 64)
+        hi, lo = gathered_bank_eval_df_packed(
+            x, jnp.zeros_like(x), packed, bank, q, jnp.zeros_like(q)
+        )
+        assert np.isfinite(np.asarray(hi)).all()
+
+    def test_disable_flag(self, monkeypatch):
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            gathered_bank_eval_df_packed,
+        )
+
+        x, packed, bank, q = self._df_bank_args()
+        monkeypatch.setattr(config, "jit_const_cap_bytes", 64)
+        monkeypatch.setattr(config, "route_hygiene", False)
+        fn = jax.jit(
+            lambda qh: gathered_bank_eval_df_packed(
+                x, jnp.zeros_like(x), packed, bank, qh, jnp.zeros_like(qh)
+            )[0]
+        )
+        out = fn(q)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_f32_bank_route_guarded(self, monkeypatch):
+        from ndarray_interp_tpu.ops.pallas_tail import gathered_bank_eval
+
+        rng = np.random.default_rng(1)
+        n, bank = 16, 4
+        d2 = jnp.asarray(rng.normal(size=(n, bank)).astype(np.float32))
+        a2 = jnp.asarray(rng.normal(size=(n - 1, bank)).astype(np.float32))
+        b2 = jnp.asarray(rng.normal(size=(n - 1, bank)).astype(np.float32))
+        idx = jnp.zeros((8,), jnp.int32)
+        t = jnp.full((8,), 0.5, jnp.float32)
+        monkeypatch.setattr(config, "jit_const_cap_bytes", 16)
+        with pytest.raises(RuntimeError, match="closure-captured"):
+            jax.jit(lambda i, tt: gathered_bank_eval(d2, a2, b2, i, tt))(
+                idx, t
+            )
