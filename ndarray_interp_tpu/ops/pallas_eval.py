@@ -117,7 +117,23 @@ def _dot3(hi, mid, lo, oh):
 
 
 def _kernel(lead_ref, th_ref, tm_ref, tl_ref, q_ref, out_ref,
-            *, n, w, c, wp):
+            *, n, w, c, p0):
+    """Round-5 kernel body.  The glue-corrected stage anatomy of the
+    round-4 shape (benches/ablate_ns1_stages.py, NS1 workload: 0.805 ms
+    = DMA/harness floor 0.26 + coarse 0.12 + MXU fetch 0.40 + fine 0.01
+    + selects 0.07 + tail 0.04, with ~0.09 of VPU already overlapped
+    under the MXU by Mosaic's cross-step scheduling) showed the fetch
+    running at ~100% MXU utilization *for its row count* — 96 rows of
+    which only 66 were useful (the W+1 knot/data windows were padded to
+    Wp = 32 sublanes each).  This body keeps the round-4 search
+    structure (iota one-hot + numeric clamp: the adjacent-difference
+    one-hot and the fetched-pmax clamp both measured SLOWER — +0.11 ms
+    of bf16 concat relayouts and no win over the coarse sum — see
+    docs/ROADMAP.md round-5 NS1 notes) but fetches the tight operand:
+    [x window (W+1) | pad | a (W) | b (W) | data window (W+1)] with
+    8-aligned section starts, 73 rows at W=16.  Measured 0.79 vs
+    0.81 ms on NS1; bit-exactness vs the XLA formulation unchanged.
+    """
     f32 = jnp.float32
     q = q_ref[:]  # (1, B)
 
@@ -134,17 +150,13 @@ def _kernel(lead_ref, th_ref, tm_ref, tl_ref, q_ref, out_ref,
     #    especially feed a catastrophic cancellation in t).  The knot and
     #    data windows carry W+1 overlapping rows so both interval endpoints
     #    come from the same fetch; only [a, b] need per-interval channels.
-    #    The three tables ride the MXU VERTICALLY STACKED as one
-    #    (2Wp + 2W, C) operand (bit-identical: matmuls are
-    #    row-independent).  Measured NEUTRAL on NS1 (1.43 ms/1M both
-    #    ways, round 3) — the kernel is not fetch-utilization-bound at
-    #    these sizes — but it cuts 9 operand buffers to 3.
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, q.shape[1]), 0)
     oh1 = (iota_c == cidx.astype(jnp.int32)).astype(jnp.bfloat16)  # (C, B)
-    win = _dot3(th_ref[:], tm_ref[:], tl_ref[:], oh1)  # (2Wp+2W, B)
-    win_x = win[:wp]
-    win_d = win[wp : 2 * wp]
-    win_ab = win[2 * wp :]
+    win = _dot3(th_ref[:], tm_ref[:], tl_ref[:], oh1)  # (P0+3W+1, B)
+    win_x = win[: w + 1]
+    win_a = win[p0 : p0 + w]
+    win_b = win[p0 + w : p0 + 2 * w]
+    win_d = win[p0 + 2 * w : p0 + 3 * w + 1]
 
     # 3. fine: position within the window (first W rows are this block's
     #    knots; row W duplicates the next block's leader), reference clamp
@@ -161,8 +173,8 @@ def _kernel(lead_ref, th_ref, tm_ref, tl_ref, q_ref, out_ref,
     x_r = jnp.sum(win_x[1 : w + 1] * oh_l, axis=0, keepdims=True)
     y_l = jnp.sum(win_d[:w] * oh_l, axis=0, keepdims=True)
     y_r = jnp.sum(win_d[1 : w + 1] * oh_l, axis=0, keepdims=True)
-    a = jnp.sum(win_ab[:w] * oh_l, axis=0, keepdims=True)
-    b = jnp.sum(win_ab[w:] * oh_l, axis=0, keepdims=True)
+    a = jnp.sum(win_a * oh_l, axis=0, keepdims=True)
+    b = jnp.sum(win_b * oh_l, axis=0, keepdims=True)
 
     t = (q - x_l) / (x_r - x_l)
     one = f32(1.0)
@@ -226,6 +238,43 @@ def _pack_windows(knots, data, a, b, w, c, wp, pad=None):
     return lead, kwin, dwin, abblk
 
 
+def _pack_tall(knots, data, a, b, w, c):
+    """Round-5 tall operand for the eval kernel (trace-time).
+
+    Layout (section starts 8-aligned so the f32 result's slices stay on
+    sublane-tile boundaries): x window (W+1, column j = knots
+    ``[j*w : j*w + w + 1]``) at row 0, zero pad to ``p0 = roundup(W+2,
+    8)``, a (W) at p0, b (W) at p0+W, data window (W+1) at p0+2W —
+    P0 + 3W + 1 rows (73 at W=16) vs the round-4 layout's 2·Wp + 2W
+    (96): the MXU fetch runs at ~100% utilization for its row count
+    (benches/ablate_ns1_stages.py), so operand rows are milliseconds.
+    Out-of-range knot rows pad with the largest finite value (+inf
+    would turn into NaN in the one-hot matmul); queries above the
+    sentinel clamp to the last interval, the reference's OOB semantics
+    (the kernel's numeric ``min(coarse, cmax)`` also caps +inf/sentinel
+    queries — a trace-time sentinel cap alone would miscount q = +inf,
+    measured as a NaN escape in round 5)."""
+    n = knots.shape[0]
+    big = jnp.asarray(jnp.finfo(knots.dtype).max, knots.dtype)
+    kp = jnp.concatenate(
+        [knots, jnp.full((w * c + 1 - n,), big, knots.dtype)]
+    )
+    dp = jnp.concatenate([data, jnp.zeros((w * c + 1 - n,), data.dtype)])
+    lead = kp[w::w][: c - 1].reshape(c - 1, 1)
+    idx = jnp.arange(w + 1)[:, None] + w * jnp.arange(c)[None, :]
+    idx = jnp.minimum(idx, w * c)
+    kwin = kp[idx]  # (W+1, C)
+    dwin = dp[idx]
+    ap = jnp.concatenate([a, jnp.zeros((w * c - (n - 1),), a.dtype)])
+    bp = jnp.concatenate([b, jnp.zeros((w * c - (n - 1),), b.dtype)])
+    p0 = -(-(w + 2) // 8) * 8
+    pad = jnp.zeros((p0 - (w + 1), c), knots.dtype)
+    tall = jnp.concatenate(
+        [kwin, pad, ap.reshape(c, w).T, bp.reshape(c, w).T, dwin], axis=0
+    )
+    return lead, tall
+
+
 def _eval_xla(knots, tbl, q):
     """Equivalent XLA formulation (correctness oracle + VJP + fallback)."""
     from .searchsorted import get_lower_index
@@ -268,16 +317,15 @@ def _fused_eval_impl(knots, tbl, q, interpret=False):
     data = jnp.concatenate([tbl[:, 2], tbl[-1:, 3]])
     a, b = tbl[:, 4], tbl[:, 5]
 
-    wp = -(-(w + 1) // 16) * 16  # bf16 sublane alignment
-    lead, kwin, dwin, abblk = _pack_windows(knots, data, a, b, w, c, wp)
-    tall = jnp.concatenate([kwin, dwin, abblk], axis=0)  # (2Wp+2W, C)
+    lead, tall = _pack_tall(knots, data, a, b, w, c)  # (P0+3W+1, C)
     th, tm, tl = _split3(tall)
 
     nb = (nq + B - 1) // B
     qpad = jnp.pad(q, (0, nb * B - nq)).reshape(1, nb * B)
 
-    rows = 2 * wp + 2 * w
-    kern = functools.partial(_kernel, n=n, w=w, c=c, wp=wp)
+    p0 = -(-(w + 2) // 8) * 8
+    rows = p0 + 3 * w + 1
+    kern = functools.partial(_kernel, n=n, w=w, c=c, p0=p0)
     fix = lambda i: (0, 0)
     out = pl.pallas_call(
         kern,
