@@ -84,33 +84,39 @@ def main():
                      var=2, links=8) * 1e3
     print(f"f32 fused_cell_index         {t:7.3f} ms", flush=True)
 
-    # gather alone (cells precomputed outside the timed chain)
+    # gather alone (cells precomputed outside the timed chain; the
+    # packed table rides as an ARGUMENT — the round-5 trace-time
+    # hygiene guard rejects closure-captured >=8 MB tables, by design)
     xi, _, _, yi, _, _ = jax.jit(search)(qxh, qxl, qyh, qyl)
     cells = jax.jit(lambda a, b: a * (ny - 1) + b)(xi, yi)
 
-    def gather(cells_f):
-        return jnp.take(packed, cells_f, axis=0)
+    def gather(pk, cells_f):
+        return jnp.take(pk, cells_f, axis=0)
 
-    t = device_timer(gather, (cells,), var=0, links=4) * 1e3
+    t = device_timer(gather, (packed, cells), var=0, links=4) * 1e3
     print(f"packed-row gather (512B)     {t:7.3f} ms", flush=True)
 
-    # DF tail alone on pre-gathered rows
-    rows = jax.jit(gather)(cells)
+    # DF tails alone on pre-gathered rows: the round-4 lerp-form
+    # kernel vs the round-5 MXU weight form (shipped)
+    rows = jax.jit(gather)(packed, cells)
     _, txh, txl, _, tyh, tyl = jax.jit(search)(qxh, qxl, qyh, qyl)
 
-    def tail(rw, a, b, c, d):
-        return bilinear_df_tail(rw, a, b, c, d)
+    from ndarray_interp_tpu.ops.pallas_eval_df import bilinear_df_tail_mxu
 
-    t = device_timer(tail, (rows, txh, txl, tyh, tyl), var=1, links=4) * 1e3
-    print(f"Mosaic DF bilinear tail      {t:7.3f} ms", flush=True)
+    for name, tail in (("lerp-form (round 4)", bilinear_df_tail),
+                       ("MXU weight form    ", bilinear_df_tail_mxu)):
+        t = device_timer(tail, (rows, txh, txl, tyh, tyl),
+                         var=1, links=4) * 1e3
+        print(f"DF tail {name}  {t:7.3f} ms", flush=True)
 
     # packed route end to end (no pack in the chain)
-    def full_packed(a, b, c, d):
+    def full_packed(pk, a, b, c, d):
         return gathered_bilinear_eval_df_packed(
-            xh, xl, yh, yl, packed, ny, r, a, b, c, d
+            xh, xl, yh, yl, pk, ny, r, a, b, c, d
         )
 
-    t = device_timer(full_packed, (qxh, qxl, qyh, qyl), var=0, links=4) * 1e3
+    t = device_timer(full_packed, (packed, qxh, qxl, qyh, qyl),
+                     var=1, links=4) * 1e3
     print(f"full route (prepacked)       {t:7.3f} ms", flush=True)
 
     # the standing-row form (pack inside, links=2 as in run_benches)

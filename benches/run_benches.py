@@ -63,9 +63,21 @@ def device_timer(fn, args, var=1, links=16, reps=4, warmup=1):
     ``var`` is the index of the (floating) query-like argument; each link
     perturbs it by ``1e-30 * sum(result)`` — numerically negligible but
     opaque to the compiler, so no link can be folded or reordered away.
+
+    ``var`` MUST select a float argument: on an integer argument the
+    ``eps * s`` perturbation casts to 0, every link becomes identical,
+    and XLA CSE folds the chain to ONE execution — a round-5 ablation
+    measured a 4 GB gather at exactly half its true cost this way
+    (BASELINE.md, ND DF anatomy).  Guarded below.
     """
     import jax
     import jax.numpy as jnp
+
+    if not jnp.issubdtype(jnp.asarray(args[var]).dtype, jnp.inexact):
+        raise TypeError(
+            f"device_timer var={var} selects a {jnp.asarray(args[var]).dtype}"
+            " argument; the anti-CSE perturbation needs a float arg"
+        )
 
     @jax.jit
     def run(*a):

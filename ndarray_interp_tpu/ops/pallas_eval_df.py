@@ -938,6 +938,119 @@ def bilinear_df_tail(rows, txh, txl, tyh, tyl, interpret=False):
     return outh, outl
 
 
+def _df_bilinear_mxu_core(rows_hi, rows_lo, txh, txl, tyh, tyl, bp):
+    """Weight-form DF bilinear on pre-split (hi, lo) row halves —
+    the bicubic ``_df_bicubic_mxu_core`` recipe at 4 corner blocks.
+
+    Round-5 anatomy (benches/ablate_df2d.py): the lerp-form Mosaic tail
+    (``_df_bilinear_tail_kernel``) owned 12.8 ms of NS3c's 27.9 — its
+    ~190 guarded-EFT ops run on (B, bp<=16) values, and a VPU op on 16
+    lanes issues exactly as many vregs as one on 128 lanes, so the
+    chain paid ~8x its useful-lane work (bq=1024 measured no better,
+    bq>=2048 OOMs: compute-bound, not per-step overhead).  Here the
+    per-query work is 2 narrow DF subs; iota-selects expand the
+    [1-t | t] bases to the 4 corner weights (one (B, 4) DF product),
+    a one-hot HIGHEST matmul (exact: each output column is a single
+    w*1 product) widens to the (B, 4*bp) weight row, then ONE hi-half
+    EFT ``two_prod`` and a 2-level compensated halving tree.  Hi products/sums are
+    exact; residuals accumulate in f32 at ~2^-48 of term scale — same
+    grade as the lerp form (different last-bit rounding; the on-chip
+    4e-12 gate `test_df_gathered_bilinear_f64_grade_on_chip` is the
+    contract).  Corner blocks are [z11|z12|z21|z22]: block j takes
+    x-basis j//2 and y-basis j%2 with basis order [1-t, t]."""
+    b = rows_hi.shape[0]
+    one = jnp.ones_like(txh)
+    zero = jnp.zeros_like(txh)
+    mx = df_sub((one, zero), (txh, txl))  # DF 1-tx
+    my = df_sub((one, zero), (tyh, tyl))
+
+    # Expand [1-t | t] to the 4 corner weights with iota-selects over
+    # lane broadcasts (K=2 one-hot matmuls are avoided on purpose —
+    # the bicubic core's smallest proven contraction is K=4):
+    # corner j: x factor j//2, y factor j%2, basis order [1-t, t].
+    i4 = jax.lax.broadcasted_iota(jnp.int32, (b, 4), 1)
+
+    def expand(m, t, key):
+        return tuple(
+            jnp.where(key == 0, m[p], t[p]) for p in (0, 1)
+        )
+
+    ax = expand(mx, (txh, txl), i4 // 2)
+    ay = expand(my, (tyh, tyl), i4 % 2)
+    w_h, w_l = df_mul(ax, ay)  # one (B, 4) DF product for all corners
+
+    def onehot_dot(a, sel):
+        return jax.lax.dot(
+            a, sel, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    half = 4 * bp
+    lane = jax.lax.broadcasted_iota(jnp.int32, (4, half), 1) // bp
+    blk = jax.lax.broadcasted_iota(jnp.int32, (4, half), 0)
+    sel = (lane == blk).astype(jnp.float32)
+    wrow_h = onehot_dot(w_h, sel)
+    wrow_l = onehot_dot(w_l, sel)
+
+    p, pe = two_prod(wrow_h, rows_hi)
+    e = pe + wrow_l * rows_hi + wrow_h * rows_lo
+    while p.shape[1] > bp:
+        h = p.shape[1] // 2
+        s, se = two_sum(p[:, :h], p[:, h:])
+        e = e[:, :h] + e[:, h:] + se
+        p = s
+    return fast_two_sum(p, e)
+
+
+def _df_bilinear_mxu_kernel(
+    rows_ref, txh_ref, txl_ref, tyh_ref, tyl_ref, outh_ref, outl_ref, *, bp
+):
+    from .df import no_guard
+
+    with no_guard():
+        rows = rows_ref[:]
+        half = 4 * bp
+        out = _df_bilinear_mxu_core(
+            rows[:, :half], rows[:, half:],
+            txh_ref[:], txl_ref[:], tyh_ref[:], tyl_ref[:], bp,
+        )
+        outh_ref[:] = out[0]
+        outl_ref[:] = out[1]
+
+
+def bilinear_df_tail_mxu(rows, txh, txl, tyh, tyl, interpret=False, bq=512):
+    """Streaming Mosaic MXU weight-form DF bilinear tail (see
+    ``_df_bilinear_mxu_core``); same contract as ``bilinear_df_tail``."""
+    nq, ch = rows.shape
+    bp = ch // 8
+    assert nq % bq == 0
+    nb = nq // bq
+    specs_t = [
+        pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ] * 4
+    outh, outl = pl.pallas_call(
+        functools.partial(_df_bilinear_mxu_kernel, bp=bp),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ] + specs_t,
+        out_specs=[
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        rows,
+        txh.reshape(nq, 1), txl.reshape(nq, 1),
+        tyh.reshape(nq, 1), tyl.reshape(nq, 1),
+    )
+    return outh, outl
+
+
 def _df_bilinear_xla_tail(rows, txh, txl, tyh, tyl, r):
     """Guarded-EFT XLA form of the bilinear tail (non-TPU fallback)."""
     bp = rows.shape[1] // 8
@@ -986,22 +1099,17 @@ def _f48_bilinear_tail_kernel(
     rows_ref, txh_ref, txl_ref, tyh_ref, tyl_ref, outh_ref, outl_ref, *, bp
 ):
     """f48 bilinear tail: unpack the bf16-pair lo section in VMEM,
-    then the exact `_df_bilinear_core` chain."""
+    then the round-5 MXU weight-form core (same chain as the DF tier;
+    the bf16 lo half is already ~2^-33-grade, far above the form's
+    ~2^-48 accumulation residue)."""
     from .df import no_guard
 
     with no_guard():
         rows = rows_ref[:]  # (B, 6*bp)
         hi = rows[:, : 4 * bp]
         lo = _unpack_f48_lo(rows[:, 4 * bp :])
-        tx = (txh_ref[:], txl_ref[:])
-        ty = (tyh_ref[:], tyl_ref[:])
-
-        def s(v, i):
-            return v[:, i * bp : (i + 1) * bp]
-
-        out = _df_bilinear_core(
-            (s(hi, 0), s(lo, 0)), (s(hi, 1), s(lo, 1)),
-            (s(hi, 2), s(lo, 2)), (s(hi, 3), s(lo, 3)), tx, ty,
+        out = _df_bilinear_mxu_core(
+            hi, lo, txh_ref[:], txl_ref[:], tyh_ref[:], tyl_ref[:], bp
         )
         outh_ref[:] = out[0]
         outl_ref[:] = out[1]
@@ -1131,7 +1239,9 @@ def gathered_bilinear_eval_df_packed(
     rows = jnp.take(packed, xi * (ny - 1) + yi, axis=0)
 
     def mosaic(rows, a1, a2, a3, a4):
-        hi, lo = bilinear_df_tail(rows, a1, a2, a3, a4, interpret=interpret)
+        hi, lo = bilinear_df_tail_mxu(
+            rows, a1, a2, a3, a4, interpret=interpret
+        )
         return hi[:, :r], lo[:, :r]
 
     hi, lo = jax.lax.platform_dependent(
@@ -1362,16 +1472,22 @@ def _df_bicubic_mxu_core(rows_hi, rows_lo, txh, txl, tyh, tyl, bp):
     b = rows_hi.shape[0]
     tx = (txh, txl)
     ty = (tyh, tyl)
-    one = (jnp.ones_like(txh), jnp.zeros_like(txh))
 
-    # per-query DF Hermite bases on (B, 1) columns (~10 DF ops each —
-    # unavoidable scalar work), then IMMEDIATELY vectorize: everything
-    # from here on runs on (B, 4)/(B, 16) tiles or full-lane rows.
-    # The first shipped form computed all 16 block weights as separate
-    # (B, 1) DF chains (~30 DF ops, each op paying a full 128-lane
-    # tile) — that alone cost ~1/4 of the kernel.
-    bx = _df_hermite_basis(tx, one)
-    by = _df_hermite_basis(ty, one)
+    # per-query DF Hermite bases, then IMMEDIATELY vectorize:
+    # everything from here on runs on (B, 4)/(B, 16) tiles or
+    # full-lane rows.  The first shipped form computed all 16 block
+    # weights as separate (B, 1) DF chains (~30 DF ops, each op paying
+    # a full 128-lane tile) — that alone cost ~1/4 of the kernel.
+    # Round 5: both axes' chains are batched through ONE (B, 2)-wide
+    # basis call (lane width is free; the chain is ~170 guarded ops).
+    t2 = (
+        jnp.concatenate([tx[0], ty[0]], axis=1),
+        jnp.concatenate([tx[1], ty[1]], axis=1),
+    )
+    one2 = (jnp.ones_like(t2[0]), jnp.zeros_like(t2[0]))
+    basis2 = _df_hermite_basis(t2, one2)
+    bx = tuple((p[0][:, 0:1], p[1][:, 0:1]) for p in basis2)
+    by = tuple((p[0][:, 1:2], p[1][:, 1:2]) for p in basis2)
 
     def basis_row(basis, part):
         i4 = jax.lax.broadcasted_iota(jnp.int32, (b, 4), 1)

@@ -51,12 +51,25 @@ from .pallas_eval_df import (
 )
 
 
+def _nd_bp(r):
+    """Lanes per quantity block in the packed ND rows.
+
+    Round 5: ``bp = r`` for ``r <= 8`` — the old unconditional roundup
+    to 8 lanes padded a scalar-grid (r=1) tricubic row from 512 B to
+    4 KB, and the ND3 anatomy (benches/ablate_df_nd.py) showed the
+    cell gather paying the full padded bytes (~31 of the 66 ms route:
+    random-gather throughput is byte-bound at these widths, not
+    row-bound).  Wider trailing blocks keep the 8-lane roundup
+    (waste <= 12.5%)."""
+    return r if r <= 8 else -(-r // 8) * 8
+
+
 def pack_rows_nd_df(rows_hi, rows_lo, nb, r):
     """Block-padded DF ND cell rows ``(cells, 2 * nb * bp)``: the ``nb``
     per-cell quantity blocks (ND cell layout) hi then lo, each r-block
     padded to ``bp`` lanes (``pack_bicubic_rows_df`` generalized)."""
     cells = rows_hi.shape[0]
-    bp = -(-r // 8) * 8
+    bp = _nd_bp(r)
 
     def blocks(v):
         v3 = v.reshape(cells, nb, r)
@@ -76,7 +89,7 @@ def pack_rows_nd_f48(rows_hi, rows_lo, nb, r):
     always even.  The k-axis generalization of
     ``pallas_eval_df.pack_bicubic_rows_f48``."""
     cells = rows_hi.shape[0]
-    bp = -(-r // 8) * 8
+    bp = _nd_bp(r)
 
     def blocks(v):
         v3 = v.reshape(cells, nb, r)
@@ -141,10 +154,28 @@ def _df_index_frac_nd(axes_pairs, q_flat, interpret=False):
 
 def _df_basis_cols(ths, tls, nbasis):
     """Per-axis DF basis values as (B, 1)-shaped column pairs:
-    ``bases[d][digit] = (hi, lo)``."""
-    one = (jnp.ones_like(ths[0]), jnp.zeros_like(ths[0]))
+    ``bases[d][digit] = (hi, lo)``.
+
+    The k axes' chains are BATCHED through one (B, k)-wide
+    ``_df_hermite_basis`` call: a VPU op on k lanes issues exactly as
+    many vregs as one on 1 lane, and the basis chain is ~170 guarded
+    ops — running it once instead of k times removes the dominant
+    narrow-op cost of the ND tail (round-5 DF anatomy, BASELINE.md)."""
     fn = _df_hermite_basis if nbasis == 4 else _df_linear_basis
-    return [fn((th, tl), one) for th, tl in zip(ths, tls)]
+    k = len(ths)
+    if k == 1:
+        one = (jnp.ones_like(ths[0]), jnp.zeros_like(ths[0]))
+        return [fn((ths[0], tls[0]), one)]
+    tstack = (
+        jnp.concatenate(ths, axis=1),
+        jnp.concatenate(tls, axis=1),
+    )
+    one = (jnp.ones_like(tstack[0]), jnp.zeros_like(tstack[0]))
+    full = fn(tstack, one)  # nbasis pairs, each (B, k)
+    return [
+        [(p[0][:, d : d + 1], p[1][:, d : d + 1]) for p in full]
+        for d in range(k)
+    ]
 
 
 def _df_nd_weight_tail_xla(rows, ths, tls, k, bp, nbasis):
@@ -233,6 +264,8 @@ def _df_nd_weight_row_mxu(ths, tls, k, bp, nbasis):
         bb = (onehot_dot(br[0], sel_b), onehot_dot(br[1], sel_b))
         w = df_mul(wa, bb)
         m = wide
+    if bp == 1:
+        return w  # the block expansion is the identity (r=1 rows)
     half = m * bp
     lane = jax.lax.broadcasted_iota(jnp.int32, (m, half), 1) // bp
     blk = jax.lax.broadcasted_iota(jnp.int32, (m, half), 0)
