@@ -182,30 +182,63 @@ def pack_cubic_rows_nd(axes, data, k, grids):
     return table.reshape(ncells, (4**k) * r)
 
 
-def pack_cubic_nodes_nd(axes, data, k, grids):
-    """Memory-frugal node table ``(prod(n), 2^k·r + k)``: the raw
-    (unscaled) mixed-derivative state per node plus the node's own
-    coordinates — ``2^k`` corner-row gathers per query instead of 1
-    cell-row gather, at ``~2^k``× the data's memory instead of
-    ``~4^k``× (``pack_bicubic_nodes`` generalized).  Block order =
-    subset masks ascending (mask bit ``d`` ↔ axis ``d``)."""
+def pack_cubic_nodes_nd(axes, data, k, grids, pairs=0):
+    """Memory-frugal node table ``(prod(n), 2^m·2^k·r + k + m)``: the
+    raw (unscaled) mixed-derivative state per node plus the node's own
+    coordinates — ``2^(k-m)`` corner-row gathers per query instead of 1
+    cell-row gather, at ``~2^m·2^k``× the data's memory instead of
+    ``~4^k``× (``pack_bicubic_nodes`` generalized).  State block order
+    = subset masks ascending (mask bit ``d`` ↔ axis ``d``).
+
+    ``pairs`` = m: the node's row additionally carries the state of its
+    ``2^m - 1`` neighbors along the LAST m axes (edge nodes duplicate —
+    those rows are never the base of a gather) plus the m next-node
+    coordinates.  The round-5 ND2c anatomy (benches/ablate_nd2c.py)
+    showed the 256³ node route 98% gather-ROW-floor-bound (~13 ns/row
+    on HBM-resident tables, 8 gathers = 100 of 102 ms), so trading 2×
+    memory per pairing level for half the gathers is nearly a 2×
+    eval-time win while staying far under the 4^k cell table.  Row
+    layout: ``2^m`` state blocks (neighbor offsets in
+    ``itertools.product`` order over the last m axes), k own coords,
+    m next coords."""
     grid = data.shape[:k]
     trailing = data.shape[k:]
+    m = pairs
     r = 1
     for s in trailing:
         r *= s
     nnodes = 1
     for n in grid:
         nnodes *= n
-    blocks = [
-        grids[e].reshape(grid + (r,)) for e in range(2**k)
-    ]
+    state = jnp.concatenate(
+        [grids[e].reshape(grid + (r,)) for e in range(2**k)], axis=-1
+    )  # grid + (2^k * r,)
+
+    def shift_edge(g, axis):
+        n = g.shape[axis]
+        return jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(g, 1, n, axis=axis),
+                jax.lax.slice_in_dim(g, n - 1, n, axis=axis),
+            ],
+            axis=axis,
+        )
+
+    blocks = []
+    for delta in itertools.product((0, 1), repeat=m):
+        g = state
+        for j, bit in enumerate(delta):
+            if bit:
+                g = shift_edge(g, k - m + j)
+        blocks.append(g)
     coords = jnp.meshgrid(
         *[ax.astype(data.dtype) for ax in axes], indexing="ij"
     )
     blocks += [c[..., None] for c in coords]
+    for j in range(m):
+        blocks.append(shift_edge(coords[k - m + j], k - m + j)[..., None])
     return jnp.concatenate(blocks, axis=-1).reshape(
-        nnodes, (2**k) * r + k
+        nnodes, (2**m) * (2**k) * r + k + m
     )
 
 
@@ -308,6 +341,10 @@ def _integrate_fn(k, bcs, method, extrapolate):
     return jax.jit(fn)
 
 
+# pairing degree m per cubic table layout (gathers per query = 2^(k-m))
+_NODE_PAIRS = {"node": 0, "node2": 1, "node4": 2}
+
+
 @functools.lru_cache(maxsize=None)
 def _cubic_pack_fn(k, bcs, layout):
     """Jitted (and cached per ``(k, bcs, layout)``) cubic state
@@ -315,8 +352,11 @@ def _cubic_pack_fn(k, bcs, layout):
 
     def fn(axes, data):
         grids = interpnd_node_grids(axes, data, k, bcs)
-        pack = pack_cubic_rows_nd if layout == "cell" else pack_cubic_nodes_nd
-        return pack(axes, data, k, grids)
+        if layout == "cell":
+            return pack_cubic_rows_nd(axes, data, k, grids)
+        return pack_cubic_nodes_nd(
+            axes, data, k, grids, pairs=_NODE_PAIRS[layout]
+        )
 
     return jax.jit(fn)
 
@@ -397,25 +437,40 @@ def _eval_cubic(interp, idx, ts, trailing, orders=None):
         out = jnp.sum(rows * w[:, :, None], axis=1)
         return out.reshape((q,) + trailing)
 
-    # node layout: 2^k corner gathers of raw (2^k·r + k)-channel rows
+    # node layouts: 2^(k-m) corner gathers of raw
+    # (2^m·2^k·r + k + m)-channel rows; m = pairing over the last m
+    # axes ("node" 0, "node2" 1, "node4" 2 — see pack_cubic_nodes_nd).
+    # The blend accumulates in the SAME (s_corner, mask) order with the
+    # same values for every m, so all node layouts are bit-identical.
+    m = _NODE_PAIRS[interp.layout]
+    sb = (2**k) * r  # one state block
+    cbase = (2**m) * sb  # coordinate channels start
     nstrides = [1] * k
     for d in range(k - 2, -1, -1):
         nstrides[d] = nstrides[d + 1] * grid[d + 1]
     base = sum(i * s for i, s in zip(idx, nstrides))
     corner_rows = {}
-    for s_corner in itertools.product((0, 1), repeat=k):
-        off = sum(d * st for d, st in zip(s_corner, nstrides))
-        corner_rows[s_corner] = jnp.take(interp.table, base + off, axis=0)
-    # interval widths from the coordinate channels (last k per row)
-    lo = corner_rows[(0,) * k]
-    hi = corner_rows[(1,) * k]
+    for s_low in itertools.product((0, 1), repeat=k - m):
+        off = sum(d * st for d, st in zip(s_low, nstrides[: k - m]))
+        corner_rows[s_low] = jnp.take(interp.table, base + off, axis=0)
+    # interval widths from the coordinate channels: gathered axes from
+    # the all-ones corner row, paired axes from the stored next-node
+    # coordinate of the base row
+    lo = corner_rows[(0,) * (k - m)]
+    hi = corner_rows[(1,) * (k - m)]
     dxs = [
-        (hi[:, (2**k) * r + d] - lo[:, (2**k) * r + d])[:, None]
-        for d in range(k)
+        (hi[:, cbase + d] - lo[:, cbase + d])[:, None]
+        for d in range(k - m)
+    ] + [
+        (lo[:, cbase + k + j] - lo[:, cbase + (k - m) + j])[:, None]
+        for j in range(m)
     ]
     out = jnp.zeros((q, r), lo.dtype)
     for s_corner in itertools.product((0, 1), repeat=k):
-        g = corner_rows[s_corner]
+        g = corner_rows[s_corner[: k - m]]
+        p = 0
+        for bit in s_corner[k - m:]:
+            p = 2 * p + bit  # in-row neighbor block (product order)
         for mask in range(2**k):
             # channel of (deriv-set=mask, side=s_corner) in the weight
             # order: per-axis digit 2*deriv + side, axis 0 MSB
@@ -426,7 +481,7 @@ def _eval_cubic(interp, idx, ts, trailing, orders=None):
             for d in range(k):
                 if (mask >> d) & 1:
                     scale = scale * dxs[d]
-            out = out + scale * g[:, mask * r : (mask + 1) * r]
+            out = out + scale * g[:, p * sb + mask * r : p * sb + (mask + 1) * r]
     return out.reshape((q,) + trailing)
 
 
@@ -607,16 +662,23 @@ class InterpND:
         the row bytes bind at its ~300 GB/s effective rate (the law
         measured for the 1-D routes, ``strategies/cubic.py``; confirmed
         for ND by the standing ND2/ND2b rows).  Cell layout: ONE
-        ``4^k·r``-channel row gather.  Node layout: ``2^k`` gathers of
-        ``(2^k·r + k)``-channel node rows.  Index/frac passes and the
-        Hermite tail are common to both routes and excluded.  The model
-        says the cell route strictly dominates on time whenever it fits
-        memory (fewer gathers AND fewer bytes); the node route exists
-        for capacity (``~2^k``× data memory vs ``~4^k``×)."""
+        ``4^k·r``-channel row gather.  Node layouts: ``2^(k-m)``
+        gathers of ``(2^m·2^k·r + k + m)``-channel node rows (m = the
+        last-axes pairing degree, "node"/"node2"/"node4").  Index/frac
+        passes and the Hermite tail are common to all routes and
+        excluded.  The model says the cell route strictly dominates on
+        time whenever it fits memory (fewer gathers AND fewer bytes);
+        the node family exists for capacity (``~2^m·2^k``× data memory
+        vs ``~4^k``×), trading 2× memory per pairing level for half
+        the gathers.  (The ~6 ns row floor is the cache-resident
+        figure; HBM-resident tables measured ~13 ns/row in round 5 —
+        the RANKING is unchanged, so the model keeps one floor.)"""
         row = max(6.0, (4**k) * r * 4 / 300.0)
         if layout == "cell":
             return row
-        return (2**k) * max(6.0, ((2**k) * r + k) * 4 / 300.0)
+        m = _NODE_PAIRS[layout]
+        ch = (2**m) * (2**k) * r + k + m
+        return (2 ** (k - m)) * max(6.0, ch * 4 / 300.0)
 
     @staticmethod
     def build_state(axes, data, k, method, bcs=None, layout=None):
@@ -648,7 +710,18 @@ class InterpND:
                 1, int(np.prod(data.shape[:k], dtype=np.int64))
             )
             if layout is None:
+                nnodes = int(
+                    np.prod(data.shape[:k], dtype=np.int64)
+                )
                 fits = {"node"}
+                for cand, m in _NODE_PAIRS.items():
+                    if m == 0 or m >= k:
+                        continue
+                    if (
+                        nnodes * ((2**m) * (2**k) * r + k + m)
+                        <= config.interpnd_pack_max_elems
+                    ):
+                        fits.add(cand)
                 if cells * (4**k) * r <= config.interpnd_pack_max_elems:
                     fits.add("cell")
                 layout = min(
@@ -657,9 +730,15 @@ class InterpND:
                         k, data.shape[:k], r, lo
                     ),
                 )
-            elif layout not in ("cell", "node"):
+            elif layout not in ("cell",) + tuple(_NODE_PAIRS):
                 raise ValueError(
-                    f"layout must be 'cell' or 'node', got {layout!r}"
+                    "layout must be 'cell', 'node', 'node2', or "
+                    f"'node4', got {layout!r}"
+                )
+            elif layout != "cell" and _NODE_PAIRS[layout] >= k:
+                raise ValueError(
+                    f"layout {layout!r} pairs {_NODE_PAIRS[layout]} "
+                    f"axes; needs k > {_NODE_PAIRS[layout]} (got {k})"
                 )
             # the solves + pack run jitted: built eagerly they are
             # hundreds of small ops — on the tunneled TPU backend each
@@ -927,13 +1006,18 @@ class InterpNDBuilder:
 
     def layout(self, layout: str) -> "InterpNDBuilder":
         """Force the cubic table layout: ``"cell"`` (one ``4^k·r``-
-        channel row gather per query — fastest, ``~4^k``× data memory)
-        or ``"node"`` (``2^k`` node-row gathers — ``~2^k``× memory).
-        Default: :meth:`InterpND.route_cost_ns` picks the cheaper route
-        whose table fits ``config.interpnd_pack_max_elems``."""
-        if layout not in ("cell", "node"):
+        channel row gather per query — fastest, ``~4^k``× data memory),
+        ``"node"`` (``2^k`` node-row gathers — ``~2^k``× memory), or
+        the paired-node middle tiers ``"node2"`` / ``"node4"``
+        (``2^(k-1)`` / ``2^(k-2)`` gathers at 2× / 4× the node table —
+        the capacity-case eval is gather-ROW-bound, so each pairing
+        level halves eval time; needs ``k > 1`` / ``k > 2``).
+        Default: :meth:`InterpND.route_cost_ns` picks the cheapest
+        route whose table fits ``config.interpnd_pack_max_elems``."""
+        if layout not in ("cell", "node", "node2", "node4"):
             raise ValueError(
-                f"layout must be 'cell' or 'node', got {layout!r}"
+                "layout must be 'cell', 'node', 'node2', or 'node4', "
+                f"got {layout!r}"
             )
         self._layout = layout
         return self
