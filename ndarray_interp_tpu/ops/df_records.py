@@ -33,6 +33,24 @@ Records retained elsewhere (where the shipped twin lives next door):
 - f32 streaming/MXU tails in ``ops/pallas_tail.py``
   (``bicubic_weight_tail``, ``bicubic_mxu_tail``, ``banked_tail``,
   ``fused_lerp_tail``) — each docstring carries its losing number.
+
+Round-5 measured negatives recorded WITHOUT variant code (the
+measurement IS the record; benches/ablate_f48_vs_df.py reproduces):
+
+- **The f48 tier has no time story at narrow rows — memory only.**
+  Head-to-head on identical prepacked routes (1M queries):
+  bilinear DF 23.09 ms / f48 23.22 (tables 128 / 96 MB);
+  ND tricubic 64³ DF 36.63 / f48 36.87 (122 / 92 MB).  The 25% byte
+  cut buys nothing because the random gather is ACCESS/locality-bound
+  at these row widths (384–512 B; see BASELINE.md round-5 gather law),
+  and the tails cost the same (the bf16 lo still needs every EFT stage
+  to hold ~2^-33).  The verdict-suggested cheaper f48 search also has
+  no budget: the full DF (idx, t) pass measures 1.47 ms vs 1.40 for
+  the f32 kernel — the DF compare/refine is ~free.  The tier's value
+  is capacity (75% tables) and stands; pick it for memory, not speed.
+  At WIDE rows (bicubic: 2 KB DF vs 1.5 KB f48) bytes start to bind
+  and f48 shows its only real time edge (~7%, standing rows
+  NS3d/NS3f).
 """
 
 from __future__ import annotations
