@@ -439,10 +439,16 @@ def main():
             for w in df_from_f64(rng.uniform(0, 1, nq))
         )
 
-        def df_run(qh, ql, _d):
-            return gathered_bank_eval_df(*dfargs, qh, ql)
+        def df_run(qh, ql, *tables):
+            # tables ride as ARGUMENTS: the raw-route hygiene guard
+            # rejects closure-captured banks (round-5)
+            return gathered_bank_eval_df(
+                dfargs[0], dfargs[1], *tables, qh, ql
+            )
 
-        t = device_timer(df_run, (qdfh, qdfl, dfargs[2]), var=0, links=2)
+        t = device_timer(
+            df_run, (qdfh, qdfl) + tuple(dfargs[2:8]), var=0, links=2
+        )
         record(
             f"NS2c: {n10k}-knot x{bank10k} bank DF EVAL (f64-grade), "
             f"{nq//1000}k queries (device)",
@@ -553,11 +559,14 @@ def main():
             jnp.asarray(w) for w in df_from_f64(np.asarray(qy3, np.float64).reshape(-1))
         )
 
-        def df3_run(a, b, c, d, _z):
-            return gathered_bilinear_eval_df(*df3, a, b, c, d)
+        def df3_run(a, b, c, d, zh_, zl_):
+            return gathered_bilinear_eval_df(
+                df3[0], df3[1], df3[2], df3[3], zh_, zl_, a, b, c, d
+            )
 
         t = device_timer(
-            df3_run, (qx3h, qx3l, qy3h, qy3l, df3[4]), var=0, links=2
+            df3_run, (qx3h, qx3l, qy3h, qy3l, df3[4], df3[5]),
+            var=0, links=2,
         )
         record(
             f"NS3c: bilinear {g_shape} DF EVAL (f64-grade), {qn//1000}k "

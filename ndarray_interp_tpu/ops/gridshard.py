@@ -56,7 +56,21 @@ from ..models.interpnd import (
     pack_corner_rows_nd,
     pack_cubic_rows_nd,
 )
-from ..models.strategies.bicubic import _index_frac
+from .searchsorted import get_lower_index
+
+
+def _xla_index_frac(knots, q):
+    """Plain-XLA ``(get_lower_index(q), t)`` — the same values and
+    ``calc_frac`` operand order as ``strategies.bicubic._index_frac``'s
+    XLA branch.  The Pallas ``fused_index_frac`` variant must NOT be
+    used here: it is a ``custom_partitioning`` op, and calling it
+    inside the ``shard_map`` body fails shard_map's vma check at trace
+    time for every f32 axis (caught by round-5 review; the grid-shard
+    tests all ran f64, which is kernel-ineligible and hid it)."""
+    idx = get_lower_index(knots, q)
+    x_l = knots[idx]
+    x_r = knots[idx + 1]
+    return idx, (q - x_l) / (x_r - x_l)
 
 
 def grid_shard_geometry(c0, n_shards):
@@ -66,7 +80,8 @@ def grid_shard_geometry(c0, n_shards):
     return -(-c0 // n_shards)
 
 
-def pack_interpnd_grid_shards(axes, data, k, method, bcs, n_shards):
+def pack_interpnd_grid_shards(axes, data, k, method, bcs, n_shards,
+                              mesh=None, axis="grid"):
     """Per-shard cell tables ``(D, S*rs, nb*r)`` for the leading grid
     axis (``rs = prod(cells[1:])``, ``nb = 2^k`` linear / ``4^k``
     cubic).  Shard ``d`` holds the rows of axis-0 cells
@@ -124,19 +139,42 @@ def pack_interpnd_grid_shards(axes, data, k, method, bcs, n_shards):
             f"grid sharding supports 'linear'/'cubic', got {method!r}"
         )
 
-    shards = []
     want = s * rs
-    for d in range(n_shards):
+    r = 1
+    for n in data.shape[k:]:
+        r *= n
+    ch = ((4 if method == "cubic" else 2) ** k) * r
+
+    def shard_d(d):
         a = d * s
         b = min((d + 1) * s, c0)
         if a >= c0:
-            shards.append(jnp.zeros_like(shards[0]))
-            continue
+            return jnp.zeros((want, ch), data.dtype)
         tbl = pack_slab(*slab_args(a, b))
         if tbl.shape[0] < want:
             tbl = jnp.pad(tbl, ((0, want - tbl.shape[0]), (0, 0)))
-        shards.append(tbl)
-    return jnp.stack(shards), s
+        return tbl
+
+    if mesh is None:
+        return jnp.stack([shard_d(d) for d in range(n_shards)]), s
+
+    # Sharded assembly (round-5 review fix): the jnp.stack path above
+    # materializes the FULL (D, S*rs, ch) stack on the default device
+    # before any resharding — exactly the single-device capacity wall
+    # this module exists to break.  Here each slab is device_put to its
+    # owner(s) as soon as it is packed and dropped from the packing
+    # device, so no device ever holds more than one slab transiently.
+    sh = NamedSharding(mesh, P(axis, None, None))
+    shape = (n_shards, want, ch)
+    owners = {}
+    for device, index in sh.addressable_devices_indices_map(shape).items():
+        owners.setdefault(index[0].start or 0, []).append(device)
+    arrays = []
+    for d in range(n_shards):
+        tbl = shard_d(d)[None]
+        for device in owners.get(d, []):
+            arrays.append(jax.device_put(tbl, device))
+    return jax.make_array_from_single_device_arrays(shape, sh, arrays), s
 
 
 def place_grid_shards(tbl_shards, mesh, axis="grid"):
@@ -198,7 +236,7 @@ def sharded_grid_eval(
                 # same in-range test as _eval_flat_masked
                 good = (q >= ax[0]) & (q <= ax[-1])
                 ok = good if ok is None else (ok & good)
-            i, t = _index_frac(ax, q)
+            i, t = _xla_index_frac(ax, q)
             idx.append(i)
             ts.append(t)
         w = (
@@ -290,9 +328,8 @@ def shard_interpnd_grid(interp, mesh, axis="grid", query_axis=None):
     n_shards = mesh.shape[axis]
     tbl_shards, s = pack_interpnd_grid_shards(
         interp.axes, interp.data, interp.k, interp.method, interp.bcs,
-        n_shards,
+        n_shards, mesh=mesh, axis=axis,
     )
-    tbl_shards = place_grid_shards(tbl_shards, mesh, axis)
     return GridShardedEvaluator(
         interp.axes, interp.data.shape, interp.data.dtype, interp.k,
         interp.method, interp.bcs, tbl_shards, s, mesh, axis, query_axis,
@@ -314,15 +351,23 @@ def shard_interp2d_grid(interp, mesh, axis="grid", query_axis=None):
     if "Bicubic" in name:
         method = "cubic"
         bcs = (strat.bc_x, strat.bc_y)
-    else:
+    elif "Bilinear" in name:
         method = "linear"
         bcs = None
+    else:
+        # anything else (Nearest2D, custom strategies) has no grid-shard
+        # blend here — silently treating it as bilinear returns wrong
+        # values (caught by round-5 review)
+        raise ValueError(
+            "shard_interp2d_grid supports Bilinear and Bicubic "
+            f"strategies, got {name}"
+        )
     extrapolate = bool(getattr(strat, "extrapolates", False))
     n_shards = mesh.shape[axis]
     tbl_shards, s = pack_interpnd_grid_shards(
-        (interp.x, interp.y), interp.data, 2, method, bcs, n_shards
+        (interp.x, interp.y), interp.data, 2, method, bcs, n_shards,
+        mesh=mesh, axis=axis,
     )
-    tbl_shards = place_grid_shards(tbl_shards, mesh, axis)
     return GridShardedEvaluator(
         (interp.x, interp.y), interp.data.shape, interp.data.dtype, 2,
         method, bcs, tbl_shards, s, mesh, axis, query_axis, extrapolate,

@@ -597,6 +597,15 @@ def gathered_bank_eval_df(
     (hi, lo) of shape ``(nq, bank)``.  f64-grade wide-bank serving at
     kernel speed (BASELINE.md row "10k-knot x64 bank DF EVAL"; on-chip
     accuracy gate ``test_df_gathered_bank_f64_grade_on_chip``)."""
+    # guard the RAW tables too: packing under an ambient jit turns the
+    # concrete arrays into tracers before the packed route's check, so
+    # a closure-captured bank would slip through (round-5 review)
+    check_route_tables(
+        "gathered_bank_eval_df",
+        [("d_hi", d_hi), ("d_lo", d_lo), ("a_hi", a_hi), ("a_lo", a_lo),
+         ("b_hi", b_hi), ("b_lo", b_lo)],
+        (q_hi, q_lo),
+    )
     packed = pack_bank_rows_df(d_hi, d_lo, a_hi, a_lo, b_hi, b_lo)
     return gathered_bank_eval_df_packed(
         x_hi, x_lo, packed, d_hi.shape[1], q_hi, q_lo, interpret=interpret
@@ -1202,6 +1211,10 @@ def gathered_bilinear_eval_df(
     ~8 gather passes on TPU; the guarded tail would pin intermediates,
     see _df_tail_kernel).  z may carry trailing dims; returns (hi, lo)
     of ``(nq, *z.shape[2:])``."""
+    check_route_tables(
+        "gathered_bilinear_eval_df", [("z_hi", z_hi), ("z_lo", z_lo)],
+        (qx_hi, qx_lo, qy_hi, qy_lo),
+    )
     packed = pack_bilinear_rows_df(z_hi, z_lo)
     r = 1
     for s_ in z_hi.shape[2:]:
@@ -1763,6 +1776,11 @@ def gathered_bicubic_eval_df(
     halves here (``pack_bicubic_rows_df`` pads blocks internally).
     f64-grade tensor-product cubic on f32 hardware; the beyond-reference
     flagship 2-D strategy's "matching f64 accuracy" story."""
+    check_route_tables(
+        "gathered_bicubic_eval_df",
+        [("rows_hi", rows_hi), ("rows_lo", rows_lo)],
+        (qx_hi, qx_lo, qy_hi, qy_lo),
+    )
     packed = pack_bicubic_rows_df(rows_hi, rows_lo, r)
     return gathered_bicubic_eval_df_packed(
         x_hi, x_lo, y_hi, y_lo, packed, qx_hi, qx_lo, qy_hi, qy_lo,

@@ -267,3 +267,41 @@ class TestInterp2DGridShard:
         got = np.asarray(ev(qx, qy))
         want = np.asarray(itp.interp_array(qx, qy))
         np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+class TestRound5ReviewFixes:
+    def test_f32_axes_use_xla_index_frac(self, mesh):
+        # Round-5 review: _index_frac routed f32 axes to the Pallas
+        # fused kernel (a custom_partitioning op) INSIDE the shard_map
+        # body, failing shard_map's vma check at trace time.  Every
+        # prior test ran f64 (kernel-ineligible) and never saw it.
+        itp = _grid_interp((17, 9, 9), 3, "cubic", dtype=np.float32)
+        ev = shard_interpnd_grid(itp, mesh)
+        rng = np.random.default_rng(9)
+        qs = tuple(
+            jnp.asarray(
+                rng.uniform(
+                    float(ax[0]), float(ax[-1]), 64
+                ).astype(np.float32)
+            )
+            for ax in itp.axes
+        )
+        got = np.asarray(ev(*qs))
+        want = np.asarray(itp.eval_unchecked(*qs))
+        ok = (got == want) | (np.isnan(got) & np.isnan(want))
+        assert ok.all()
+
+    def test_2d_rejects_non_grid_strategy(self, mesh):
+        # Round-5 review: a Nearest2D strategy silently fell into the
+        # bilinear branch and returned wrong values.
+        from ndarray_interp_tpu.models.strategies.step import Nearest2D
+
+        rng = np.random.default_rng(4)
+        data = jnp.asarray(rng.normal(size=(8, 8)))
+        itp = (
+            Interp2D.builder(data)
+            .strategy(Nearest2D())
+            .build()
+        )
+        with pytest.raises(ValueError, match="Bilinear and Bicubic"):
+            shard_interp2d_grid(itp, mesh)

@@ -252,3 +252,41 @@ class TestRouteGuard:
             jax.jit(lambda i, tt: gathered_bank_eval(d2, a2, b2, i, tt))(
                 idx, t
             )
+
+    def test_unpacked_wrapper_guarded(self, monkeypatch):
+        # Round-5 review: the pack-inside wrappers used to BYPASS the
+        # guard — packing under the ambient jit turns the concrete
+        # tables into tracers before the packed route's check runs, so
+        # a closure-captured raw bank (the exact round-3 outage shape)
+        # slipped through.  The wrappers now check their raw tables.
+        from ndarray_interp_tpu.ops.pallas_eval_df import (
+            gathered_bank_eval_df,
+        )
+
+        rng = np.random.default_rng(2)
+        n, bank = 16, 4
+
+        def z(shape):
+            return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+        x = jnp.asarray(np.linspace(0.0, 1.0, n).astype(np.float32))
+        raw = (
+            z((n, bank)), z((n, bank)) * 1e-8,
+            z((n - 1, bank)), z((n - 1, bank)) * 1e-8,
+            z((n - 1, bank)), z((n - 1, bank)) * 1e-8,
+        )
+        q = jnp.asarray(rng.uniform(0.05, 0.95, 8).astype(np.float32))
+        monkeypatch.setattr(config, "jit_const_cap_bytes", 64)
+        with pytest.raises(RuntimeError, match="closure-captured"):
+            jax.jit(
+                lambda qh: gathered_bank_eval_df(
+                    x, jnp.zeros_like(x), *raw, qh, jnp.zeros_like(qh)
+                )[0]
+            )(q)
+        # tables as ARGUMENTS still pass
+        out = jax.jit(
+            lambda *a: gathered_bank_eval_df(
+                x, jnp.zeros_like(x), *a[:-1], a[-1], jnp.zeros_like(a[-1])
+            )[0]
+        )(*raw, q)
+        assert np.isfinite(np.asarray(out)).all()
