@@ -5,8 +5,10 @@ sits at 1.00 ms vs a 0.37 ms MXU one-hot fetch model — ~35% of model,
 the largest relative headroom of any shipped row — and the roofline's
 "fetch-bound" label contradicts ROADMAP's round-3 tall-operand result
 (neutral => not fetch-utilization-bound).  This ablation truncates the
-shipped kernel (ops/pallas_eval.py:_kernel) stage by stage on the NS1
-workload so every millisecond has an owner:
+ROUND-4 kernel shape (the 2Wp+2W = 96-row wp-padded operand, preserved
+here as the anatomized artifact; the shipped ops/pallas_eval.py:_kernel
+moved to the tight 73-row operand this anatomy motivated) stage by
+stage on the NS1 workload so every millisecond has an owner:
 
   V0 glue       q -> out copy (DMA + per-step overhead floor)
   V1 coarse     V0 + (C-1)-leader compare + axis-0 sum
