@@ -223,7 +223,12 @@ def _df_nd_weight_tail_xla(rows, ths, tls, k, bp, nbasis):
 
 
 def _df_nd_weight_row_mxu(ths, tls, k, bp, nbasis):
-    """(B, nbasis^k * bp) DF weight row by one-hot MXU expansions —
+    """ROUND-4 row-major weight build, kept as the measured record
+    (superseded by the channel-major ``_df_nd_weight_row_cm``, which
+    is bit-identical and ~2x faster on the ND3 tail: the basis chain
+    here runs on (B, 1)-shaped values at B/8 vreg-issues per op).
+    Original description: (B, nbasis^k * bp) DF weight row by one-hot
+    MXU expansions —
     ``_df_bicubic_weight_tail_mxu``'s weight build generalized: per-axis
     (B, nbasis) basis rows, folded together one axis at a time through
     0/1 repeat/tile matmuls (EXACT at ``Precision.HIGHEST``: every
@@ -273,8 +278,71 @@ def _df_nd_weight_row_mxu(ths, tls, k, bp, nbasis):
     return onehot_dot(w[0], sel), onehot_dot(w[1], sel)
 
 
+def _df_nd_weight_row_cm(thT, tlT, k, bp, nbasis):
+    """(B, nbasis^k * bp) DF weight row, built CHANNEL-MAJOR with
+    queries in LANES (round 5): ``thT``/``tlT`` arrive as (k, B) —
+    the ~170-guarded-op basis chain then issues B/128 vregs per op
+    instead of the row-major build's B/8 (a VPU op's issue count
+    scales with sublanes, not lanes), the per-axis (padded-4, B) basis
+    stacks expand to (nb, B) factor matrices through exact K>=4
+    one-hot HIGHEST matmuls (each output element a single w*1
+    product; K=2 contractions hang the Mosaic compile — measured,
+    docs/ROADMAP.md), k-1 wide DF muls fold them in the SAME
+    left-to-right association as the row-major form (bit-identical,
+    verified on chip), and one exact MXU transpose per part yields the
+    (B, nb) weight matrix.  Measured on the ND3 tail: 23.3 → 12.8 ms
+    at bq=512 (BASELINE.md round-5 addendum).  Channel order: base-
+    ``nbasis`` digits, axis 0 most significant — the pack's order."""
+    f32 = jnp.float32
+    nb = nbasis**k
+    one = (jnp.ones_like(thT), jnp.zeros_like(thT))
+    fn = _df_hermite_basis if nbasis == 4 else _df_linear_basis
+    basis = fn((thT, tlT), one)  # nbasis pairs, each (k, B)
+    B = thT.shape[1]
+    kpad = max(4, nbasis)  # avoid K<4 contractions (Mosaic hang)
+    zero = jnp.zeros((1, B), f32)
+
+    def stack_axis(d, part):
+        rows = [basis[g][part][d : d + 1] for g in range(nbasis)]
+        rows += [zero] * (kpad - nbasis)
+        return jnp.concatenate(rows, axis=0)  # (kpad, B)
+
+    mm = jax.lax.broadcasted_iota(jnp.int32, (nb, kpad), 0)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (nb, kpad), 1)
+
+    def expand(d):
+        digit = (mm // (nbasis ** (k - 1 - d))) % nbasis
+        sel = (digit == kk).astype(f32)  # (nb, kpad) one-hot rows
+        return tuple(
+            jax.lax.dot(sel, stack_axis(d, part),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=f32)
+            for part in (0, 1)
+        )  # (nb, B)
+
+    w = expand(0)
+    for d in range(1, k):
+        w = df_mul(w, expand(d))
+    w_h = w[0].T  # (B, nb) — exact MXU transpose
+    w_l = w[1].T
+    if bp == 1:
+        return w_h, w_l
+    half = nb * bp
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nb, half), 1) // bp
+    blk = jax.lax.broadcasted_iota(jnp.int32, (nb, half), 0)
+    sel = (lane == blk).astype(f32)
+
+    def widen(a):
+        return jax.lax.dot(a, sel, precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=f32)
+
+    return widen(w_h), widen(w_l)
+
+
 def _df_nd_mxu_body(rows_hi, rows_lo, ths, tls, k, bp, nbasis):
-    """EFT product on the HI half + compensated halving tree (the
+    """ROUND-4 kernel body (record; the shipped ``_df_nd_mxu_kernel``
+    now builds weights channel-major).  EFT product on the HI half +
+    compensated halving tree (the
     ``_df_bicubic_weight_tail_mxu`` accumulation, any k); the (hi, lo)
     row halves arrive pre-split (the f48 tier unpacks its bf16 lo half
     before this body)."""
@@ -289,13 +357,13 @@ def _df_nd_mxu_body(rows_hi, rows_lo, ths, tls, k, bp, nbasis):
     return fast_two_sum(p, e)
 
 
-def _df_nd_mxu_kernel(*refs, k, bp, nbasis, tier):
-    rows_ref = refs[0]
-    t_refs = refs[1 : 1 + 2 * k]
-    outh_ref, outl_ref = refs[1 + 2 * k], refs[2 + 2 * k]
+def _df_nd_mxu_kernel(rows_ref, th_ref, tl_ref, outh_ref, outl_ref,
+                      *, k, bp, nbasis, tier):
+    """Round-5 kernel: the t pairs arrive STACKED AND TRANSPOSED as
+    two (k, B) refs so the weight build runs channel-major (see
+    ``_df_nd_weight_row_cm``); the EFT product + compensated halving
+    tree are unchanged from ``_df_nd_mxu_body``."""
     with no_guard():
-        ths = [t_refs[2 * d][:] for d in range(k)]
-        tls = [t_refs[2 * d + 1][:] for d in range(k)]
         rows = rows_ref[:]
         half = (nbasis**k) * bp
         rows_hi = rows[:, :half]
@@ -303,15 +371,23 @@ def _df_nd_mxu_kernel(*refs, k, bp, nbasis, tier):
             rows_lo = _unpack_f48_lo(rows[:, half:])
         else:
             rows_lo = rows[:, half:]
-        hi, lo = _df_nd_mxu_body(
-            rows_hi, rows_lo, ths, tls, k, bp, nbasis
+        wrow_h, wrow_l = _df_nd_weight_row_cm(
+            th_ref[:], tl_ref[:], k, bp, nbasis
         )
+        p, pe = two_prod(wrow_h, rows_hi)
+        e = pe + wrow_l * rows_hi + wrow_h * rows_lo
+        while p.shape[1] > bp:
+            h = p.shape[1] // 2
+            s, se = two_sum(p[:, :h], p[:, h:])
+            e = e[:, :h] + e[:, h:] + se
+            p = s
+        hi, lo = fast_two_sum(p, e)
         outh_ref[:] = hi
         outl_ref[:] = lo
 
 
 def nd_df_tail_mxu(
-    rows, ts_flat, k, nbasis=4, interpret=False, bq=256, tier="df"
+    rows, ts_flat, k, nbasis=4, interpret=False, bq=512, tier="df"
 ):
     """Streaming Mosaic MXU weight-form DF ND tail; rows
     ``(Q, 2 * nbasis^k * bp)`` (DF) or ``(Q, 3/2 * nbasis^k * bp)``
@@ -322,20 +398,21 @@ def nd_df_tail_mxu(
     nq, ch = rows.shape
     nb = nbasis**k
     bp = ch // (2 * nb) if tier == "df" else (2 * ch) // (3 * nb)
+    bq = min(bq, nq)  # small query sets run as one block
     assert nq % bq == 0
     grid = (nq // bq,)
+    thT = jnp.stack([ts_flat[2 * d] for d in range(k)], axis=0)  # (k, Q)
+    tlT = jnp.stack([ts_flat[2 * d + 1] for d in range(k)], axis=0)
     outh, outl = pl.pallas_call(
         functools.partial(
             _df_nd_mxu_kernel, k=k, bp=bp, nbasis=nbasis, tier=tier
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ]
-        + [
-            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ]
-        * (2 * k),
+            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bq), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
         out_specs=[
             pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -345,7 +422,7 @@ def nd_df_tail_mxu(
             jax.ShapeDtypeStruct((nq, bp), jnp.float32),
         ],
         interpret=interpret,
-    )(rows, *[t.reshape(nq, 1) for t in ts_flat])
+    )(rows, thT, tlT)
     return outh, outl
 
 
