@@ -1449,7 +1449,7 @@ def _df_bicubic_weights(tx, ty, one):
     return w16
 
 
-def _df_bicubic_weight_tail_mxu(rows, txh, txl, tyh, tyl, bp):
+def _df_bicubic_weight_tail_mxu(rows, thT, tlT, bp):
     """Full-lane weight-form DF bicubic tail: MXU one-hot weight-row
     build + ONE EFT product across the whole (B, 32*bp) row +
     compensated halving tree.
@@ -1471,81 +1471,76 @@ def _df_bicubic_weight_tail_mxu(rows, txh, txl, tyh, tyl, bp):
     hi sums are exact; residuals accumulate in f32 at ~2^-48 of term
     scale (same grade as the nested tail, different last-bit
     rounding).  Mosaic-only (the guarded-XLA CPU twin stays
-    ``df_records._df_bicubic_weight_tail``)."""
+    ``df_records._df_bicubic_weight_tail``).  Round 5: the t pairs
+    arrive stacked/transposed as (2, B) — see the core."""
     half = 16 * bp
     return _df_bicubic_mxu_core(
-        rows[:, :half], rows[:, half:], txh, txl, tyh, tyl, bp
+        rows[:, :half], rows[:, half:], thT, tlT, bp
     )
 
 
-def _df_bicubic_mxu_core(rows_hi, rows_lo, txh, txl, tyh, tyl, bp):
+def _df_bicubic_mxu_core(rows_hi, rows_lo, thT, tlT, bp):
     """Body of ``_df_bicubic_weight_tail_mxu`` over pre-split (hi, lo)
     row halves — shared with the f48 tier, whose lo half arrives
-    bf16-packed and is unpacked before this core."""
-    b = rows_hi.shape[0]
-    tx = (txh, txl)
-    ty = (tyh, tyl)
+    bf16-packed and is unpacked before this core.
 
-    # per-query DF Hermite bases, then IMMEDIATELY vectorize:
-    # everything from here on runs on (B, 4)/(B, 16) tiles or
-    # full-lane rows.  The first shipped form computed all 16 block
-    # weights as separate (B, 1) DF chains (~30 DF ops, each op paying
-    # a full 128-lane tile) — that alone cost ~1/4 of the kernel.
-    # Round 5: both axes' chains are batched through ONE (B, 2)-wide
-    # basis call (lane width is free; the chain is ~170 guarded ops).
-    t2 = (
-        jnp.concatenate([tx[0], ty[0]], axis=1),
-        jnp.concatenate([tx[1], ty[1]], axis=1),
-    )
-    one2 = (jnp.ones_like(t2[0]), jnp.zeros_like(t2[0]))
-    basis2 = _df_hermite_basis(t2, one2)
-    bx = tuple((p[0][:, 0:1], p[1][:, 0:1]) for p in basis2)
-    by = tuple((p[0][:, 1:2], p[1][:, 1:2]) for p in basis2)
+    Round 5: the weight build runs CHANNEL-MAJOR with queries in LANES
+    (``thT``/``tlT`` arrive as (2, B): rows = x, y axis fractions) —
+    the ~170-guarded-op basis chain issues B/128 vregs per op instead
+    of B/8 (issue count scales with sublanes, not lanes), the
+    (16, 4)-one-hot expansions select from (4, B) basis stacks, ONE
+    wide DF mul folds them, and one exact MXU transpose per part
+    yields the (B, 16) weight matrix — the ``_df_nd_weight_row_cm``
+    recipe at k=2 with the bicubic's own block mapping.  (The first
+    shipped form computed all 16 block weights as separate (B, 1) DF
+    chains; the round-5 row-major batched form ran the basis chain at
+    B/8 issues — each superseded in turn, measured in BASELINE.md.)"""
+    one = (jnp.ones_like(thT), jnp.zeros_like(thT))
+    basis = _df_hermite_basis((thT, tlT), one)  # 4 pairs, each (2, B)
 
-    def basis_row(basis, part):
-        i4 = jax.lax.broadcasted_iota(jnp.int32, (b, 4), 1)
-        return jnp.where(
-            i4 == 0,
-            basis[0][part],
-            jnp.where(
-                i4 == 1,
-                basis[1][part],
-                jnp.where(i4 == 2, basis[2][part], basis[3][part]),
-            ),
-        )
+    def stack_axis(d, part):
+        return jnp.concatenate(
+            [basis[g][part][d : d + 1] for g in range(4)], axis=0
+        )  # (4, B)
 
     # HIGHEST everywhere: the default f32 matmul is ONE bf16 MXU pass
     # (measured 2.1e-3 rel err on chip); bf16x3 decomposes each f32
     # operand into three non-overlapping parts, and against a 0/1
     # matrix every part-product and the f32 accumulation are exact
-    def onehot_dot(a, sel):
+    def onehot_dot(sel, a):
         return jax.lax.dot(
-            a, sel, precision=jax.lax.Precision.HIGHEST,
+            sel, a, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
 
-    # expand the 4-weight bases to the 16 blocks b = 4i + c
+    # expand the 4-weight bases to the 16 blocks j = 4i + c
     # (quantity i, corner c): x-basis index = (c>>1) + 2*(i in {1,3}),
-    # y-basis index = (c&1) + 2*(i in {2,3}) — 0/1 matrices, exact
-    # built from iota (Pallas kernels cannot capture constant arrays):
-    # block j = 4i + c → x-basis index (c//2) + 2*[i odd] (kx/kxy take
-    # the derivative weights), y-basis index (c%2) + 2*[i >= 2]
-    jj = jax.lax.broadcasted_iota(jnp.int32, (4, 16), 1)
-    kk = jax.lax.broadcasted_iota(jnp.int32, (4, 16), 0)
+    # y-basis index = (c&1) + 2*(i in {2,3}) — 0/1 matrices, exact,
+    # built from iota (Pallas kernels cannot capture constant arrays)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (16, 4), 0)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (16, 4), 1)
     qi = jj // 4
     cc = jj % 4
     px = ((cc // 2 + 2 * (qi % 2)) == kk).astype(jnp.float32)
     py = ((cc % 2 + 2 * (qi // 2)) == kk).astype(jnp.float32)
-    ax = tuple(onehot_dot(basis_row(bx, k), px) for k in (0, 1))
-    ay = tuple(onehot_dot(basis_row(by, k), py) for k in (0, 1))
-    w_h, w_l = df_mul(ax, ay)  # one (B, 16) DF product for all blocks
+    ax = tuple(onehot_dot(px, stack_axis(0, k)) for k in (0, 1))  # (16, B)
+    ay = tuple(onehot_dot(py, stack_axis(1, k)) for k in (0, 1))
+    w16 = df_mul(ax, ay)  # one (16, B) DF product for all blocks
+    w_h = w16[0].T  # (B, 16) — exact MXU transpose
+    w_l = w16[1].T
 
     half = 16 * bp
     lane = jax.lax.broadcasted_iota(jnp.int32, (16, half), 1) // bp
     blk = jax.lax.broadcasted_iota(jnp.int32, (16, half), 0)
     sel = (lane == blk).astype(jnp.float32)
-    wrow_h = onehot_dot(w_h, sel)
-    wrow_l = onehot_dot(w_l, sel)
+    wrow_h = jax.lax.dot(
+        w_h, sel, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    wrow_l = jax.lax.dot(
+        w_l, sel, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
 
     # EFT product on the HI half only: the lo twins are 2^-24-scale,
     # so w_hi*row_lo in plain f32 already lands at ~2^-48 of term
@@ -1564,13 +1559,13 @@ def _df_bicubic_mxu_core(rows_hi, rows_lo, txh, txl, tyh, tyl, bp):
 
 
 def _df_bicubic_mxu_kernel(
-    rows_ref, txh_ref, txl_ref, tyh_ref, tyl_ref, outh_ref, outl_ref, *, bp
+    rows_ref, thT_ref, tlT_ref, outh_ref, outl_ref, *, bp
 ):
     from .df import no_guard
 
     with no_guard():
         out = _df_bicubic_weight_tail_mxu(
-            rows_ref[:], txh_ref[:], txl_ref[:], tyh_ref[:], tyl_ref[:], bp
+            rows_ref[:], thT_ref[:], tlT_ref[:], bp
         )
         outh_ref[:] = out[0]
         outl_ref[:] = out[1]
@@ -1589,12 +1584,10 @@ def bicubic_df_tail_mxu(rows, txh, txl, tyh, tyl, interpret=False, bq=512):
         functools.partial(_df_bicubic_mxu_kernel, bp=bp),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ]
-        + [
-            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ]
-        * 4,
+            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bq), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
         out_specs=[
             pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -1606,8 +1599,8 @@ def bicubic_df_tail_mxu(rows, txh, txl, tyh, tyl, interpret=False, bq=512):
         interpret=interpret,
     )(
         rows,
-        txh.reshape(nq, 1), txl.reshape(nq, 1),
-        tyh.reshape(nq, 1), tyl.reshape(nq, 1),
+        jnp.stack([txh.reshape(-1), tyh.reshape(-1)], axis=0),
+        jnp.stack([txl.reshape(-1), tyl.reshape(-1)], axis=0),
     )
     return outh, outl
 
@@ -1662,7 +1655,7 @@ def _unpack_f48_lo(packed_lo):
 
 
 def _f48_bicubic_mxu_kernel(
-    rows_ref, txh_ref, txl_ref, tyh_ref, tyl_ref, outh_ref, outl_ref, *, bp
+    rows_ref, thT_ref, tlT_ref, outh_ref, outl_ref, *, bp
 ):
     from .df import no_guard
 
@@ -1672,7 +1665,7 @@ def _f48_bicubic_mxu_kernel(
         out = _df_bicubic_mxu_core(
             rows[:, :half],
             _unpack_f48_lo(rows[:, half:]),
-            txh_ref[:], txl_ref[:], tyh_ref[:], tyl_ref[:], bp,
+            thT_ref[:], tlT_ref[:], bp,
         )
         outh_ref[:] = out[0]
         outl_ref[:] = out[1]
@@ -1690,12 +1683,10 @@ def bicubic_f48_tail(rows, txh, txl, tyh, tyl, interpret=False, bq=512):
         functools.partial(_f48_bicubic_mxu_kernel, bp=bp),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ]
-        + [
-            pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ]
-        * 4,
+            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bq), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
         out_specs=[
             pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -1707,8 +1698,8 @@ def bicubic_f48_tail(rows, txh, txl, tyh, tyl, interpret=False, bq=512):
         interpret=interpret,
     )(
         rows,
-        txh.reshape(nq, 1), txl.reshape(nq, 1),
-        tyh.reshape(nq, 1), tyl.reshape(nq, 1),
+        jnp.stack([txh.reshape(-1), tyh.reshape(-1)], axis=0),
+        jnp.stack([txl.reshape(-1), tyl.reshape(-1)], axis=0),
     )
     return outh, outl
 
