@@ -119,11 +119,12 @@ def main():
                      var=1, links=4) * 1e3
     print(f"full route (prepacked)       {t:7.3f} ms", flush=True)
 
-    # the standing-row form (pack inside, links=2 as in run_benches)
-    def full(a, b, c, d, _z):
-        return gathered_bilinear_eval_df(xh, xl, yh, yl, zh, zl, a, b, c, d)
+    # the standing-row form (pack inside, links=2 as in run_benches;
+    # z rides as ARGUMENTS — the raw-route guard rejects captures)
+    def full(a, b, c, d, zh_, zl_):
+        return gathered_bilinear_eval_df(xh, xl, yh, yl, zh_, zl_, a, b, c, d)
 
-    t = device_timer(full, (qxh, qxl, qyh, qyl, zh), var=0, links=2) * 1e3
+    t = device_timer(full, (qxh, qxl, qyh, qyl, zh, zl), var=0, links=2) * 1e3
     print(f"standing row form (links=2)  {t:7.3f} ms", flush=True)
 
 

@@ -947,7 +947,7 @@ def bilinear_df_tail(rows, txh, txl, tyh, tyl, interpret=False):
     return outh, outl
 
 
-def _df_bilinear_mxu_core(rows_hi, rows_lo, txh, txl, tyh, tyl, bp):
+def _df_bilinear_mxu_core(rows_hi, rows_lo, thT, tlT, bp):
     """Weight-form DF bilinear on pre-split (hi, lo) row halves —
     the bicubic ``_df_bicubic_mxu_core`` recipe at 4 corner blocks.
 
@@ -967,39 +967,52 @@ def _df_bilinear_mxu_core(rows_hi, rows_lo, txh, txl, tyh, tyl, bp):
     4e-12 gate `test_df_gathered_bilinear_f64_grade_on_chip` is the
     contract).  Corner blocks are [z11|z12|z21|z22]: block j takes
     x-basis j//2 and y-basis j%2 with basis order [1-t, t]."""
-    b = rows_hi.shape[0]
-    one = jnp.ones_like(txh)
-    zero = jnp.zeros_like(txh)
-    mx = df_sub((one, zero), (txh, txl))  # DF 1-tx
-    my = df_sub((one, zero), (tyh, tyl))
+    one = (jnp.ones_like(thT), jnp.zeros_like(thT))
+    m = df_sub(one, (thT, tlT))  # DF 1-t for both axes at once, (2, B)
 
-    # Expand [1-t | t] to the 4 corner weights with iota-selects over
-    # lane broadcasts (K=2 one-hot matmuls are avoided on purpose —
-    # the bicubic core's smallest proven contraction is K=4):
-    # corner j: x factor j//2, y factor j%2, basis order [1-t, t].
-    i4 = jax.lax.broadcasted_iota(jnp.int32, (b, 4), 1)
+    # Round-5 channel-major build (queries in LANES — see
+    # _df_bicubic_mxu_core): stack [1-tx, tx, 1-ty, ty] padded to a
+    # K=4 contraction (K=2 one-hot matmuls hang the Mosaic compile),
+    # expand to the (4, B) corner-weight factors with exact one-hot
+    # HIGHEST matmuls, fold with ONE wide DF mul, transpose to (B, 4).
+    # Corner j: x factor j//2, y factor j%2, basis order [1-t, t].
+    B = thT.shape[1]
+    zero_row = jnp.zeros((1, B), jnp.float32)
 
-    def expand(m, t, key):
-        return tuple(
-            jnp.where(key == 0, m[p], t[p]) for p in (0, 1)
-        )
+    def stack_axis(d, part):
+        vals = (m[part][d : d + 1], (thT, tlT)[part][d : d + 1])
+        return jnp.concatenate(
+            [vals[0], vals[1], zero_row, zero_row], axis=0
+        )  # (4, B): [1-t, t, 0, 0]
 
-    ax = expand(mx, (txh, txl), i4 // 2)
-    ay = expand(my, (tyh, tyl), i4 % 2)
-    w_h, w_l = df_mul(ax, ay)  # one (B, 4) DF product for all corners
-
-    def onehot_dot(a, sel):
+    def onehot_dot(sel, a):
         return jax.lax.dot(
-            a, sel, precision=jax.lax.Precision.HIGHEST,
+            sel, a, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
+
+    jj = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 0)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 1)
+    px = ((jj // 2) == kk).astype(jnp.float32)
+    py = ((jj % 2) == kk).astype(jnp.float32)
+    ax = tuple(onehot_dot(px, stack_axis(0, p)) for p in (0, 1))
+    ay = tuple(onehot_dot(py, stack_axis(1, p)) for p in (0, 1))
+    w4 = df_mul(ax, ay)  # one (4, B) DF product for all corners
+    w_h = w4[0].T  # (B, 4) — exact MXU transpose
+    w_l = w4[1].T
 
     half = 4 * bp
     lane = jax.lax.broadcasted_iota(jnp.int32, (4, half), 1) // bp
     blk = jax.lax.broadcasted_iota(jnp.int32, (4, half), 0)
     sel = (lane == blk).astype(jnp.float32)
-    wrow_h = onehot_dot(w_h, sel)
-    wrow_l = onehot_dot(w_l, sel)
+    wrow_h = jax.lax.dot(
+        w_h, sel, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    wrow_l = jax.lax.dot(
+        w_l, sel, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
 
     p, pe = two_prod(wrow_h, rows_hi)
     e = pe + wrow_l * rows_hi + wrow_h * rows_lo
@@ -1012,7 +1025,7 @@ def _df_bilinear_mxu_core(rows_hi, rows_lo, txh, txl, tyh, tyl, bp):
 
 
 def _df_bilinear_mxu_kernel(
-    rows_ref, txh_ref, txl_ref, tyh_ref, tyl_ref, outh_ref, outl_ref, *, bp
+    rows_ref, thT_ref, tlT_ref, outh_ref, outl_ref, *, bp
 ):
     from .df import no_guard
 
@@ -1021,7 +1034,7 @@ def _df_bilinear_mxu_kernel(
         half = 4 * bp
         out = _df_bilinear_mxu_core(
             rows[:, :half], rows[:, half:],
-            txh_ref[:], txl_ref[:], tyh_ref[:], tyl_ref[:], bp,
+            thT_ref[:], tlT_ref[:], bp,
         )
         outh_ref[:] = out[0]
         outl_ref[:] = out[1]
@@ -1034,15 +1047,14 @@ def bilinear_df_tail_mxu(rows, txh, txl, tyh, tyl, interpret=False, bq=512):
     bp = ch // 8
     assert nq % bq == 0
     nb = nq // bq
-    specs_t = [
-        pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    ] * 4
     outh, outl = pl.pallas_call(
         functools.partial(_df_bilinear_mxu_kernel, bp=bp),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ] + specs_t,
+            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bq), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
         out_specs=[
             pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -1054,8 +1066,8 @@ def bilinear_df_tail_mxu(rows, txh, txl, tyh, tyl, interpret=False, bq=512):
         interpret=interpret,
     )(
         rows,
-        txh.reshape(nq, 1), txl.reshape(nq, 1),
-        tyh.reshape(nq, 1), tyl.reshape(nq, 1),
+        jnp.stack([txh.reshape(-1), tyh.reshape(-1)], axis=0),
+        jnp.stack([txl.reshape(-1), tyl.reshape(-1)], axis=0),
     )
     return outh, outl
 
@@ -1105,7 +1117,7 @@ def pack_bilinear_rows_f48(z_hi, z_lo):
 
 
 def _f48_bilinear_tail_kernel(
-    rows_ref, txh_ref, txl_ref, tyh_ref, tyl_ref, outh_ref, outl_ref, *, bp
+    rows_ref, thT_ref, tlT_ref, outh_ref, outl_ref, *, bp
 ):
     """f48 bilinear tail: unpack the bf16-pair lo section in VMEM,
     then the round-5 MXU weight-form core (same chain as the DF tier;
@@ -1118,7 +1130,7 @@ def _f48_bilinear_tail_kernel(
         hi = rows[:, : 4 * bp]
         lo = _unpack_f48_lo(rows[:, 4 * bp :])
         out = _df_bilinear_mxu_core(
-            hi, lo, txh_ref[:], txl_ref[:], tyh_ref[:], tyl_ref[:], bp
+            hi, lo, thT_ref[:], tlT_ref[:], bp
         )
         outh_ref[:] = out[0]
         outl_ref[:] = out[1]
@@ -1132,16 +1144,14 @@ def bilinear_f48_tail(rows, txh, txl, tyh, tyl, interpret=False):
     bq = 512
     assert nq % bq == 0
     nb = nq // bq
-    specs_t = [
-        pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    ] * 4
     outh, outl = pl.pallas_call(
         functools.partial(_f48_bilinear_tail_kernel, bp=bp),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ]
-        + specs_t,
+            pl.BlockSpec((bq, ch), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bq), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
         out_specs=[
             pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -1153,8 +1163,8 @@ def bilinear_f48_tail(rows, txh, txl, tyh, tyl, interpret=False):
         interpret=interpret,
     )(
         rows,
-        txh.reshape(nq, 1), txl.reshape(nq, 1),
-        tyh.reshape(nq, 1), tyl.reshape(nq, 1),
+        jnp.stack([txh.reshape(-1), tyh.reshape(-1)], axis=0),
+        jnp.stack([txl.reshape(-1), tyl.reshape(-1)], axis=0),
     )
     return outh, outl
 
