@@ -278,8 +278,8 @@ def _df_nd_weight_row_mxu(ths, tls, k, bp, nbasis):
     return onehot_dot(w[0], sel), onehot_dot(w[1], sel)
 
 
-def _df_nd_weight_row_cm(thT, tlT, k, bp, nbasis):
-    """(B, nbasis^k * bp) DF weight row, built CHANNEL-MAJOR with
+def _df_nd_weight_cm_T(thT, tlT, k, nbasis):
+    """(nbasis^k, B) DF weight matrix, built CHANNEL-MAJOR with
     queries in LANES (round 5): ``thT``/``tlT`` arrive as (k, B) —
     the ~170-guarded-op basis chain then issues B/128 vregs per op
     instead of the row-major build's B/8 (a VPU op's issue count
@@ -323,6 +323,16 @@ def _df_nd_weight_row_cm(thT, tlT, k, bp, nbasis):
     w = expand(0)
     for d in range(1, k):
         w = df_mul(w, expand(d))
+    return w  # (nb, B) channel-major pair
+
+
+def _df_nd_weight_row_cm(thT, tlT, k, bp, nbasis):
+    """Row-major (B, nb*bp) weight row from the channel-major build —
+    the bp > 1 path (wide trailing blocks); bp == 1 routes stay fully
+    channel-major in the kernel and never transpose the weights."""
+    f32 = jnp.float32
+    nb = nbasis**k
+    w = _df_nd_weight_cm_T(thT, tlT, k, nbasis)
     w_h = w[0].T  # (B, nb) — exact MXU transpose
     w_l = w[1].T
     if bp == 1:
@@ -371,6 +381,31 @@ def _df_nd_mxu_kernel(rows_ref, th_ref, tl_ref, outh_ref, outl_ref,
             rows_lo = _unpack_f48_lo(rows[:, half:])
         else:
             rows_lo = rows[:, half:]
+        if bp == 1:
+            # Fully channel-major product/tree (round 5, second pass):
+            # the GATHERED row halves are transposed to (nb, B) — two
+            # exact MXU transposes — instead of transposing the weight
+            # matrix; the EFT product then runs on full 128-lane vregs
+            # (2x fewer issues than (B, nb)) and the compensated
+            # halving tree folds over SUBLANES (widths nb..1 cost
+            # width/8 x B/128 issues instead of B/8 per level — the
+            # tree was the dominant post-weights cost, measured
+            # 12.6 -> 4.6 ms on the ND3 tail, bit-identical).  Output
+            # is written lane-major (1, B); the wrapper reshapes.
+            w_h, w_l = _df_nd_weight_cm_T(th_ref[:], tl_ref[:], k, nbasis)
+            z_hi = rows_hi.T  # (nb, B)
+            z_lo = rows_lo.T
+            p, pe = two_prod(w_h, z_hi)
+            e = pe + w_l * z_hi + w_h * z_lo
+            while p.shape[0] > 1:
+                h = p.shape[0] // 2
+                s, se = two_sum(p[:h], p[h:])
+                e = e[:h] + e[h:] + se
+                p = s
+            hi, lo = fast_two_sum(p, e)  # (1, B)
+            outh_ref[:] = hi
+            outl_ref[:] = lo
+            return
         wrow_h, wrow_l = _df_nd_weight_row_cm(
             th_ref[:], tl_ref[:], k, bp, nbasis
         )
@@ -403,6 +438,25 @@ def nd_df_tail_mxu(
     grid = (nq // bq,)
     thT = jnp.stack([ts_flat[2 * d] for d in range(k)], axis=0)  # (k, Q)
     tlT = jnp.stack([ts_flat[2 * d + 1] for d in range(k)], axis=0)
+    if bp == 1:
+        # all-channel-major kernel path: lane-major (1, Q) outputs
+        out_specs = [
+            pl.BlockSpec((1, bq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((1, nq), jnp.float32),
+            jax.ShapeDtypeStruct((1, nq), jnp.float32),
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
+        ]
     outh, outl = pl.pallas_call(
         functools.partial(
             _df_nd_mxu_kernel, k=k, bp=bp, nbasis=nbasis, tier=tier
@@ -413,16 +467,12 @@ def nd_df_tail_mxu(
             pl.BlockSpec((k, bq), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, bq), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bq, bp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
-            jax.ShapeDtypeStruct((nq, bp), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(rows, thT, tlT)
+    if bp == 1:
+        return outh.reshape(nq, 1), outl.reshape(nq, 1)
     return outh, outl
 
 
